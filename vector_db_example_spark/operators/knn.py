@@ -1,0 +1,154 @@
+"""Top-k vector similarity search operators.
+
+Re-implements the reference's search surface Spark-first:
+
+* ``knn_exact``   — J1: single-query top-k (reference ``similarity_search``,
+  /root/reference/src/app.py:240-274): broadcast the query vector as a
+  literal, compute the distance as a codegen'd expression, filter by the
+  score threshold, then ``orderBy().limit(k)`` which Spark compiles to
+  ``TakeOrderedAndProject`` — per-partition top-k + driver merge, i.e. the
+  same MPP pattern Milvus uses internally, with no full sort and no shuffle
+  of the corpus.
+
+* ``knn_batch``   — J2: N queries at once. The reference loops Python-side
+  (/root/reference/src/app.py:313-315, 326-328); the engine-native
+  generalization is a broadcast join of the (small) query set against the
+  corpus + per-query window top-k. One scan of the corpus regardless of N —
+  this is the shape that survives 100 TB.
+
+* ``similarity_self_join`` — all pairs within a distance threshold
+  (the building block for embedding-based near-dup detection).
+
+Scale notes: the corpus side is never shuffled for knn_exact (map-side
+distance + TakeOrdered). knn_batch shuffles only the per-query candidate
+top-k rows (``k × n_queries`` rows, tiny) when n_queries is small enough
+to broadcast, which it is by construction (queries come from a user
+request, not a table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import (
+    cosine_similarity,
+    l2_distance,
+    score_from_distance,
+)
+
+#: Reference defaults (SURVEY.md §2.6 — these constants define parity).
+DEFAULT_TOP_K = 5
+DEFAULT_SCORE_THRESHOLD = 0.3
+OVERFETCH_FACTOR = 3  # reference searches limit=top_k*3 then re-limits
+
+
+def _vector_literal(vec) -> Column:
+    """A query vector as a Catalyst array<double> literal (broadcast by value)."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def knn_exact(
+    corpus: DataFrame,
+    query_vec,
+    k: int = DEFAULT_TOP_K,
+    vector_col: str = "embedding",
+    score_threshold: float | None = DEFAULT_SCORE_THRESHOLD,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k for one query vector (the FLAT baseline).
+
+    Returns the corpus columns + ``distance`` + ``score``, deterministic
+    ties broken by ``id_col``.
+    """
+    q = _vector_literal(query_vec) if not isinstance(query_vec, Column) else query_vec
+    if metric == "l2":
+        dist = l2_distance(F.col(vector_col), q)
+    elif metric == "cosine":
+        dist = F.lit(1.0) - cosine_similarity(F.col(vector_col), q)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    out = corpus.withColumn("distance", dist).withColumn(
+        "score", score_from_distance("distance")
+    )
+    if score_threshold is not None:
+        # P2: score >= threshold ⇔ distance <= 1 - threshold; Catalyst pushes
+        # this below the top-k so discarded rows never reach the heap.
+        out = out.filter(F.col("score") >= F.lit(score_threshold))
+    return out.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    vector_col: str = "embedding",
+    query_vector_col: str = "query_vec",
+    query_id_col: str = "query_id",
+    score_threshold: float | None = None,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query top-k for a (small) DataFrame of query vectors.
+
+    ``queries`` must have ``query_id_col`` and ``query_vector_col``. The
+    query side is broadcast → a single corpus scan computes all distances;
+    ``row_number`` over (query, distance) keeps k per query.
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vector_col))
+    joined = corpus.crossJoin(q)
+    if metric == "l2":
+        dist = l2_distance(F.col(vector_col), F.col(query_vector_col))
+    elif metric == "cosine":
+        dist = F.lit(1.0) - cosine_similarity(F.col(vector_col), F.col(query_vector_col))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = (
+        joined.withColumn("distance", dist)
+        .withColumn("score", score_from_distance("distance"))
+        .drop(query_vector_col)
+    )
+    if score_threshold is not None:
+        scored = scored.filter(F.col("score") >= F.lit(score_threshold))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def similarity_self_join(
+    corpus: DataFrame,
+    max_distance: float,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+) -> DataFrame:
+    """All ordered pairs (a < b) within ``max_distance``.
+
+    At test SF this is a broadcast O(n²) pass; at 100 TB you never run the
+    raw form — use the LSH/IVF-bucketed variants in ``operators.dedup`` /
+    ``index.ivf`` which bucket first and only pair within buckets. Kept as
+    the exact oracle-checkable baseline.
+    """
+    left = corpus.select(
+        F.col(id_col).alias("a_id"), F.col(vector_col).alias("a_vec")
+    )
+    right = corpus.select(
+        F.col(id_col).alias("b_id"), F.col(vector_col).alias("b_vec")
+    )
+    pairs = left.join(F.broadcast(right), F.col("a_id") < F.col("b_id"))
+    if metric == "l2":
+        dist = l2_distance(F.col("a_vec"), F.col("b_vec"))
+    elif metric == "cosine":
+        dist = F.lit(1.0) - cosine_similarity(F.col("a_vec"), F.col("b_vec"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        pairs.withColumn("distance", dist)
+        .filter(F.col("distance") <= F.lit(max_distance))
+        .select("a_id", "b_id", "distance")
+    )

@@ -1,0 +1,199 @@
+"""Vector-search query inventory (SURVEY.md §2.3 J1/J2, §2.2 P2, §2.5 W1/W2).
+
+The `embeddings` test table holds unit-normalized 64-dim vectors, so the
+reference's score threshold constants (tuned for its 384-dim corpus) are
+replaced by corpus-appropriate values; the *semantics* (score = 1 - L2,
+threshold filter, deterministic top-k) are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.knn import knn_batch, knn_exact, similarity_self_join
+from ..sources.tables import load_table
+from .registry import register
+
+DIM = 64
+
+
+def _l2_sql(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB L2 expression with the same double math + element order as
+    functions.vector.l2_distance (bit-identical results)."""
+    return (
+        f"sqrt(list_sum(list_transform(range(1,{dim + 1}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))))"
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"list_sum(list_transform(range(1,{dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == vec_id).select("embedding").head()[0]
+
+
+@register(
+    "vector_knn_exact_l2",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, e.label, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, label, round(dist, 6) AS distance, round(1.0 - dist, 6) AS score
+FROM d ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "J1", "W1"),
+    bench=True,
+)
+def vector_knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: exact brute-force L2 top-10 (reference similarity_search,
+    /root/reference/src/app.py:240-274, minus the embedding model)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hits = knn_exact(emb, _query_vec(spark, sf_dir, 0), k=10, score_threshold=None)
+    return hits.select(
+        "vec_id",
+        "label",
+        F.round("distance", 6).alias("distance"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@register(
+    "vector_knn_threshold",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+d AS (
+  SELECT e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(1.0 - dist, 6) AS score
+FROM d WHERE 1.0 - dist >= -0.3
+ORDER BY dist, vec_id LIMIT 50
+""",
+    tags=("vector", "P2"),
+)
+def vector_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: score-threshold filter (score = 1 - L2 >= t) before top-k —
+    reference score_threshold semantics (/root/reference/src/app.py:258-260)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hits = knn_exact(emb, _query_vec(spark, sf_dir, 3), k=50, score_threshold=-0.3)
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "vector_knn_batch",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+d AS (
+  SELECT q.query_id, e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, round(dist, 6) AS distance, rn::INTEGER AS rank
+FROM r WHERE rn <= 3
+""",
+    tags=("vector", "J2", "W2"),
+    bench=True,
+)
+def vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/W2: batched per-query top-k — one corpus scan for N queries
+    (generalizes the reference's Python loop at src/app.py:313-315)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = knn_batch(emb, queries, k=3)
+    return hits.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+@register(
+    "vector_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+d AS (
+  SELECT e.vec_id, e.label,
+         {_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')})) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, label, round(sim, 6) AS cos_sim
+FROM d ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    tags=("vector", "J1"),
+)
+def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k (second metric the engine supports beyond the
+    reference's L2)."""
+    from ..functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in _query_vec(spark, sf_dir, 7)])
+    return (
+        emb.withColumn("sim", cosine_similarity(F.col("embedding"), q))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "vector_range_self_join",
+    oracle=f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_l2_sql('a.embedding', 'b.embedding')} AS dist
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round(dist, 6) AS distance
+FROM p WHERE dist <= 1.25
+""",
+    tags=("vector", "join", "dedup"),
+    bench=True,
+)
+def vector_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join: all pairs within an L2 radius — the exact
+    baseline for embedding near-dup detection."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = similarity_self_join(emb, max_distance=1.25)
+    return pairs.select("a_id", "b_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "vector_centroid_norm",
+    oracle="""
+WITH de AS (
+  SELECT label, i AS pos, embedding[i]::DOUBLE AS v
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+),
+c AS (SELECT label, pos, avg(v) AS cv FROM de GROUP BY label, pos)
+SELECT label, count(*)::BIGINT AS dims, round(sqrt(sum(cv * cv)), 6) AS centroid_norm
+FROM c GROUP BY label
+""",
+    tags=("vector", "agg"),
+)
+def vector_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm: element-wise vector aggregation (the
+    building block of KMeans/IVF centroid maintenance) as posexplode +
+    two-level groupBy — all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    de = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    c = de.groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    return c.groupBy("label").agg(
+        F.count("*").alias("dims"),
+        F.round(F.sqrt(F.sum(F.col("cv") * F.col("cv"))), 6).alias("centroid_norm"),
+    )

@@ -1,0 +1,111 @@
+"""Behavioral tests for operators beyond oracle parity: do the dedup
+operators actually find planted duplicates, do the text functions
+reproduce the reference's regex semantics (including CJK)?"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    from vector_db_example_spark.operators.dedup import minhash_near_duplicates
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa EXTRA"),
+        (3, "completely different words nothing shared here at all truly"),
+        (4, "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_duplicates(df, threshold=0.5).collect()
+    found = {(r.a_id, r.b_id) for r in pairs}
+    assert (1, 2) in found
+    assert all(p == (1, 2) for p in found), f"false positives: {found}"
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    from vector_db_example_spark.operators.dedup import simhash_near_duplicates
+
+    rows = [
+        (1, "spark query engine with columnar execution and codegen"),
+        (2, "spark query engine with columnar execution and codegen"),
+        (3, "utterly unrelated text about cooking pasta with tomatoes basil"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_duplicates(df, max_hamming=3).collect()
+    found = {(r.a_id, r.b_id): r.hamming for r in pairs}
+    assert found.get((1, 2)) == 0
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    from vector_db_example_spark.operators.dedup import exact_dedup
+
+    rows = [(5, "same text"), (2, "same text"), (9, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = exact_dedup(df, F.col("text"), id_col="doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [2, 9]  # min-id survivor
+
+
+def test_clean_content_reference_semantics(spark):
+    """F1: strip chars outside word/CJK/whitespace/base-punct, collapse
+    whitespace, trim (reference src/app.py:190-203)."""
+    from vector_db_example_spark.functions.text import clean_content
+
+    rows = [
+        (1, "  数据库@#系统   概论！  extra   spaces\t here  "),
+        (2, None),
+        (3, "abc***def"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.c for r in df.select("id", clean_content("text").alias("c")).collect()}
+    assert out[1] == "数据库系统 概论！ extra spaces here"
+    assert out[2] == ""  # null guard → empty string
+    assert out[3] == "abcdef"
+
+
+def test_extract_tokens_reference_semantics(spark):
+    """F2: CJK runs >=2, latin words >=3 (reference src/app.py:334)."""
+    from vector_db_example_spark.functions.text import extract_tokens
+
+    df = spark.createDataFrame(
+        [(1, "数据库系统 is the best DB of 关系模型 x yz abc")], "id long, text string"
+    )
+    toks = df.select(extract_tokens("text").alias("t")).head().t
+    assert toks == ["数据库系统", "the", "best", "关系模型", "abc"]
+
+
+def test_chapter_header_detection(spark):
+    """F6: 第X章 pattern or 章节 marker (reference src/app.py:567)."""
+    from vector_db_example_spark.functions.text import is_chapter_header
+
+    rows = [(1, "第一章 绪论"), (2, "第十二章 SQL"), (3, "随便一行"), (4, "本章节介绍")]
+    df = spark.createDataFrame(rows, "id long, line string")
+    out = {r.id: r.h for r in df.select("id", is_chapter_header("line").alias("h")).collect()}
+    assert out == {1: True, 2: True, 3: False, 4: True}
+
+
+def test_token_windows_cover_all_tokens(spark):
+    from vector_db_example_spark.functions.text import token_windows
+
+    df = spark.createDataFrame([(1, " ".join(f"w{i}" for i in range(40)),)], "id long, text string")
+    chunks = df.select(token_windows("text", 16).alias("c")).head().c
+    assert len(chunks) == 3
+    rejoined = " ".join(chunks)
+    assert rejoined == " ".join(f"w{i}" for i in range(40))
+
+
+def test_knn_exact_reference_constants(spark):
+    """J1 defaults mirror the reference: top_k=5, threshold=0.3 (i.e.
+    distance<=0.7), over-fetch handled by the plan (src/app.py:240-274)."""
+    from vector_db_example_spark.operators.knn import knn_exact
+
+    rows = [
+        (1, [0.0, 0.0], "exact"),
+        (2, [0.5, 0.0], "near"),
+        (3, [3.0, 4.0], "far — distance 5, score -4, filtered"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, note string")
+    hits = knn_exact(df, [0.0, 0.0], vector_col="embedding").collect()
+    assert [r.vec_id for r in hits] == [1, 2]
+    assert hits[0].score == 1.0

@@ -1,0 +1,243 @@
+"""Deduplication operators for LLM training-data pipelines (north star):
+
+* exact duplicates          — hash-groupBy on a normalization key
+* MinHash + LSH near-dup    — shingle → minhash signature → band buckets →
+                              bucket-join candidates → exact-Jaccard verify
+* n-gram Jaccard            — exact pairwise set similarity (the verifier /
+                              small-scale baseline)
+* SimHash                   — 64-bit fingerprints + Hamming-radius pairs
+* embedding near-dup        — cosine-threshold pairs (see also
+                              operators.knn.similarity_self_join)
+
+Scale design: the MinHash path is the 100 TB shape — signatures are one
+narrow map stage (nested higher-order expressions, no Python), candidate
+generation shuffles only (id, band_key) pairs, and the exact-Jaccard
+verify joins shingle arrays back for *candidates only*. The all-pairs
+operators are deliberately the oracle-checkable baselines for small
+inputs; never run them raw at scale.
+
+md5 is used as the hash family everywhere (seeded by prefix) because it is
+deterministic and engine-portable — the DuckDB oracle computes the exact
+same signatures, so even the LSH path is hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct space-joined token k-grams (array<string>). Documents with
+    fewer than k tokens yield their full token string as one shingle."""
+    toks = _ws_tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Keep one representative per exact-duplicate group (deterministic:
+    lowest/highest id wins — never ``dropDuplicates``, whose survivor is
+    arbitrary under distributed execution; SURVEY.md §2.7 U2 note)."""
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy("__key").orderBy(order)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__key", "__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups: key, group size, representative (min id)."""
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("representative"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def minhash_signature(shingle_arr: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: for each seed, the lexicographic min of
+    md5(seed || '|' || shingle). array<string> of length n_hashes."""
+    seeds = F.sequence(F.lit(1), F.lit(n_hashes))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(
+                shingle_arr,
+                lambda sh: F.md5(F.concat(s.cast("string"), F.lit("|"), sh)),
+            )
+        ),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band keys: md5 of each contiguous signature slice.
+    array<struct<band:int, key:string>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(
+                F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "")
+            ).alias("key"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two *distinct-element* arrays, in double."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a).cast("double") + F.size(b).cast("double") - inter
+    return inter / union
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Returns (a_id, b_id, jaccard) for candidate pairs sharing >=1 LSH band
+    whose true shingle Jaccard >= threshold.
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = sig.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+    sh_a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold (broadcast baseline —
+    O(n²); the oracle/verifier for the MinHash path)."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+#: SQL expression: array of per-token 60-bit hashes (md5 hex → bigint).
+_TOK_HASHES_SQL = (
+    r"transform(split(trim({text}), '\\s+'), "
+    "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+)
+
+#: SQL expression: SimHash from a precomputed hash array column — per-bit
+#: signed vote over tokens, then bit assembly. Written as SQL because the
+#: Python shiftright/shiftleft wrappers only take literal shift amounts,
+#: while the SQL functions accept column expressions.
+_SIMHASH_FROM_HASHES_SQL = (
+    "aggregate(zip_with("
+    "transform(sequence(0, 59), b -> aggregate({hashes}, 0, "
+    "(acc, h) -> acc + cast(((shiftright(h, b) & 1) * 2 - 1) as int))), "
+    "sequence(0, 59), "
+    "(v, b) -> IF(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+    "cast(0 as bigint), (acc, x) -> acc + x)"
+)
+
+
+def simhash64(text_expr: str) -> Column:
+    """60-bit SimHash over whitespace tokens of the column named by
+    ``text_expr``. Token hashes are computed once per row; the 60-way bit
+    vote runs over that array."""
+    hashes = _TOK_HASHES_SQL.format(text=text_expr)
+    return F.expr(_SIMHASH_FROM_HASHES_SQL.format(hashes=hashes))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash pairs within a Hamming radius. Candidate generation blocks
+    on 4 × 15-bit sub-fingerprints (pigeonhole: any pair within Hamming 3
+    shares at least one of 4 blocks exactly) — the scalable shape; the
+    final Hamming check is exact via bit_count(xor)."""
+    base = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sim")
+    )
+    blocks = base.select(
+        "id",
+        "sim",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(cast(b as int) as block, "
+                "shiftright(sim, b * 15) & 32767 as bkey))"
+            )
+        ).alias("blk"),
+    ).select("id", "sim", F.col("blk.block").alias("block"), F.col("blk.bkey").alias("bkey"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a_id"),
+            F.col("r.id").alias("b_id"),
+            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

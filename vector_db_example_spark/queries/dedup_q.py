@@ -1,1 +1,200 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication query inventory (north-star operators).
+
+The synthetic corpus has no natural duplicates (all 500 texts distinct),
+so exact/minhash/simhash queries plant duplicates *in-plan* — deriving a
+perturbed copy of the corpus inside the query, identically on both
+engines — while the n-gram-Jaccard and embedding-cosine queries run on
+the natural similarity structure of the data.
+
+Everything except SimHash is oracle-checkable because the hash family is
+md5 (engine-portable); SimHash needs hex→int64 conversion DuckDB lacks a
+portable equivalent for, so it carries the rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import (
+    exact_dup_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from ..operators.knn import similarity_self_join
+from ..sources.tables import load_table
+from .registry import register
+
+#: Shared in-plan duplicate plantings (must match the SQL CTEs verbatim).
+_PLANT_SUFFIX = " zzq zzw zzr"
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str, limit_id: int = 150) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < limit_id)
+    variant = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(variant)
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id, upper(text) AS text FROM documents
+),
+k AS (SELECT id, md5(lower(text)) AS dup_key FROM corpus)
+SELECT dup_key, count(*)::BIGINT AS group_size, min(id) AS representative
+FROM k GROUP BY dup_key HAVING count(*) > 1
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalization-key hash-groupBy: corpus ∪ uppercased
+    copy → every doc forms a group of 2 under md5(lower(text)). At scale
+    this is one shuffle on the 16-byte key — the cheapest dedup there is."""
+    docs = load_table(spark, sf_dir, "documents")
+    variant = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    corpus = docs.select("doc_id", "text").unionByName(variant)
+    return exact_dup_groups(corpus, F.md5(F.lower(F.col("text"))), id_col="doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000 AS id, text || '{_PLANT_SUFFIX}' AS text
+  FROM documents WHERE doc_id < 150
+),
+base AS (
+  SELECT id, {_SHINGLE_SQL} AS sh
+  FROM (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus)
+),
+sig AS (
+  SELECT id, sh,
+         list_transform(range(1, 17),
+           s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sg
+  FROM base
+),
+banded AS (
+  SELECT id, b::INTEGER AS band,
+         md5(array_to_string(sg[(b*2+1):(b*2+2)], '')) AS key
+  FROM sig CROSS JOIN generate_series(0, 7) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT l.id AS a_id, r.id AS b_id
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+v AS (
+  SELECT a_id, b_id,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+           / (len(sa.sh) + len(sb.sh)
+              - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+  FROM cand
+  JOIN base sa ON cand.a_id = sa.id
+  JOIN base sb ON cand.b_id = sb.id
+)
+SELECT a_id, b_id, round(j, 6) AS jaccard FROM v WHERE j >= 0.6
+""",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: 3-gram shingles → 16-hash md5 minhash
+    signature → 8 bands × 2 rows → bucket-join candidates → exact-Jaccard
+    verify at 0.6. The planted variants (3 appended tokens) sit at
+    j≈0.67–0.94; unrelated word-soup pairs fall far below."""
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        corpus,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=3,
+        n_hashes=16,
+        bands=8,
+        threshold=0.6,
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS sh
+  FROM documents WHERE doc_id < 150
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+           / (len(a.sh) + len(b.sh)
+              - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
+""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set (1-gram) Jaccard pairs >= 0.8 on the natural
+    corpus — the all-pairs baseline that verifies the LSH path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_k=1, threshold=0.8
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # hex→int64 bit arithmetic has no portable DuckDB mirror
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit fingerprint, 4×15-bit pigeonhole blocking,
+    Hamming <= 3. Planted identical copies land at Hamming 0."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    copy = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(copy)
+    return simhash_near_duplicates(corpus, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         1.0 - (list_sum(list_transform(range(1, 65),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) AS dist
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round(dist, 6) AS distance FROM p WHERE dist <= 0.7
+""",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine distance <= 0.7, i.e.
+    similarity >= 0.3). Exact baseline; the IVF-bucketed variant in
+    index.ivf is the 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = similarity_self_join(emb, max_distance=0.7, metric="cosine")
+    return pairs.select("a_id", "b_id", F.round("distance", 6).alias("distance"))

@@ -1,1 +1,193 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-operator query inventory (SURVEY.md §2.8 F1–F6 + north-star text
+analysis) over the `documents` table.
+
+The synthetic corpus is punctuation-free lowercase word-soup, so the
+punctuation-split operator (F3) runs on an in-plan sentence-ified
+derivation (same derivation on both engines) and chunking also gets the
+token-window form used for real LLM pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import (
+    CLEAN_PATTERN,
+    STOPWORDS,
+    TOKEN_PATTERN,
+    clean_content,
+    extract_tokens,
+    token_windows,
+)
+from ..operators.textstats import with_text_stats
+from ..sources.tables import load_table
+from .registry import register
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register(
+    "text_clean_preprocess",
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '[^\w一-鿿\s.,!?;:，。！？；：]', '', 'g'),
+                           '\s+', ' ', 'g')) AS clean_text
+FROM documents
+WHERE length(trim(regexp_replace(regexp_replace(text, '[^\w一-鿿\s.,!?;:，。！？；：]', '', 'g'),
+                                 '\s+', ' ', 'g'))) >= 10
+""",
+    tags=("text", "F1", "P4"),
+)
+def text_clean_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 + P4: content cleaning (strip/collapse/trim) + min-length filter
+    (reference _preprocess_content, src/app.py:190-203)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.withColumn("clean_text", clean_content(F.col("text")))
+    return cleaned.filter(F.length("clean_text") >= 10).select("doc_id", "clean_text")
+
+
+@register(
+    "text_tokenize_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+  FROM documents
+)
+SELECT token, count(*)::BIGINT AS cnt
+FROM tok
+WHERE NOT list_contains({_STOPLIST_SQL}, token)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+""",
+    tags=("text", "F2", "J3", "W3"),
+    bench=True,
+)
+def text_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 + J3: regex tokenization → explode → stopword anti-join →
+    frequency top-k (reference extract_keywords, src/app.py:332-340)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stopwords_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(s,) for s in STOPWORDS], "token string"
+        )
+    )
+    tokens = docs.select(F.explode(extract_tokens(F.col("text"))).alias("token"))
+    return (
+        tokens.join(stopwords_df, "token", "left_anti")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "text_chunk_token_windows",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id, i::INTEGER AS chunk_idx,
+       array_to_string(toks[(i*16+1):(i*16+16)], ' ') AS chunk
+FROM t CROSS JOIN generate_series(0, 100000) AS g(i)
+WHERE i <= greatest((len(toks) - 1) // 16, 0)
+""",
+    tags=("text", "F3", "chunking"),
+)
+def text_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (the LLM-pipeline chunker): each document →
+    fixed 16-token windows, as a pure higher-order expression + posexplode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(token_windows(F.col("text"), 16)).alias("chunk_idx", "chunk"),
+    ).select("doc_id", "chunk_idx", "chunk")
+
+
+@register(
+    "text_sentence_split",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id, regexp_replace(text, ' table ', '. ', 'g') AS sent_text
+  FROM documents
+),
+c AS (
+  SELECT doc_id, trim(chunk) AS chunk
+  FROM s CROSS JOIN unnest(string_split_regex(sent_text, '[，。！？；:,\.!?;]')) AS u(chunk)
+)
+SELECT doc_id, chunk FROM c WHERE length(chunk) > 5
+""",
+    tags=("text", "F3", "P5"),
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 + P5: punctuation sentence split → trim → drop short chunks
+    (reference chunk_search, src/app.py:319-330). The corpus has no
+    punctuation, so sentences are derived in-plan (same on both engines)."""
+    from ..functions.text import CHUNK_SPLIT_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    sent = docs.withColumn(
+        "sent_text", F.regexp_replace(F.col("text"), " table ", ". ")
+    )
+    chunks = sent.select(
+        "doc_id",
+        F.explode(F.split(F.col("sent_text"), CHUNK_SPLIT_PATTERN)).alias("raw"),
+    ).select("doc_id", F.trim(F.col("raw")).alias("chunk"))
+    return chunks.filter(F.length("chunk") > 5)
+
+
+@register(
+    "text_stats_full",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks)::DOUBLE AS n,
+         len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x)))::DOUBLE AS n_stop,
+         len(list_distinct(toks))::DOUBLE AS n_distinct,
+         len(list_filter(list_distinct(toks),
+             x -> list_contains(['the','and','for','that','this','with','from'], x))) AS en,
+         len(list_filter(list_distinct(toks),
+             x -> list_contains(['el','la','los','las','que','una'], x))) AS es,
+         len(list_filter(list_distinct(toks),
+             x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS de,
+         len(list_filter(list_distinct(toks),
+             x -> list_contains(['le','les','des','une','est','dans'], x))) AS fr
+  FROM t
+)
+SELECT doc_id,
+       len(toks)::INTEGER AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}'))::INTEGER AS n_regex_tokens,
+       len(regexp_extract_all(text, '[aeiou]+|[^aeiou\s]+'))::INTEGER AS n_subword_tokens,
+       CASE WHEN en >= greatest(es, de, fr) AND en > 0 THEN 'en'
+            WHEN es >= greatest(de, fr) AND es > 0 THEN 'es'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       round(0.4 * (n_distinct / n) + 0.3 * (1.0 - n_stop / n)
+             + 0.3 * least(n / 100.0, 1.0), 6) AS quality_score,
+       md5(array_to_string(toks, ' ')) AS fingerprint
+FROM m
+""",
+    tags=("text", "langid", "quality", "fingerprint"),
+    bench=True,
+)
+def text_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analysis in one narrow projection: token counts
+    (3 notions), marker-word language ID, composite quality score,
+    md5 fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs, "text").select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_regex_tokens",
+        "n_subword_tokens",
+        "lang_pred",
+        F.round("quality_score", 6).alias("quality_score"),
+        "fingerprint",
+    )

@@ -1,1 +1,188 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-analytics query inventory over the `events` table (SURVEY.md
+§2.9 / M6 extension — the reference has no streaming surface, so these
+define the engine's event-time semantics; the same logic runs as
+Structured Streaming in streaming/, checked here as batch SQL).
+
+Precision note: parquet stores ts as nanoseconds; Spark truncates to
+microseconds on read, so every oracle query casts ``ts::TIMESTAMP``
+(DuckDB's microsecond type, truncating) before comparing or
+differencing — this keeps both engines bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window"),
+    bench=True,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch form of
+    the streaming groupBy(window(ts)) plan in streaming/events.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events),
+gaps AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM e
+),
+marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) AS duration_us
+FROM sess GROUP BY user_id, session_id
+""",
+    tags=("events", "session", "window"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-min inactivity): lag → new-session
+    flag → running sum as session id → per-session aggregates. This is the
+    batch mirror of session_window in Structured Streaming."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(w_lag)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 600_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "events_type_stats",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total,
+       round(avg(value), 6) AS mean,
+       round(min(value), 2) AS vmin,
+       round(max(value), 2) AS vmax,
+       round(quantile_cont(value, 0.5), 6) AS median
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "agg"),
+)
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value statistics including an exact interpolated median
+    (Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.min("value"), 2).alias("vmin"),
+        F.round(F.max("value"), 2).alias("vmax"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       round(avg((props->>'$.k')::INTEGER), 6) AS avg_k,
+       max((props->>'$.k')::INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON scalar extraction + aggregation
+    (get_json_object ≡ ->> )."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_user_daily_pivot",
+    oracle="""
+SELECT user_id,
+       strftime(time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP), '%Y-%m-%d') AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup
+FROM events
+WHERE user_id < 20
+GROUP BY 1, 2
+""",
+    tags=("events", "pivot"),
+)
+def events_user_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user activity pivot (conditional aggregation — the
+    shuffle-friendly form of pivot())."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "error", "signup")
+    ]
+    return ev.groupBy("user_id", day).agg(*aggs)

@@ -29,7 +29,23 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
+    to its microsecond timestamp type. Read it as a raw int64 (legacy
+    nanosAsLong) and truncate ns → µs with integer division (the value is
+    ~1.7e18, far beyond double precision — float division would corrupt
+    it). Set defensively at runtime so this works under any caller's
+    session, not just ours."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

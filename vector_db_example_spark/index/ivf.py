@@ -1,0 +1,191 @@
+"""IVF_FLAT analog on Spark (SURVEY.md §1.3, M4).
+
+The reference's index is Milvus IVF_FLAT: k-means partition the vectors
+into ``nlist`` cells, search scans the ``nprobe`` nearest cells exactly
+(/root/reference/src/app.py:105-111 nlist=128, metric L2; nprobe=20 at
+src/app.py:253). The Spark-native equivalent is a *storage layout*, not a
+server-side index:
+
+* build — MLlib KMeans learns ``nlist`` centroids; every vector gets a
+  ``cell_id``; the corpus is written as Parquet **partitioned by
+  cell_id**. Centroids (nlist × dim floats) are tiny and live driver-side.
+* search — the query's ``nprobe`` nearest centroids are computed on the
+  driver (numpy over a few KB), and the scan reads ONLY those partitions:
+  Parquet partition pruning is the nprobe mechanism. Within the probed
+  cells the search is exact L2 → identical semantics to IVF_FLAT,
+  including the invariant nprobe=nlist ⇒ exact search (which is what the
+  oracle checks).
+* append — new rows are assigned to their nearest *existing* centroid
+  via a pure-expression argmin (no Python, no refit); refitting is an
+  offline compaction job, mirroring Milvus's data-node indexing
+  (doc/milvus介绍.md:27).
+
+At 100 TB: the corpus shuffle happens ONCE at build (partitionBy write);
+every query then touches nprobe/nlist of the data with zero shuffle —
+scan + TakeOrderedAndProject only. Skewed cells (hot regions of the
+embedding space) can be split by re-running KMeans within a cell;
+AQE handles moderate skew at read time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.knn import knn_exact
+
+
+@dataclass
+class IVFIndex:
+    path: str
+    centroids: np.ndarray  # (nlist, dim) float64
+    vector_col: str
+    id_col: str
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    def save_meta(self) -> None:
+        meta = {
+            "vector_col": self.vector_col,
+            "id_col": self.id_col,
+            "centroids": self.centroids.tolist(),
+        }
+        with open(os.path.join(self.path, "_ivf_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            path=path,
+            centroids=np.asarray(meta["centroids"], dtype=np.float64),
+            vector_col=meta["vector_col"],
+            id_col=meta["id_col"],
+        )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 128,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFIndex:
+    """Fit KMeans(nlist) and write the corpus partitioned by cell_id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__fv", array_to_vector(F.col(vector_col).cast("array<double>")))
+    km = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="__fv", predictionCol="cell_id"
+    )
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__fv")
+    assigned.write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    index = IVFIndex(
+        path=path,
+        centroids=np.vstack([c for c in model.clusterCenters()]),
+        vector_col=vector_col,
+        id_col=id_col,
+    )
+    index.save_meta()
+    return index
+
+
+def nearest_cells(index: IVFIndex, query_vec, nprobe: int) -> list[int]:
+    """Driver-side probe-list computation (nlist × dim is a few KB —
+    SURVEY.md §4: no custom Catalyst rule needed, just an IN-filter)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((index.centroids - q) ** 2).sum(axis=1)
+    order = np.argsort(d2, kind="stable")[:nprobe]
+    return [int(c) for c in order]
+
+
+def ivf_search(
+    spark: SparkSession,
+    index: IVFIndex,
+    query_vec,
+    k: int = 5,
+    nprobe: int = 20,
+    score_threshold: float | None = None,
+) -> DataFrame:
+    """IVF search: partition-pruned scan of the nprobe nearest cells +
+    exact L2 top-k within them (the FLAT part of IVF_FLAT)."""
+    probe = nearest_cells(index, query_vec, nprobe)
+    corpus = spark.read.parquet(index.path).filter(F.col("cell_id").isin(probe))
+    return knn_exact(
+        corpus,
+        query_vec,
+        k=k,
+        vector_col=index.vector_col,
+        score_threshold=score_threshold,
+        id_col=index.id_col,
+    )
+
+
+def assign_cells(index: IVFIndex, vector: Column) -> Column:
+    """Nearest-centroid cell assignment as a pure expression (for appends
+    without refit — reference post-insert visibility semantics,
+    SURVEY.md §3.3). Broadcasts the centroid matrix as an array literal
+    and computes argmin of squared L2 via higher-order functions."""
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in index.centroids
+        ]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                c,
+                vector,
+                lambda x, y: (x - y.cast("double")) * (x - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
+def ivf_bucketed_pairs(
+    spark: SparkSession,
+    index: IVFIndex,
+    max_distance: float,
+) -> DataFrame:
+    """Embedding near-dup candidate pairs WITHIN cells only — the
+    100 TB-scale replacement for the O(n²) similarity self-join: pairs
+    are generated per cell (co-partitioned, no global shuffle) and
+    verified with exact L2."""
+    from ..functions.vector import l2_distance
+
+    base = spark.read.parquet(index.path)
+    a = base.select(
+        F.col("cell_id"),
+        F.col(index.id_col).alias("a_id"),
+        F.col(index.vector_col).alias("a_vec"),
+    )
+    b = base.select(
+        F.col("cell_id"),
+        F.col(index.id_col).alias("b_id"),
+        F.col(index.vector_col).alias("b_vec"),
+    )
+    return (
+        a.join(b, ["cell_id"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("distance", l2_distance(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("distance") <= max_distance)
+        .select("cell_id", "a_id", "b_id", "distance")
+    )

@@ -18,3 +18,4 @@ from . import text_q  # noqa: E402,F401
 from . import dedup_q  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import pipeline_q  # noqa: E402,F401
+from . import index_q  # noqa: E402,F401

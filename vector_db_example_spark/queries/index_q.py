@@ -1,0 +1,90 @@
+"""IVF index query inventory (M4). The nprobe=nlist run is *provably
+exact* (IVF_FLAT identity), so it carries a full DuckDB oracle; the
+pruned-probe and bucketed-pairs runs are approximate by design and carry
+the rows-only check (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index.ivf import IVFIndex, build_ivf_index, ivf_bucketed_pairs, ivf_search
+from ..sources.tables import load_table
+from .registry import register
+from .vector_q import _l2_sql, _query_vec
+
+#: One index build per (sf_dir, nlist) per process — queries share it.
+_INDEX_CACHE: dict[tuple[str, int], IVFIndex] = {}
+
+
+def get_ivf_index(
+    spark: SparkSession, sf_dir: str, nlist: int = 16
+) -> IVFIndex:
+    key = (sf_dir, nlist)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(f"{sf_dir}|{nlist}".encode()).hexdigest()[:8]
+        emb = load_table(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = build_ivf_index(
+            emb, path=f"/tmp/spark_graft_ivf_{tag}", nlist=nlist
+        )
+    return _INDEX_CACHE[key]
+
+
+@register(
+    "vector_ivf_exact_parity",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+d AS (
+  SELECT e.vec_id, e.label, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, label, round(dist, 6) AS distance
+FROM d ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "ivf", "index"),
+)
+def vector_ivf_exact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_FLAT invariant: nprobe = nlist scans every cell ⇒ results are
+    identical to exact brute force — which the DuckDB oracle states
+    directly. This pins the index layout's correctness."""
+    index = get_ivf_index(spark, sf_dir, nlist=16)
+    hits = ivf_search(
+        spark, index, _query_vec(spark, sf_dir, 11), k=10, nprobe=16
+    )
+    return hits.select(
+        "vec_id", "label", F.round("distance", 6).alias("distance")
+    )
+
+
+@register(
+    "vector_ivf_probe_topk",
+    oracle=None,  # approximate by design (nprobe < nlist)
+    tags=("vector", "ivf", "index"),
+    bench=True,
+)
+def vector_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF shape: nprobe=4 of nlist=16 cells — a 4×
+    scan-fraction reduction with recall measured in tests/test_ivf.py."""
+    index = get_ivf_index(spark, sf_dir, nlist=16)
+    hits = ivf_search(
+        spark, index, _query_vec(spark, sf_dir, 11), k=10, nprobe=4
+    )
+    return hits.select(
+        "vec_id", "label", F.round("distance", 6).alias("distance")
+    )
+
+
+@register(
+    "vector_ivf_bucketed_pairs",
+    oracle=None,  # candidate set depends on the learned clustering
+    tags=("vector", "ivf", "dedup"),
+)
+def vector_ivf_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: per-cell pair generation +
+    exact L2 verify (no global O(n²))."""
+    index = get_ivf_index(spark, sf_dir, nlist=16)
+    pairs = ivf_bucketed_pairs(spark, index, max_distance=1.25)
+    return pairs.select(
+        "a_id", "b_id", F.round("distance", 6).alias("distance")
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming: stream-on-static-input ≡ batch, plus the
+foreachBatch continuous-ingest pipeline (SURVEY.md §1.4/§2.9 M6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from vector_db_example_spark.functions.text import clean_content
+from vector_db_example_spark.queries import QUERIES
+from vector_db_example_spark.sources.tables import load_table
+from vector_db_example_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    windowed_type_counts,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    batch = QUERIES["events_tumbling_window"].fn(spark, SF_SMOKE)
+    stream = run_to_memory(
+        windowed_type_counts(read_events_stream(spark, SF_SMOKE)), name="t_eq"
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
+
+
+def test_stream_event_time_restored(spark):
+    """The stream source must restore ts to the same microsecond timestamps
+    as the batch loader (nanos → micros truncation)."""
+    stream_ts = run_to_memory(
+        read_events_stream(spark, SF_SMOKE)
+        .withWatermark("ts", "2 hours")
+        .groupBy()
+        .agg(
+            F.min("ts").alias("tmin"),
+            F.max("ts").alias("tmax"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        name="ts_range",
+    ).collect()[0]
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.min("ts"), F.max("ts"), F.count(F.lit(1)))
+        .collect()[0]
+    )
+    assert (stream_ts[0], stream_ts[1], stream_ts[2]) == tuple(batch)
+
+
+def test_stream_sessionization_counts(spark):
+    """Session windows partition all events: per-user session counts must
+    sum back to the per-user event counts, and no session may span a
+    >= gap hole (spot-checked via the registered oracle in parity tests;
+    here we check the partition invariant)."""
+    sess = QUERIES["stream_events_sessionization"].fn(spark, SF_SMOKE)
+    per_user_sessions = (
+        sess.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()
+    )
+    batch_counts = dict(
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert {r["user_id"]: r["n"] for r in per_user_sessions} == batch_counts
+
+
+def test_stream_ingest_documents(spark, tmp_path):
+    from vector_db_example_spark.streaming.ingest import stream_ingest_documents
+
+    n = stream_ingest_documents(
+        spark,
+        SF_SMOKE,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    expected = docs.filter(
+        F.length(clean_content(F.col("text"))) >= 10
+    ).count()
+    assert n == expected
+
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    assert out.count() == expected
+    first = out.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in first] == [384]
+
+    # Restart with the same checkpoint: availableNow is exactly-once, so
+    # nothing is re-ingested.
+    n2 = stream_ingest_documents(
+        spark,
+        SF_SMOKE,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    assert n2 == 0
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == expected

@@ -1,0 +1,130 @@
+"""Structured Streaming query inventory (SURVEY.md §1.4/§2.9 M6).
+
+The reference has no streaming surface (verified in SURVEY.md §2.9); these
+are the engine's continuous-ingest and event-analytics extensions. Each
+query here runs a REAL streaming plan (``readStream`` → stateful op →
+sink) to completion with ``availableNow`` and returns the materialized
+result, so the driver's DuckDB oracle can check that the streaming
+answer on a static input is exactly the batch answer — the equivalence
+Structured Streaming guarantees by design.
+
+Scale note: on a cluster the only change is the source/sink format
+(Kafka / partitioned tables); the stateful plan — watermark, window agg,
+session windows, foreachBatch embed+append — is identical, and state
+stays bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    windowed_type_counts,
+)
+from ..streaming.ingest import stream_ingest_documents
+from .registry import register
+
+
+@register(
+    "stream_events_tumbling_window",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "events", "window"),
+)
+def stream_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window × event_type as a STREAMING plan
+    (withWatermark → groupBy(window) → memory sink, availableNow). On the
+    static test input this must equal the batch `events_tumbling_window`
+    — the same DuckDB oracle checks both."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(windowed_type_counts(stream), name="tumbling")
+
+
+@register(
+    "stream_events_sessionization",
+    oracle="""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+gaps AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM e
+),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    tags=("streaming", "events", "session"),
+)
+def stream_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` (gap-based, 10 min) as a streaming plan.
+    Session extension is half-open [t, t+gap): an event exactly gap later
+    opens a new session, so the oracle's gap test is `>=`."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(session_windows(stream), name="sessions")
+
+
+@register(
+    "stream_ingest_documents",
+    oracle="""
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text, '[^\\w一-鿿\\s.,!?;:，。！？；：]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, length(clean_text)::BIGINT AS clean_len, 384 AS emb_dim
+FROM cleaned
+WHERE length(clean_text) >= 10
+""",
+    tags=("streaming", "pipeline", "S5", "F1", "F7"),
+)
+def stream_ingest_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest (S5 as foreachBatch: clean → filter → embed →
+    append) run to completion, then the sink read back. The oracle checks
+    the surviving row set, cleaned lengths, and the embedding arity; the
+    embedding values themselves are covered by the pytest hashing-embedder
+    oracle (not SQL-expressible)."""
+    work = tempfile.mkdtemp(prefix="stream_ingest_")
+    try:
+        stream_ingest_documents(
+            spark,
+            sf_dir,
+            sink_path=f"{work}/sink",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        out = spark.read.parquet(f"{work}/sink").select(
+            "doc_id",
+            F.length("text").cast("long").alias("clean_len"),
+            F.size("embedding").alias("emb_dim"),
+        )
+        # Materialize before the temp dir disappears (Spark scans lazily).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

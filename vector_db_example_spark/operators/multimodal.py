@@ -1,0 +1,199 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extract / frame-sample as Arrow-batched ``mapInPandas``
+operators (north-star extension; the reference is text-only, so this is
+the engine's media surface for LLM-data pipelines).
+
+Design for 100 TB:
+
+* Media is an opaque ``binary`` column next to typed metadata
+  (``media_type``, ``n_bytes``, ``checksum``) — metadata predicates
+  (type, size range, checksum dedup) are Catalyst expressions that push
+  down to the parquet scan, so the binary column is never even read for
+  metadata-only queries (column pruning).
+* Heavy per-item work (decode, feature extraction, frame sampling) runs
+  as ``mapInPandas`` — Arrow batches in, Arrow batches out, one Python
+  worker per core, no driver collect, no shuffle. Output size is bounded
+  per batch, so executor memory stays flat regardless of table size.
+* The actual image/audio codecs are NOT in this container; ``decode``
+  is therefore a clearly-marked stub behind an import-try (real plumbing,
+  fake pixels). The byte-level operators (histogram features, frame
+  sampling) are real and deterministic, and stand in for the same
+  batch shape a torchvision/librosa decode would have.
+
+Test payloads are derived deterministically from the driver's
+``documents`` table (``payload = encode(text, 'UTF-8')``) so every
+metadata operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+try:  # codec libraries are absent in this container — gate, don't import-fail
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+#: Media-type assignment for the synthetic corpus (deterministic from the
+#: key so the DuckDB oracle reproduces it).
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def media_type_for(key: Column) -> Column:
+    """Deterministic media_type from an int key (doc_id % 3)."""
+    return (
+        F.when(key % 3 == 0, MEDIA_TYPES[0])
+        .when(key % 3 == 1, MEDIA_TYPES[1])
+        .otherwise(MEDIA_TYPES[2])
+    )
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """documents → multimodal table: opaque binary ``payload`` + typed
+    metadata columns. On a real pipeline the payload arrives from object
+    storage; here it is derived from ``text`` so oracles are exact."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        media_type_for(F.col("doc_id")).alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: normalized byte histogram (the deterministic stand-in
+# for an image/audio embedding — same mapInPandas batch shape).
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = "doc_id long, media_type string, features array<float>"
+
+
+def extract_byte_histogram(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-item feature vector: L1-normalized histogram of payload bytes
+    in ``n_bins`` equal-width bins. Arrow-batched, numpy-vectorized within
+    the batch; scales linearly with executors (no shuffle)."""
+    if 256 % n_bins != 0:
+        raise ValueError(f"n_bins must divide 256, got {n_bins}")
+    width = 256 // n_bins
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for buf in pdf["payload"]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if b.size == 0:
+                    feats.append(np.zeros(n_bins, dtype=np.float32))
+                    continue
+                hist = np.bincount(b // width, minlength=n_bins).astype(np.float64)
+                feats.append((hist / hist.sum()).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        compute, FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: treat the payload as a stream of fixed-size frames and
+# keep every k-th one (video keyframe sampling shape: 1 row → N rows).
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = "doc_id long, media_type string, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 64, every: int = 4
+) -> DataFrame:
+    """Chunk each payload into ``frame_size``-byte frames (last frame
+    ragged) and emit frames ``0, every, 2*every, ...``. mapInPandas so a
+    single huge payload fans out executor-side without ever visiting the
+    driver."""
+    if frame_size <= 0 or every <= 0:
+        raise ValueError("frame_size and every must be positive")
+
+    def chop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "media_type": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+            }
+            for doc_id, mt, buf in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(buf)
+                n_frames = (len(raw) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every):
+                    out["doc_id"].append(doc_id)
+                    out["media_type"].append(mt)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(
+                        raw[idx * frame_size : (idx + 1) * frame_size]
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        chop, FRAMES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Codec-backed decode — STUB: the codec libraries are not installed in this
+# container. The signatures and batch plumbing are real; the pixel path
+# raises until PIL (or an equivalent) is present.
+# ---------------------------------------------------------------------------
+
+DECODED_IMAGE_SCHEMA = "doc_id long, width int, height int, mode string"
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode image payloads to (width, height, mode) via PIL inside
+    mapInPandas. STUB in this environment: raises ``NotImplementedError``
+    at plan-build time when PIL is absent (keeps failure obvious and
+    driver-side, not buried in executor logs)."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "decode_images requires Pillow, which is not installed in this "
+            "container; byte-level operators (extract_byte_histogram, "
+            "sample_frames) cover the mapInPandas plumbing deterministically"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        from PIL import Image as PILImage
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = PILImage.open(io.BytesIO(bytes(buf)))
+                rows.append((doc_id, img.width, img.height, img.mode))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mode"]
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        decode, DECODED_IMAGE_SCHEMA
+    )

@@ -20,3 +20,4 @@ from . import events_q  # noqa: E402,F401
 from . import pipeline_q  # noqa: E402,F401
 from . import index_q  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
+from . import multimodal_q  # noqa: E402,F401

@@ -1,0 +1,117 @@
+"""Multimodal-column query inventory (north-star extension — binary
+payload + typed metadata over the `documents` table; see
+operators/multimodal.py for the scale design).
+
+The frame-sample oracle deliberately does NOT chunk blobs in SQL: it
+computes the expected frame counts/byte totals arithmetically from
+``octet_length``, so it is an independent cross-check of the mapInPandas
+chunker, not a re-implementation of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.multimodal import (
+    attach_media,
+    extract_byte_histogram,
+    sample_frames,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_MEDIA_CTE = """
+media AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS checksum
+  FROM documents
+)
+"""
+
+
+@register(
+    "multimodal_metadata_stats",
+    oracle=f"""
+WITH {_MEDIA_CTE}
+SELECT media_type,
+       count(*)::BIGINT AS n_items,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       round(avg(n_bytes), 6) AS avg_bytes,
+       count(DISTINCT checksum)::BIGINT AS n_unique
+FROM media
+GROUP BY media_type
+""",
+    tags=("multimodal", "metadata", "agg"),
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over the media table: per-type counts, byte
+    volumes, checksum-distinct (exact-dedup readiness). The binary column
+    is pruned out of the scan — this is the cheap path at 100 TB."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+        F.countDistinct("checksum").alias("n_unique"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH {_MEDIA_CTE},
+expect AS (
+  SELECT media_type,
+         ceil(n_bytes / 64.0)::BIGINT AS n_frames,
+         n_bytes
+  FROM media
+),
+per_doc AS (
+  SELECT media_type,
+         ((n_frames + 3) // 4)::BIGINT AS n_sampled,
+         -- every sampled frame is 64 bytes except a sampled last ragged
+         -- frame (sampled iff (n_frames-1) % 4 == 0)
+         (((n_frames + 3) // 4) * 64
+          + CASE WHEN (n_frames - 1) % 4 = 0
+                 THEN n_bytes - 64 * n_frames ELSE 0 END)::BIGINT AS sampled_bytes
+  FROM expect
+)
+SELECT media_type,
+       sum(n_sampled)::BIGINT AS n_frames,
+       sum(sampled_bytes)::BIGINT AS frame_bytes
+FROM per_doc
+GROUP BY media_type
+""",
+    tags=("multimodal", "frames", "mapInPandas"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample every 4th 64-byte frame of each payload (mapInPandas
+    fan-out), then aggregate per media_type. The oracle derives the same
+    totals purely arithmetically — an independent check of the chunker."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_size=64, every=4)
+    return frames.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame_bytes")).alias("frame_bytes"),
+    )
+
+
+@register(
+    "multimodal_byte_histogram",
+    oracle=None,  # byte-level explode is not SQL-expressible in the oracle;
+    # pytest checks the features against a pure-numpy reference
+    tags=("multimodal", "features", "mapInPandas"),
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-item feature vectors (byte histogram — the decode
+    stand-in), aggregated to per-type mean feature mass per bin."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_byte_histogram(media, n_bins=16)
+    return feats.select(
+        "media_type", F.posexplode("features").alias("bin", "mass")
+    ).groupBy("media_type", "bin").agg(
+        F.round(F.avg("mass"), 6).alias("avg_mass")
+    )

@@ -128,16 +128,28 @@ def minhash_near_duplicates(
     banded = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
+    # Bucket-grouped pair expansion, NOT a self-join: a self-join would
+    # evaluate the minhash-signature subtree twice (Spark doesn't share
+    # subplans across join sides) and shuffle `banded` twice. One
+    # groupBy = one signature pass + one shuffle of (id, band, key) only.
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids) - i),
+                lambda other: F.struct(
+                    F.element_at(ids, i).alias("a_id"), other.alias("b_id")
+                ),
+            ),
         )
-        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+    )
+    candidates = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size(ids) > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
     sh_a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))

@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions — the scale contract (SURVEY.md §4).
+
+Correctness says the answer is right at sf0.01; these tests pin that the
+PLAN is the one that survives 100 TB: dims broadcast (no giant shuffle
+joins), predicates pushed into the parquet scan, top-k compiled to
+TakeOrderedAndProject (never a global sort), IVF probes pruning
+partitions, and aggregations doing map-side partial combine."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from vector_db_example_spark.queries import QUERIES
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:  # let AQE finalize join strategies
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(QUERIES["tpch_q3_shipping_priority"].fn(spark, SF_SMOKE), execute=True)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(QUERIES["tpch_q5_local_supplier_volume"].fn(spark, SF_SMOKE), execute=True)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region at minimum
+
+
+def test_q1_pushes_shipdate_filter(spark):
+    plan = _plan(QUERIES["tpch_q1_pricing_summary"].fn(spark, SF_SMOKE))
+    scans = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scans and any("l_shipdate" in ln for ln in scans), (
+        "shipdate predicate must reach the parquet scan"
+    )
+
+
+def test_q1_partial_aggregation(spark):
+    """groupBy compiles to partial (map-side) + final HashAggregate —
+    the shuffle carries pre-combined rows, not raw lineitems."""
+    plan = _plan(QUERIES["tpch_q1_pricing_summary"].fn(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_is_takeordered_not_global_sort(spark):
+    plan = _plan(QUERIES["vector_knn_exact_l2"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan, (
+        "top-k must be per-partition heap + merge, not a cluster-wide sort"
+    )
+
+
+def test_knn_stays_jvm_side(spark):
+    """The distance expression (higher-order zip_with/aggregate) must run
+    JVM-side: no Python evaluation nodes in the exact-KNN hot path.
+    (Higher-order functions are codegen-fallback, so there's no
+    WholeStageCodegen span here — but they are still JVM expressions,
+    not Python.)"""
+    plan = _plan(QUERIES["vector_knn_exact_l2"].fn(spark, SF_SMOKE))
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_probe_prunes_partitions(spark):
+    from vector_db_example_spark.queries.index_q import get_ivf_index
+    from vector_db_example_spark.index.ivf import ivf_search
+    from vector_db_example_spark.queries.vector_q import _query_vec
+
+    index = get_ivf_index(spark, SF_SMOKE, nlist=16)
+    hits = ivf_search(spark, index, _query_vec(spark, SF_SMOKE, 11), k=10, nprobe=4)
+    plan = _plan(hits)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "cell_id" in scan[0], (
+        "nprobe must be a partition-pruned scan, not a full read + filter"
+    )
+
+
+def test_tokenize_stopword_join_is_broadcast_anti(spark):
+    plan = _plan(QUERIES["text_tokenize_topk"].fn(spark, SF_SMOKE), execute=True)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_events_window_partial_aggregation(spark):
+    plan = _plan(QUERIES["events_tumbling_window"].fn(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q1_pricing_summary", "window_running_revenue", "dedup_exact_groups"]
+)
+def test_no_python_in_relational_paths(spark, name):
+    """Everything except the embedding/multimodal surface is pure
+    Catalyst — UDFs are the slow path and must not leak in."""
+    plan = _plan(QUERIES[name].fn(spark, SF_SMOKE))
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,113 @@
+"""Random-hyperplane LSH ANN: bucket semantics, scan fraction, recall
+vs the exact cosine baseline (the approximate-op testing discipline from
+SURVEY.md §5.2 — same as the IVF recall harness)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from vector_db_example_spark.index.lsh import (
+    bucket_expr,
+    bucket_of,
+    hyperplanes,
+    lsh_ann_search,
+    probe_buckets,
+)
+from vector_db_example_spark.operators.knn import knn_exact
+from vector_db_example_spark.sources.tables import load_table
+
+N_PLANES = 8
+PLANES = hyperplanes(64, n_planes=N_PLANES, seed=42)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_bucket_expr_matches_numpy(emb):
+    rows = (
+        emb.withColumn("bucket", bucket_expr(F.col("embedding"), PLANES))
+        .select("vec_id", "embedding", "bucket")
+        .limit(50)
+        .collect()
+    )
+    for r in rows:
+        assert r["bucket"] == bucket_of(r["embedding"], PLANES)
+        assert 0 <= r["bucket"] < 2**N_PLANES
+
+
+def test_probe_buckets_hamming_ball():
+    probes = probe_buckets(0b1010, N_PLANES, probe_radius=2)
+    assert len(probes) == 1 + 8 + 28  # C(8,0)+C(8,1)+C(8,2)
+    assert len(set(probes)) == len(probes)
+    for p in probes:
+        assert bin(p ^ 0b1010).count("1") <= 2
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    """Recall@10 over several queries. Random 64-dim data is LSH-hostile
+    (top-k neighbors of random points are only weakly similar), so the
+    contract is: a solid floor at the production radius (3 → ~36% of
+    buckets scanned, measured avg recall 0.68) AND strict improvement
+    over the cheapest radius — the knob actually buys recall."""
+
+    def avg_recall(radius: int) -> float:
+        recalls = []
+        for qid in (3, 7, 11, 23, 42):
+            qv = emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+            exact = {
+                r["vec_id"]
+                for r in knn_exact(
+                    emb, qv, k=10, metric="cosine", score_threshold=None
+                ).collect()
+            }
+            got = {
+                r["vec_id"]
+                for r in lsh_ann_search(
+                    emb, qv, PLANES, k=10, probe_radius=radius
+                ).collect()
+            }
+            recalls.append(len(exact & got) / len(exact))
+        return sum(recalls) / len(recalls)
+
+    r1, r3 = avg_recall(1), avg_recall(3)
+    assert r3 >= 0.55, f"recall@10 at radius 3 too low: {r3}"
+    assert r3 > r1, f"multiprobe radius must buy recall: r1={r1} r3={r3}"
+
+
+def test_lsh_full_probe_is_exact(spark, emb):
+    """probe_radius = n_planes covers every bucket ⇒ identical to exact
+    cosine top-k (the LSH analog of the IVF nprobe=nlist identity)."""
+    qv = emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"]
+    exact = [
+        r["vec_id"]
+        for r in knn_exact(
+            emb, qv, k=10, metric="cosine", score_threshold=None
+        ).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in lsh_ann_search(
+            emb, qv, PLANES, k=10, probe_radius=N_PLANES
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_lsh_scan_fraction(emb):
+    """The pruned candidate set must actually be a small fraction of the
+    corpus (the point of the index)."""
+    qv = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    probes = probe_buckets(bucket_of(qv, PLANES), N_PLANES, probe_radius=2)
+    n_scanned = (
+        emb.withColumn("bucket", bucket_expr(F.col("embedding"), PLANES))
+        .filter(F.col("bucket").isin(probes))
+        .count()
+    )
+    total = emb.count()
+    assert n_scanned < 0.45 * total, f"scanned {n_scanned}/{total}"

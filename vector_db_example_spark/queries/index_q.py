@@ -76,6 +76,28 @@ def vector_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vector_ann_lsh_topk",
+    oracle=None,  # approximate by design (bucket pruning)
+    tags=("vector", "lsh", "ann", "index"),
+)
+def vector_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (cosine): multiprobe bucket pruning +
+    exact rerank — the LSH-bucketed scale path beside IVF. Recall vs the
+    exact cosine baseline is pinned in tests/test_lsh.py."""
+    from ..index.lsh import hyperplanes, lsh_ann_search
+    from .vector_q import DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(DIM, n_planes=8, seed=42)
+    hits = lsh_ann_search(
+        emb, _query_vec(spark, sf_dir, 7), planes, k=10, probe_radius=3
+    )
+    return hits.select(
+        "vec_id", "label", F.round("distance", 6).alias("distance")
+    )
+
+
+@register(
     "vector_ivf_bucketed_pairs",
     oracle=None,  # candidate set depends on the learned clustering
     tags=("vector", "ivf", "dedup"),

@@ -161,6 +161,70 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_click_purchase",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+marked AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS last_click_ts,
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER w AS last_click_value
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+       round(last_click_value, 2) AS last_click_value
+FROM marked WHERE event_type = 'purchase'
+""",
+    tags=("events", "asof", "window"),
+)
+def events_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (in (ts, event_id) order). Spark has no native ASOF
+    JOIN; the scalable form is NOT a range join (quadratic candidate
+    blowup) but a single union + running `last(..., ignorenulls)` window —
+    one hash-partition shuffle on user_id, merge-scan semantics, state
+    O(1) per row. Purchases before any click get NULL."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    click_val = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        ev.withColumn("last_click_ts", click_ts)
+        .withColumn("last_click_value", F.round(click_val, 2))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("last_click_ts", fmt).alias("last_click_ts"),
+            "last_click_value",
+        )
+    )
+
+
+@register(
     "events_user_daily_pivot",
     oracle="""
 SELECT user_id,

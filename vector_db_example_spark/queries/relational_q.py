@@ -258,6 +258,25 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct_sketch",
+    oracle=None,  # HLL++ estimates are engine-specific; the relative-error
+    # bound vs the exact count is pinned in tests/test_operators.py
+    tags=("relational", "agg", "sketch"),
+)
+def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch (`approx_count_distinct`, rsd=2%).
+    The 100 TB shape for distinct counting: the shuffle carries fixed-size
+    sketch buffers instead of the exploded per-distinct-value rows that
+    exact count-distinct needs — constant memory per group, one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "join_semi_anti_customers",
     oracle="""
 SELECT

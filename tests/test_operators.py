@@ -109,3 +109,65 @@ def test_knn_exact_reference_constants(spark):
     hits = knn_exact(df, [0.0, 0.0], vector_col="embedding").collect()
     assert [r.vec_id for r in hits] == [1, 2]
     assert hits[0].score == 1.0
+
+
+def test_parse_chapter_text_s7(spark):
+    """S7: pasted text → (chapter, content) rows; preamble lines before
+    the first header are dropped (reference batch parser semantics,
+    src/app.py:549-599)."""
+    from vector_db_example_spark.sources.csv_source import parse_chapter_text
+
+    text = """preamble line ignored
+第一章 概述
+databases store structured data
+they support transactions
+第二章 模型
+the relational model uses tables
+章节三
+constraints enforce integrity
+"""
+    rows = {(r.chapter, r.content) for r in parse_chapter_text(spark, text).collect()}
+    assert rows == {
+        ("第一章 概述", "databases store structured data"),
+        ("第一章 概述", "they support transactions"),
+        ("第二章 模型", "the relational model uses tables"),
+        ("章节三", "constraints enforce integrity"),
+    }
+
+    empty = parse_chapter_text(spark, "no headers here\njust text")
+    assert empty.count() == 0
+
+
+def test_skew_resistant_count_distinct(spark):
+    """Two-stage distinct count must equal the direct countDistinct,
+    including under a pathologically hot key."""
+    from vector_db_example_spark.operators.skew import skew_resistant_count_distinct
+
+    rows = [(1, v % 7) for v in range(1000)] + [(2, 1), (2, 2), (3, 5)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.n_distinct
+        for r in skew_resistant_count_distinct(df, "k", "v").collect()
+    }
+    assert got == {1: 7, 2: 2, 3: 1}
+
+
+def test_salted_topk_handles_hot_key(spark):
+    """One key with 10000 rows, others tiny: the salted path must return
+    exactly the unsalted window's answer."""
+    from pyspark.sql import Window
+    from vector_db_example_spark.operators.skew import salted_topk
+
+    rows = [(1, i, float(i % 997)) for i in range(10_000)]
+    rows += [(2, 20_000 + i, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, id long, score double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+
+    salted = salted_topk(df, "k", order, k=3, n_salt=8, salt_on=F.col("id"))
+    w = Window.partitionBy("k").orderBy(*order)
+    plain = (
+        df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    )
+    key = lambda r: (r.k, r.rank)
+    assert sorted(map(tuple, salted.select("k", "id", "score", "rank").collect())) == \
+        sorted(map(tuple, plain.select("k", "id", "score", "rank").collect()))

@@ -189,6 +189,44 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "window_top_orders_salted",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn::INTEGER AS rank
+FROM r WHERE rn <= 3
+""",
+    tags=("relational", "window", "skew"),
+)
+def window_top_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-key top-k through the skew-resistant salted path
+    (operators/skew.py) — deliberately given the SAME oracle as
+    window_top_orders_per_customer: salting must not change a single
+    row."""
+    from ..operators.skew import salted_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = salted_topk(
+        orders,
+        key="o_custkey",
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        n_salt=8,
+        salt_on=F.col("o_orderkey"),
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "rank",
+    )
+
+
+@register(
     "window_running_revenue",
     oracle="""
 SELECT o_custkey, o_orderkey,

@@ -160,3 +160,26 @@ def test_multi_strategy_chunk_path_triggers(spark):
     chunk_rows = [r for r in out if r.strategy == "chunk"]
     assert len(chunk_rows) == 2  # first 2 chunks only (reference constant)
     assert all(r.k == 1 for r in chunk_rows)
+
+
+def test_empty_question_yields_no_rows(spark):
+    """P3: empty / whitespace-only questions produce zero result rows
+    (reference returns [] — src/app.py:242-243, 363-364)."""
+    from vector_db_example_spark.functions.embedding import hashing_embedder
+    from vector_db_example_spark.operators.multi_strategy import multi_strategy_search
+    from pyspark.sql import functions as F
+
+    embed = hashing_embedder(16)
+    corpus = spark.createDataFrame(
+        [(1, "ch1", "databases store structured data reliably")],
+        "id long, chapter string, content string",
+    ).withColumn("vector", embed(F.col("content")))
+    questions = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "databases")],
+        "question_id long, question string",
+    )
+    out = multi_strategy_search(
+        corpus, questions, embedder=embed(F.col("qtext")), score_threshold=-1.0
+    )
+    got = {r["question_id"] for r in out.collect()}
+    assert got == {3}

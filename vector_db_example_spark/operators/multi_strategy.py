@@ -40,8 +40,13 @@ _LEN_DESC_SORT = (
 
 def build_strategy_queries(questions: DataFrame, question_col: str = "question") -> DataFrame:
     """Fan a questions DataFrame out into per-strategy query rows:
-    (question_id, strategy, priority, qtext, k). Pure expressions."""
+    (question_id, strategy, priority, qtext, k). Pure expressions.
+
+    P3 (reference src/app.py:242-243, 363-364): empty / whitespace-only
+    questions are dropped here, so they fan out to zero query rows and
+    contribute zero hits — the engine-native form of "return []"."""
     q = F.col(question_col)
+    questions = questions.filter(F.length(F.trim(q)) > 0)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
 
     vector = questions.select(

@@ -90,3 +90,56 @@ def test_append_visible_in_next_search(spark, ivf):
     new_row.write.partitionBy("cell_id").mode("append").parquet(ivf.path)
     hits = ivf_search(spark, ivf, q, k=2, nprobe=16).collect()
     assert {r.vec_id for r in hits} == {7, 999999}  # both at distance 0
+
+
+def test_batch_search_pruned_recall(spark, ivf):
+    """Batched probe search (nprobe=4): per-query recall vs exact, same
+    discipline as the single-query path."""
+    from vector_db_example_spark.index.ivf import ivf_search_batch
+    from vector_db_example_spark.operators.knn import knn_exact
+    from vector_db_example_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = (3, 11, 23, 42)
+    queries = []
+    for qid in qids:
+        queries.append(
+            (qid, emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"])
+        )
+    hits = ivf_search_batch(spark, ivf, queries, k=10, nprobe=4).collect()
+    recalls = []
+    for qid, qv in queries:
+        exact = {
+            r["vec_id"]
+            for r in knn_exact(emb, qv, k=10, score_threshold=None).collect()
+        }
+        got = {r["vec_id"] for r in hits if r["query_id"] == qid}
+        recalls.append(len(exact & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_append_then_compact(spark, ivf, tmp_path):
+    """Appends are nearest-existing-centroid (visible immediately);
+    compaction refits over the appended corpus into a fresh layout with
+    every row present and the exact-search identity intact."""
+    from vector_db_example_spark.index.ivf import (
+        compact_ivf_index,
+        ivf_append,
+        ivf_search,
+    )
+
+    base = spark.read.parquet(ivf.path)
+    n0 = base.count()
+    new_rows = spark.createDataFrame(
+        [(7_000_001, [0.25] * 64, 99)], "vec_id long, embedding array<float>, label int"
+    )
+    ivf_append(ivf, new_rows)
+    assert spark.read.parquet(ivf.path).count() == n0 + 1
+
+    compacted = compact_ivf_index(spark, ivf, new_path=str(tmp_path / "ivf_v2"))
+    assert spark.read.parquet(compacted.path).count() == n0 + 1
+    hits = ivf_search(
+        spark, compacted, [0.25] * 64, k=1, nprobe=compacted.nlist
+    ).collect()
+    assert hits[0]["vec_id"] == 7_000_001 and hits[0]["distance"] == 0.0

@@ -244,3 +244,87 @@ def ivf_bucketed_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("cell_id", "a_id", "b_id", "distance")
     )
+
+
+def ivf_append(index: IVFIndex, rows: DataFrame) -> None:
+    """Append rows to the layout without refit: nearest-EXISTING-centroid
+    assignment (pure expression), partitioned append — the next query
+    sees the rows immediately (reference post-insert visibility,
+    SURVEY.md §3.3). Cell quality degrades as data drifts; fix with
+    compact_ivf_index offline."""
+    assigned = rows.withColumn(
+        "cell_id", assign_cells(index, F.col(index.vector_col))
+    )
+    assigned.write.partitionBy("cell_id").mode("append").parquet(index.path)
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    index: IVFIndex,
+    new_path: str,
+    nlist: int | None = None,
+    seed: int = 42,
+) -> IVFIndex:
+    """Offline compaction: refit centroids over the CURRENT corpus
+    (including appended rows) and write a fresh layout at ``new_path`` —
+    write-new-then-swap-pointer, never rewrite a layout in place (readers
+    of the old path stay consistent; the Milvus data-node indexing analog,
+    doc/milvus介绍.md:27)."""
+    corpus = spark.read.parquet(index.path).drop("cell_id")
+    return build_ivf_index(
+        corpus,
+        path=new_path,
+        nlist=nlist or index.nlist,
+        vector_col=index.vector_col,
+        id_col=index.id_col,
+        seed=seed,
+    )
+
+
+def ivf_search_batch(
+    spark: SparkSession,
+    index: IVFIndex,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 20,
+) -> DataFrame:
+    """Batched IVF search: N queries against the layout in ONE scan.
+
+    The probe lists are driver-side (numpy over the tiny centroid
+    matrix); the scan is pruned to the UNION of all probed cells
+    (partition pruning), then a broadcast (query_id, cell_id) pair table
+    restricts each corpus row to the queries actually probing its cell,
+    and a per-query rank window takes top-k. Scan cost is amortized
+    across the whole query batch — the MPP proxy-aggregation pattern
+    (SURVEY.md §4) instead of N sequential searches."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import l2_distance, score_from_distance
+
+    probe_rows = []
+    qvec_rows = []
+    for qid, vec in queries:
+        qvec_rows.append((qid, [float(x) for x in vec]))
+        for cell in nearest_cells(index, vec, nprobe):
+            probe_rows.append((qid, cell))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell_id int")
+    qvecs = spark.createDataFrame(qvec_rows, "query_id long, query_vec array<float>")
+    all_cells = sorted({c for _, c in probe_rows})
+
+    corpus = spark.read.parquet(index.path).filter(F.col("cell_id").isin(all_cells))
+    cand = (
+        corpus.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "distance", l2_distance(F.col(index.vector_col), F.col("query_vec"))
+        )
+        .withColumn("score", score_from_distance("distance"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col(index.id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", index.id_col, "distance", "score", "rank")
+    )

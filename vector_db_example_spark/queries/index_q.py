@@ -9,7 +9,13 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..index.ivf import IVFIndex, build_ivf_index, ivf_bucketed_pairs, ivf_search
+from ..index.ivf import (
+    IVFIndex,
+    build_ivf_index,
+    ivf_bucketed_pairs,
+    ivf_search,
+    ivf_search_batch,
+)
 from ..sources.tables import load_table
 from .registry import register
 from .vector_q import _l2_sql, _query_vec
@@ -72,6 +78,41 @@ def vector_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.select(
         "vec_id", "label", F.round("distance", 6).alias("distance")
+    )
+
+
+@register(
+    "vector_ivf_batch_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN (3, 11, 23)
+),
+d AS (
+  SELECT q.query_id, e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {_l2_sql('e.embedding', 'q.qv')}, e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(dist, 6) AS distance, rank::INTEGER AS rank
+FROM d WHERE rank <= 5
+""",
+    tags=("vector", "ivf", "index", "batch"),
+)
+def vector_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF search, nprobe=nlist (exact identity): three queries
+    share ONE pruned scan (probe union + broadcast pair table + per-query
+    rank window) — the amortized production shape. With nprobe=nlist it
+    must equal the brute-force per-query top-k, which the oracle states."""
+    index = get_ivf_index(spark, sf_dir, nlist=16)
+    qids = (3, 11, 23)
+    queries = [(qid, _query_vec(spark, sf_dir, qid)) for qid in qids]
+    hits = ivf_search_batch(spark, index, queries, k=5, nprobe=16)
+    return hits.select(
+        "query_id",
+        "vec_id",
+        F.round("distance", 6).alias("distance"),
+        "rank",
     )
 
 

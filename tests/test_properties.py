@@ -1,0 +1,118 @@
+"""Property tests (SURVEY.md §5.4): invariants that must hold for ANY
+input, checked over hypothesis-generated corpora.
+
+max_examples is kept small — each example is a real Spark job — but the
+generators cover the nasty shapes: empty strings, duplicate ids/texts,
+ties in scores, single-row inputs."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+vectors = st.lists(
+    st.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=4, max_size=4
+)
+
+
+@PROP
+@given(rows=st.lists(st.tuples(st.integers(0, 50), texts), min_size=1, max_size=20))
+def test_exact_dedup_idempotent(spark, rows):
+    """dedup(dedup(x)) == dedup(x), and survivors are the min-id per key."""
+    from vector_db_example_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for idx, (i, t) in enumerate(rows)], "doc_id long, text string"
+    ).dropDuplicates(["doc_id"])
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    once = exact_dedup(df, key).collect()
+    twice = exact_dedup(
+        exact_dedup(df, key), key
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+    by_key = {}
+    for r in df.collect():
+        by_key.setdefault(r.text or "", []).append(r.doc_id)
+    expected = {min(ids) for ids in by_key.values()}
+    assert {r.doc_id for r in once} == expected
+
+
+@PROP
+@given(
+    corpus=st.lists(
+        st.tuples(st.integers(0, 1000), vectors), min_size=2, max_size=25
+    ),
+    qv=vectors,
+)
+def test_knn_threshold_monotone_and_topk_prefix(spark, corpus, qv):
+    """Higher score threshold ⇒ subset of hits; top-5 is a prefix of
+    top-10 (the over-fetch/re-limit semantics are stable)."""
+    from vector_db_example_spark.operators.knn import knn_exact
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in corpus], "vec_id long, embedding array<float>"
+    ).dropDuplicates(["vec_id"])
+    lo = knn_exact(df, qv, k=100, score_threshold=-10.0).collect()
+    hi = knn_exact(df, qv, k=100, score_threshold=0.3).collect()
+    assert {r.vec_id for r in hi} <= {r.vec_id for r in lo}
+    assert all(r.score >= 0.3 - 1e-9 for r in hi)
+
+    top10 = [r.vec_id for r in knn_exact(df, qv, k=10, score_threshold=None).collect()]
+    top5 = [r.vec_id for r in knn_exact(df, qv, k=5, score_threshold=None).collect()]
+    assert top5 == top10[:5]
+
+
+@PROP
+@given(
+    corpus=st.lists(
+        st.tuples(st.integers(0, 1000), vectors), min_size=2, max_size=20
+    ),
+    qv=vectors,
+)
+def test_knn_distance_is_true_l2(spark, corpus, qv):
+    """The in-plan distance expression agrees with driver-side math."""
+    from vector_db_example_spark.operators.knn import knn_exact
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in corpus], "vec_id long, embedding array<float>"
+    ).dropDuplicates(["vec_id"])
+    vec_by_id = {r.vec_id: r.embedding for r in df.collect()}
+    for r in knn_exact(df, qv, k=5, score_threshold=None).collect():
+        v = vec_by_id[r.vec_id]
+        expected = math.sqrt(sum((float(a) - float(b)) ** 2 for a, b in zip(v, qv)))
+        assert abs(r.distance - expected) < 1e-4
+
+
+@PROP
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 30), texts), min_size=1, max_size=15),
+    radius=st.sampled_from([0.3, 0.6, 0.9]),
+)
+def test_jaccard_threshold_monotone(spark, rows, radius):
+    """Pairs at a higher Jaccard threshold are a subset of a lower one,
+    and every reported pair's jaccard respects the threshold."""
+    from vector_db_example_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, text string"
+    ).dropDuplicates(["doc_id"]).filter(F.length(F.trim("text")) > 0)
+    if df.count() < 2:
+        return
+    lo = {(r.a_id, r.b_id) for r in ngram_jaccard_pairs(df, threshold=radius).collect()}
+    hi_pairs = ngram_jaccard_pairs(df, threshold=min(radius + 0.3, 1.0)).collect()
+    hi = {(r.a_id, r.b_id) for r in hi_pairs}
+    assert hi <= lo
+    assert all(r.jaccard >= radius - 1e-9 for r in hi_pairs)

@@ -6,9 +6,10 @@ perturbed copy of the corpus inside the query, identically on both
 engines — while the n-gram-Jaccard and embedding-cosine queries run on
 the natural similarity structure of the data.
 
-Everything except SimHash is oracle-checkable because the hash family is
-md5 (engine-portable); SimHash needs hex→int64 conversion DuckDB lacks a
-portable equivalent for, so it carries the rows-only check.
+Every dedup query is oracle-checkable because the hash family is md5
+(engine-portable): DuckDB's ``('0x'||substring(md5(t),1,N))::BIGINT``
+equals Spark's ``conv(substring(md5(t),1,N),16,10)``, which covers even
+SimHash's 60-bit fingerprint arithmetic.
 """
 
 from __future__ import annotations
@@ -161,7 +162,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # hex→int64 bit arithmetic has no portable DuckDB mirror
+    # DuckDB mirrors the full 60-bit fingerprint math: hex→int64 via the
+    # ('0x'||…)::BIGINT cast (== Spark's conv(…,16,10)), shifts/votes via
+    # list_transform, Hamming via bit_count(xor(…)::BIT). The oracle skips
+    # the 4×15-bit blocking on purpose — pigeonhole guarantees blocking is
+    # lossless at Hamming <= 3, so all-pairs is an INDEPENDENT check that
+    # the blocked path drops nothing.
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id < 150
+),
+h AS (
+  SELECT id, list_transform(string_split_regex(trim(text), '\s+'),
+          t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+  FROM corpus
+),
+sim AS (
+  SELECT id,
+         list_sum(list_transform(range(0, 60),
+           b -> CASE WHEN list_sum(list_transform(hs,
+                       x -> ((x >> b) & 1) * 2 - 1)) > 0
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS sim
+  FROM h
+)
+SELECT l.id AS a_id, r.id AS b_id,
+       bit_count(xor(l.sim, r.sim)::BIT)::INTEGER AS hamming
+FROM sim l JOIN sim r ON l.id < r.id
+WHERE bit_count(xor(l.sim, r.sim)::BIT) <= 3
+""",
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

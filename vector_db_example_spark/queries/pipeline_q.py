@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import CollectionCatalog
 from ..functions.embedding import hashing_embedder
+from ..functions.text import STOPWORDS
 from ..operators.multi_strategy import multi_strategy_search
 from ..sources.csv_source import load_knowledge_csv
 from ..sources.tables import load_table
@@ -96,9 +97,127 @@ def pipeline_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed64_pairs_sql(text: str) -> str:
+    """DuckDB fragment: token (bucket, sign) pairs of the hashing embedder
+    (functions/embedding.py) — md5 first-4-bytes little-endian % 64 for
+    the bucket, 5th byte's low bit for the sign. Bit-exact with the
+    pandas_udf (verified in the oracle parity suite)."""
+    hs = f"list_transform(string_split_regex(lower(trim({text})), '\\s+'), s -> md5(s))"
+    return (
+        f"list_transform({hs}, h -> struct_pack("
+        "idx := ((('0x'||substring(h,1,2))::BIGINT)"
+        " + (('0x'||substring(h,3,2))::BIGINT << 8)"
+        " + (('0x'||substring(h,5,2))::BIGINT << 16)"
+        " + (('0x'||substring(h,7,2))::BIGINT << 24)) % 64, "
+        "sgn := CASE WHEN (('0x'||substring(h,9,2))::BIGINT & 1) = 1 "
+        "THEN 1 ELSE -1 END))"
+    )
+
+
+#: vector from a `ps` pairs column: exact int counts → double normalize →
+#: float32 cast (the embedder's exact rounding path).
+_EMBED64_VEC_SQL = """
+list_transform(
+  list_transform(range(0, 64), i ->
+    coalesce(list_sum(list_transform(ps, p -> CASE WHEN p.idx = i THEN p.sgn ELSE 0 END)), 0)::DOUBLE),
+  x -> (x / nullif(sqrt(list_sum(list_transform(
+    list_transform(range(0, 64), i ->
+      coalesce(list_sum(list_transform(ps, p -> CASE WHEN p.idx = i THEN p.sgn ELSE 0 END)), 0)::DOUBLE),
+    y -> y * y))), 0))::FLOAT)
+"""
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+_L2_Q_SQL = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> (c.vector[i]::DOUBLE - s.qv[i]::DOUBLE) * (c.vector[i]::DOUBLE - s.qv[i]::DOUBLE))))"
+)
+
+_MULTI_STRATEGY_ORACLE = f"""
+WITH corp_pairs AS (
+  SELECT doc_id AS id, source AS chapter, text AS content,
+         {_embed64_pairs_sql('text')} AS ps
+  FROM documents
+),
+corpus AS (
+  SELECT id, chapter, content, {_EMBED64_VEC_SQL} AS vector FROM corp_pairs
+),
+questions AS (
+  SELECT doc_id AS question_id,
+         array_to_string((string_split_regex(trim(text), '\\s+'))[1:8], ' ') AS question
+  FROM documents WHERE doc_id IN (0, 7)
+),
+sv AS (
+  SELECT question_id, 'vector' AS strategy, 0 AS priority, question AS qtext, 10 AS k
+  FROM questions
+),
+kw AS (
+  SELECT question_id, 'keyword' AS strategy, 1 AS priority, t AS qtext, 2 AS k
+  FROM (
+    SELECT question_id, t,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY length(t) DESC, t ASC) AS rn
+    FROM (
+      SELECT question_id, unnest(list_filter(
+               list_distinct(regexp_extract_all(question, '[一-龥]{{2,}}|[a-zA-Z]{{3,}}')),
+               t -> NOT list_contains({_STOPLIST_SQL}, t))) AS t
+      FROM questions
+    )
+  ) WHERE rn <= 3
+),
+ch AS (
+  SELECT question_id, 'chunk' AS strategy, 2 AS priority, unnest(cl) AS qtext, 1 AS k
+  FROM (
+    SELECT question_id,
+           (list_filter(list_transform(
+              string_split_regex(question, '[，。！？；:,\\.!?;]'), s -> trim(s)),
+              s -> length(s) > 5))[1:2] AS cl
+    FROM questions WHERE length(question) > 20
+  )
+),
+squeries_raw AS (
+  SELECT * FROM sv UNION ALL SELECT * FROM kw UNION ALL SELECT * FROM ch
+),
+squeries AS (
+  SELECT question_id, strategy, priority, qtext, k, {_EMBED64_VEC_SQL} AS qv
+  FROM (SELECT *, {_embed64_pairs_sql('qtext')} AS ps FROM squeries_raw)
+),
+scored AS (
+  SELECT s.question_id, s.strategy, s.priority, s.qtext, s.k,
+         c.id, c.chapter, c.content,
+         {_L2_Q_SQL} AS distance,
+         1.0 - {_L2_Q_SQL} AS score
+  FROM squeries s CROSS JOIN corpus c
+  WHERE 1.0 - {_L2_Q_SQL} >= -1.0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY question_id, strategy, qtext
+                               ORDER BY distance ASC, id ASC) AS rank
+  FROM scored
+),
+kept AS (SELECT * FROM ranked WHERE rank <= 10 AND rank <= k),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY question_id, substring(content, 1, 50)
+                               ORDER BY priority ASC, score DESC, id ASC) AS occ
+  FROM kept
+),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY question_id
+                               ORDER BY score DESC, priority ASC, id ASC) AS rk
+  FROM dd WHERE occ = 1
+)
+SELECT question_id, strategy, id, chapter, content, round(score, 6) AS score
+FROM fin WHERE rk <= 5
+"""
+
+
 @register(
     "pipeline_multi_strategy",
-    oracle=None,  # query vectors come from the Python hashing embedder
+    # Full oracle, including the embedder: the hashing embedder is
+    # md5-based, so DuckDB reproduces the exact float32 vectors (see
+    # _embed64_pairs_sql) and with them the whole strategy fan-out /
+    # dedup / rank pipeline.
+    oracle=_MULTI_STRATEGY_ORACLE,
     tags=("pipeline", "M5", "J2", "U2", "W1"),
     bench=True,
 )
@@ -123,10 +242,11 @@ def pipeline_multi_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return multi_strategy_search(
+    out = multi_strategy_search(
         corpus,
         questions,
         embedder=embed(F.col("qtext")),
         top_k=5,
         score_threshold=-1.0,  # unit-norm corpus: keep all, rank by score
     )
+    return out.withColumn("score", F.round("score", 6))

@@ -101,8 +101,28 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_byte_histogram",
-    oracle=None,  # byte-level explode is not SQL-expressible in the oracle;
-    # pytest checks the features against a pure-numpy reference
+    # The corpus is pure ASCII (asserted by parity: a non-ASCII doc would
+    # make byte != codepoint and fail the hash match loudly), so DuckDB
+    # reproduces the byte histogram via per-char ord()//16, including the
+    # float32 rounding of each per-doc mass. The pytest numpy reference
+    # additionally covers the general (non-ASCII) byte path.
+    oracle="""
+WITH chars AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         string_split(text, '') AS cs
+  FROM documents
+),
+feat AS (
+  SELECT media_type, bins.b AS bin,
+         (len(list_filter(cs, ch -> ord(ch) // 16 = bins.b))::DOUBLE
+            / nullif(len(cs), 0))::FLOAT AS mass
+  FROM chars CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bins
+)
+SELECT media_type, bin::INTEGER AS bin, round(avg(mass), 6) AS avg_mass
+FROM feat GROUP BY media_type, bin
+""",
     tags=("multimodal", "features", "mapInPandas"),
 )
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,3 +101,34 @@ def test_stream_ingest_documents(spark, tmp_path):
     )
     assert n2 == 0
     assert spark.read.parquet(str(tmp_path / "sink")).count() == expected
+
+
+def test_stream_ingest_into_ivf_layout(spark, tmp_path):
+    """Streamed vectors land in the cell-partitioned layout and are
+    found by a subsequent pruned search (nearest-centroid assignment ==
+    the probe-list computation, so a streamed vector's cell is always
+    probed first for itself)."""
+    from vector_db_example_spark.index.ivf import build_ivf_index, ivf_search
+    from vector_db_example_spark.sources.tables import load_table
+    from vector_db_example_spark.streaming.ingest import (
+        stream_ingest_embeddings_into_ivf,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # seed layout from half the corpus; stream the WHOLE table in (the
+    # stream path re-adds every row — counts double, all searchable)
+    seed = emb.filter(F.col("vec_id") < 250)
+    index = build_ivf_index(seed, path=str(tmp_path / "ivf"), nlist=8)
+    n0 = spark.read.parquet(index.path).count()
+
+    n = stream_ingest_embeddings_into_ivf(
+        spark, SF_SMOKE, index, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    assert n == emb.count()
+    assert spark.read.parquet(index.path).count() == n0 + n
+
+    # a vector that only exists via the stream (vec_id >= 250) is found
+    # at distance 0 by a pruned probe
+    qv = emb.filter(F.col("vec_id") == 400).collect()[0]["embedding"]
+    hits = ivf_search(spark, index, qv, k=1, nprobe=1).collect()
+    assert hits[0]["vec_id"] == 400 and hits[0]["distance"] == 0.0

@@ -70,3 +70,48 @@ def stream_ingest_documents(
     )
     q.awaitTermination()
     return inserted["n"]
+
+
+def stream_ingest_embeddings_into_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    index,
+    checkpoint_path: str,
+) -> int:
+    """Continuous ingest INTO the ANN index layout: each micro-batch of
+    vectors is assigned to its nearest existing centroid (pure-expression
+    argmin, no Python) and appended to the cell-partitioned corpus — so
+    rows become searchable at the next query with correct partition
+    pruning, without any refit. This is the log-to-index pipeline the
+    Milvus doc describes for its data nodes (doc/milvus介绍.md:27,47-52),
+    as one Structured Streaming plan; offline `compact_ivf_index` refits
+    when drift accumulates.
+
+    Returns the number of vectors appended (exactly-once under restarts
+    via the checkpoint, like stream_ingest_documents).
+    """
+    from ..index.ivf import assign_cells
+
+    appended = {"n": 0}
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        assigned = batch.withColumn(
+            "cell_id", assign_cells(index, F.col(index.vector_col))
+        )
+        assigned.write.partitionBy("cell_id").mode("append").parquet(index.path)
+        appended["n"] += batch.count()
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return appended["n"]

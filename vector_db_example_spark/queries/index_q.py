@@ -98,6 +98,7 @@ SELECT query_id, vec_id, round(dist, 6) AS distance, rank::INTEGER AS rank
 FROM d WHERE rank <= 5
 """,
     tags=("vector", "ivf", "index", "batch"),
+    bench=True,
 )
 def vector_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF search, nprobe=nlist (exact identity): three queries

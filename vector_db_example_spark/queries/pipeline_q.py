@@ -97,6 +97,40 @@ def pipeline_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_ingest_jsonl",
+    oracle="""
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY source, lang
+""",
+    tags=("pipeline", "source", "jsonl"),
+)
+def pipeline_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source end-to-end: documents round-tripped through JSON
+    lines (with a planted malformed line that must be quarantined, not
+    fail the job), read with an explicit schema, aggregated. Oracle
+    states the same end-state over the parquet directly."""
+    import pandas as pd
+
+    from ..sources.json_source import load_documents_jsonl
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_docs_{tag}.jsonl"
+    if not os.path.exists(path):
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        with open(path, "w") as f:
+            f.write(pdf.to_json(orient="records", lines=True, force_ascii=False))
+            f.write('{"doc_id": broken json line\n')
+    docs = load_documents_jsonl(spark, path)
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def _embed64_pairs_sql(text: str) -> str:
     """DuckDB fragment: token (bucket, sign) pairs of the hashing embedder
     (functions/embedding.py) — md5 first-4-bytes little-endian % 64 for

@@ -183,3 +183,49 @@ def test_empty_question_yields_no_rows(spark):
     )
     got = {r["question_id"] for r in out.collect()}
     assert got == {3}
+
+
+def test_multi_strategy_cjk_golden(spark):
+    """CJK end-to-end golden: Chinese corpus + a long Chinese question.
+    Exercises the CJK branches of every text operator at once — F2
+    keyword extraction ([一-龥]{2,} runs), F3 chunk splitting on 中文
+    punctuation (question > 20 chars ⇒ chunk strategy fires), F1-safe
+    content, and the strategy-priority dedup — the reference's actual
+    use-case (a Chinese DB course)."""
+    from vector_db_example_spark.functions.embedding import hashing_embedder
+    from vector_db_example_spark.operators.multi_strategy import (
+        build_strategy_queries,
+        multi_strategy_search,
+    )
+
+    corpus_rows = [
+        (1, "第一章", "数据的物理独立性 是指 应用程序 与 磁盘上 数据 的 存储 相互独立"),
+        (2, "第一章", "码 是指 唯一 标识 实体 的 属性集合"),
+        (3, "第二章", "数据模型 的 三要素 是 数据结构 数据操作 和 完整性约束"),
+        (4, "第二章", "网状模型 的 缺点 是 结构复杂 且 应用程序 编写 困难"),
+    ]
+    embed = hashing_embedder(64)
+    corpus = spark.createDataFrame(
+        corpus_rows, "id long, chapter string, content string"
+    ).withColumn("vector", embed(F.col("content")))
+    question = "数据的物理独立性 是指 什么，它 与 存储 有什么 关系？"
+    assert len(question) > 20  # chunk strategy must trigger
+    questions = spark.createDataFrame(
+        [(1, question)], "question_id long, question string"
+    )
+
+    squeries = build_strategy_queries(questions).collect()
+    by_strategy = {}
+    for r in squeries:
+        by_strategy.setdefault(r.strategy, []).append(r.qtext)
+    # CJK keywords extracted (>=2-char runs), CJK-punctuation chunks split
+    assert by_strategy.get("keyword"), "no CJK keywords extracted"
+    assert all(len(k) >= 2 for k in by_strategy["keyword"])
+    assert len(by_strategy.get("chunk", [])) == 2  # split on ，and ？
+
+    out = multi_strategy_search(
+        corpus, questions, embedder=embed(F.col("qtext")), top_k=3,
+        score_threshold=-1.0,
+    ).collect()
+    assert out and out[0].id == 1  # the quoted 物理独立性 doc wins
+    assert len({r.content[:50] for r in out}) == len(out)

@@ -96,3 +96,18 @@ def test_no_python_in_relational_paths(spark, name):
     Catalyst — UDFs are the slow path and must not leak in."""
     plan = _plan(QUERIES[name].fn(spark, SF_SMOKE))
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_batch_prunes_and_broadcasts(spark):
+    """Batched IVF: one partition-pruned scan (union of probe cells) +
+    broadcast of the tiny (query, cell) pair table and query vectors —
+    no shuffle of the corpus whatsoever."""
+    plan = _plan(QUERIES["vector_ivf_batch_topk"].fn(spark, SF_SMOKE), execute=True)
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and any("cell_id" in ln for ln in scans)
+    assert "BroadcastHashJoin" in plan
+    corpus_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "query_id" not in ln
+    ]
+    assert not corpus_shuffles, corpus_shuffles

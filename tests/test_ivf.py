@@ -143,3 +143,23 @@ def test_append_then_compact(spark, ivf, tmp_path):
         spark, compacted, [0.25] * 64, k=1, nprobe=compacted.nlist
     ).collect()
     assert hits[0]["vec_id"] == 7_000_001 and hits[0]["distance"] == 0.0
+
+
+def test_mllib_trainer_exact_identity(spark, tmp_path):
+    """The distributed-MLlib-trained layout satisfies the same
+    nprobe=nlist ⇒ exact invariant (centroid quality affects recall,
+    never correctness)."""
+    from vector_db_example_spark.index.ivf import build_ivf_index, ivf_search
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = build_ivf_index(
+        emb, path=str(tmp_path / "ivf_mllib"), nlist=8, trainer="mllib"
+    )
+    qv = _qvec(spark, 11)
+    exact = [(r.vec_id, round(r.distance, 6)) for r in _exact_topk(spark, qv).collect()]
+    got = [
+        (r.vec_id, round(r.distance, 6))
+        for r in ivf_search(spark, idx, qv, k=10, nprobe=8).collect()
+    ]
+    assert got == exact

@@ -109,6 +109,25 @@ def _train_centroids(
     return cents
 
 
+def _train_centroids_mllib(
+    df: DataFrame, vector_col: str, nlist: int, seed: int, max_iter: int
+) -> np.ndarray:
+    """Distributed KMeans (MLlib) — for training sets too large to sample
+    to the driver. Costs ~2 Spark jobs per iteration, so prefer the
+    sampled numpy trainer whenever a bounded sample is representative
+    (it almost always is for IVF — FAISS trains on ~256×nlist)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn(
+        "__fv", array_to_vector(F.col(vector_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="__fv"
+    ).fit(feat)
+    return np.vstack([c for c in model.clusterCenters()])
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -118,25 +137,35 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 20,
     train_sample: int = 25_600,
+    trainer: str = "sample",
 ) -> IVFIndex:
-    """Train centroids on a bounded sample, assign cells distributed,
-    write the corpus partitioned by cell_id.
+    """Train centroids, assign cells distributed, write the corpus
+    partitioned by cell_id.
 
-    This is the standard IVF build split (FAISS trains on ~256×nlist
-    sampled vectors): training is O(sample × nlist × iters) driver-side
-    numpy — independent of corpus size — and the full corpus is touched
-    exactly once, by a vectorized (BLAS matmul per Arrow batch) nearest-
-    centroid map feeding the partitioned write. No per-iteration Spark
-    jobs over 100 TB, no shuffle beyond the one layout write."""
+    ``trainer="sample"`` (default) is the standard IVF build split (FAISS
+    trains on ~256×nlist sampled vectors): training is
+    O(sample × nlist × iters) driver-side numpy — independent of corpus
+    size — and the full corpus is touched exactly once, by a vectorized
+    (BLAS matmul per Arrow batch) nearest-centroid map feeding the
+    partitioned write. No per-iteration Spark jobs over 100 TB, no
+    shuffle beyond the one layout write. ``trainer="mllib"`` trains
+    distributed instead, for when no driver-sized sample is acceptable."""
     from pyspark.sql.functions import pandas_udf
 
-    train = np.vstack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in df.select(vector_col).limit(train_sample).collect()
-        ]
-    )
-    centroids = _train_centroids(train, nlist=nlist, seed=seed, max_iter=max_iter)
+    if trainer == "mllib":
+        centroids = _train_centroids_mllib(
+            df, vector_col, nlist=nlist, seed=seed, max_iter=max_iter
+        )
+    elif trainer == "sample":
+        train = np.vstack(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in df.select(vector_col).limit(train_sample).collect()
+            ]
+        )
+        centroids = _train_centroids(train, nlist=nlist, seed=seed, max_iter=max_iter)
+    else:
+        raise ValueError(f"unknown trainer {trainer!r}")
 
     cc = (centroids * centroids).sum(axis=1)
 

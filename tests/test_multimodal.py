@@ -107,3 +107,10 @@ def test_metadata_query_prunes_payload(spark):
     )
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "payload" not in scan[0]
+
+
+def test_resize_images_is_gated_stub(media):
+    from vector_db_example_spark.operators.multimodal import resize_images
+
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 64, 64)

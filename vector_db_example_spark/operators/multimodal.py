@@ -197,3 +197,35 @@ def decode_images(media: DataFrame) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         decode, DECODED_IMAGE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary"
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Re-encode image payloads at (width × height) via PIL inside
+    mapInPandas. STUB in this environment (same gating rationale as
+    decode_images): raises at plan-build time when PIL is absent."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "resize_images requires Pillow, which is not installed in this "
+            "container"
+        )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        from PIL import Image as PILImage
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = PILImage.open(io.BytesIO(bytes(buf))).resize((width, height))
+                out = io.BytesIO()
+                img.save(out, format=img.format or "PNG")
+                rows.append((doc_id, out.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        resize, RESIZED_SCHEMA
+    )

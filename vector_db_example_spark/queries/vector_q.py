@@ -120,6 +120,94 @@ def vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_rrf_search",
+    oracle=f"""
+WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+qtok AS (
+  SELECT list_distinct((string_split_regex(trim(text), '\\s+'))[1:8]) AS toks
+  FROM documents WHERE doc_id = 7
+),
+vec_rank AS (
+  SELECT e.vec_id AS id,
+         row_number() OVER (ORDER BY {_l2_sql('e.embedding', 'qv.v')}, e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN qv
+  QUALIFY rank <= 20
+),
+kw_rank AS (
+  SELECT d.doc_id AS id,
+         row_number() OVER (
+           ORDER BY len(list_filter(qtok.toks,
+             t -> list_contains(string_split_regex(trim(d.text), '\\s+'), t))) DESC,
+           d.doc_id) AS rank
+  FROM documents d CROSS JOIN qtok
+  QUALIFY rank <= 20
+),
+fused AS (
+  SELECT coalesce(v.id, w.id) AS id, v.rank AS vec_rank, w.rank AS kw_rank,
+         coalesce(1.0 / (60 + v.rank), 0) + coalesce(1.0 / (60 + w.rank), 0)
+           AS rrf_score
+  FROM vec_rank v FULL OUTER JOIN kw_rank w ON v.id = w.id
+)
+SELECT id, vec_rank::INTEGER AS vec_rank, kw_rank::INTEGER AS kw_rank,
+       round(rrf_score, 6) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, id LIMIT 10
+""",
+    tags=("vector", "hybrid", "rrf"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via Reciprocal Rank Fusion (the Milvus 2.4 RRFRanker
+    semantics): an L2 vector ranking over `embeddings` fused with a
+    token-overlap keyword ranking over `documents`, by rank only."""
+    from pyspark.sql import Window
+
+    from ..operators.hybrid import rrf_fuse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = _query_vec(spark, sf_dir, 7)
+    # knn_exact gives the top-20; rank them 1..20 (20 rows — the window
+    # is driver-trivial, the heavy top-k already ran as TakeOrdered).
+    vec_rank = (
+        knn_exact(emb, qv, k=20, score_threshold=None)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+            ),
+        )
+        .select(F.col("vec_id").alias("id"), "rank")
+    )
+    qtoks = F.array_distinct(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+    )
+    qtok_row = docs.filter(F.col("doc_id") == 7).select(qtoks.alias("toks"))
+    overlap = F.size(
+        F.array_intersect(
+            F.col("toks"), F.split(F.trim(F.col("text")), r"\s+")
+        )
+    )
+    kw_rank = (
+        docs.crossJoin(F.broadcast(qtok_row))
+        .withColumn("overlap", overlap)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("overlap").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id").alias("id"), "rank")
+    )
+    fused = rrf_fuse({"vec": vec_rank, "kw": kw_rank}, top_k=10)
+    return fused.select(
+        "id",
+        F.col("vec_rank").alias("vec_rank"),
+        F.col("kw_rank").alias("kw_rank"),
+        F.round("rrf_score", 6).alias("rrf_score"),
+    )
+
+
+@register(
     "vector_cosine_topk",
     oracle=f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),

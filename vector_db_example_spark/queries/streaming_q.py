@@ -90,6 +90,34 @@ def stream_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_events_dedup",
+    oracle="""
+SELECT event_type, count(*)::BIGINT AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "events", "dedup"),
+)
+def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events stream unioned with
+    itself (every row arrives twice) → watermarked dropDuplicates on
+    event_id → the per-type counts must equal the UN-duplicated batch
+    counts. This is the at-least-once-source → exactly-once-sink pattern
+    (dedup state bounded by the watermark)."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+    )
+    out = run_to_memory(
+        deduped.select("event_id", "event_type"), name="dedup", output_mode="append"
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "stream_ingest_documents",
     oracle="""
 WITH cleaned AS (

@@ -120,6 +120,57 @@ def vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vector_group_standardize",
+    oracle="""
+WITH d AS (
+  SELECT e.vec_id, e.label, dims.i, e.embedding[dims.i]::DOUBLE AS x
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+),
+stats AS (
+  SELECT label, i, avg(x) AS mu, stddev_pop(x) AS sd
+  FROM d GROUP BY label, i
+),
+z AS (
+  SELECT d.vec_id, d.label,
+         CASE WHEN s.sd > 0 THEN (d.x - s.mu) / s.sd ELSE 0 END AS z
+  FROM d JOIN stats s ON d.label = s.label AND d.i = s.i
+)
+SELECT vec_id, label, round(sqrt(sum(z * z)), 6) AS znorm
+FROM z GROUP BY vec_id, label
+""",
+    tags=("vector", "applyInPandas", "group"),
+)
+def vector_group_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding standardization via ``applyInPandas`` — the
+    grouped-map UDF surface: each label group arrives as ONE pandas frame
+    (Arrow), is whitened dimension-wise in numpy (z = (x−μ)/σ, σ=0 dims
+    zeroed), and returns per-vector z-norms. At scale this is one shuffle
+    on the group key and BLAS within groups — the shape for per-group
+    normalization / feature scaling in training pipelines."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        mu = X.mean(axis=0)
+        sd = X.std(axis=0)
+        Z = np.where(sd > 0, (X - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "znorm": np.round(np.sqrt((Z * Z).sum(axis=1)), 6),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        standardize, "vec_id long, label int, znorm double"
+    )
+
+
+@register(
     "hybrid_rrf_search",
     oracle=f"""
 WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),

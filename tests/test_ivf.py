@@ -163,3 +163,12 @@ def test_mllib_trainer_exact_identity(spark, tmp_path):
         for r in ivf_search(spark, idx, qv, k=10, nprobe=8).collect()
     ]
     assert got == exact
+
+
+def test_build_rejects_undersized_training_set(spark, tmp_path):
+    from vector_db_example_spark.index.ivf import build_ivf_index
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(5)
+    with pytest.raises(ValueError, match="nlist"):
+        build_ivf_index(emb, path=str(tmp_path / "x"), nlist=16)

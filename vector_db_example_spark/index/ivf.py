@@ -81,6 +81,11 @@ def _train_centroids(
     the |x|²−2x·c+|c|² matmul identity, never an n×k×dim tensor)."""
     X = np.asarray(vecs, dtype=np.float64)
     n = len(X)
+    if n < nlist:
+        raise ValueError(
+            f"need at least nlist={nlist} training vectors, got {n} — "
+            "lower nlist or raise train_sample (FAISS guidance: ≥39×nlist)"
+        )
     rng = np.random.RandomState(seed)
     cents = np.empty((nlist, X.shape[1]))
     cents[0] = X[rng.randint(n)]

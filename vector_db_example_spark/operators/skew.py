@@ -36,18 +36,18 @@ def salted_topk(
     key: str,
     order: Sequence[Column],
     k: int,
+    salt_on: str | Column,
     n_salt: int = 8,
-    salt_on: str | Column | None = None,
     rank_col: str = "rank",
 ) -> DataFrame:
     """Per-key top-k that survives a pathologically hot key.
 
     ``order`` must be a total order (include a unique tiebreaker) so the
     result is deterministic and exactly equals the unsalted window.
-    ``salt_on`` is a stable column to derive the shard from (defaults to
-    the first order column)."""
-    salt_src = salt_on if salt_on is not None else order[0]
-    salt = F.pmod(F.xxhash64(salt_src), F.lit(n_salt))
+    ``salt_on`` is a stable VALUE column (e.g. the unique id) to derive
+    the shard from — it must not carry a sort direction (sort expressions
+    are not hashable values)."""
+    salt = F.pmod(F.xxhash64(salt_on), F.lit(n_salt))
     w_shard = Window.partitionBy(key, "__salt").orderBy(*order)
     survivors = (
         df.withColumn("__salt", salt)

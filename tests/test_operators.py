@@ -171,3 +171,15 @@ def test_salted_topk_handles_hot_key(spark):
     key = lambda r: (r.k, r.rank)
     assert sorted(map(tuple, salted.select("k", "id", "score", "rank").collect())) == \
         sorted(map(tuple, plain.select("k", "id", "score", "rank").collect()))
+
+
+def test_corpus_curation_removes_all_planted_dups(spark):
+    """End-to-end curation removes every planted duplicate (200 exact +
+    200 near) AND the corpus's own 3 natural near-dup pairs (the test
+    generator plants doc pairs at jaccard 0.95-0.98: (61,185), (87,134),
+    (152,178) at sf0.01) — so exactly 197 of the 200 originals survive."""
+    from tests.conftest import SF_CORRECTNESS
+    from vector_db_example_spark.queries import QUERIES
+
+    out = QUERIES["pipeline_corpus_curation"].fn(spark, SF_CORRECTNESS).collect()
+    assert sum(r.n_docs for r in out) == 197

@@ -204,6 +204,121 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id AS id, source, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS id, source, text || '{_PLANT_SUFFIX}' AS text
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 200000 AS id, source, upper(text) AS text
+  FROM documents WHERE doc_id < 200
+),
+cleaned AS (
+  SELECT id, source,
+         trim(regexp_replace(regexp_replace(text, '[^\\w一-鿿\\s.,!?;:，。！？；：]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS text
+  FROM raw
+),
+quality AS (
+  SELECT * FROM cleaned
+  WHERE length(text) >= 10
+    AND len(string_split_regex(trim(text), '\\s+')) >= 5
+),
+exact_w AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY id) AS rn
+  FROM quality
+),
+exact_d AS (SELECT id, source, text FROM exact_w WHERE rn = 1),
+base AS (
+  SELECT id, {_SHINGLE_SQL} AS sh
+  FROM (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM exact_d)
+),
+sig AS (
+  SELECT id, sh,
+         list_transform(range(1, 17),
+           s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sg
+  FROM base
+),
+banded AS (
+  SELECT id, b::INTEGER AS band,
+         md5(array_to_string(sg[(b*2+1):(b*2+2)], '')) AS key
+  FROM sig CROSS JOIN generate_series(0, 7) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT l.id AS a_id, r.id AS b_id
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+neardup AS (
+  SELECT DISTINCT b_id
+  FROM cand
+  JOIN base sa ON cand.a_id = sa.id
+  JOIN base sb ON cand.b_id = sb.id
+  WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+        / (len(sa.sh) + len(sb.sh)
+           - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.6
+),
+curated AS (
+  SELECT e.* FROM exact_d e LEFT JOIN neardup n ON e.id = n.b_id
+  WHERE n.b_id IS NULL
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS total_tokens
+FROM curated GROUP BY source
+""",
+    tags=("dedup", "pipeline", "curation"),
+    bench=True,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB training-data pipeline as ONE DAG: clean (F1) →
+    quality gate (length + token count) → exact dedup (hash-groupBy,
+    min-id survivor) → MinHash-LSH near-dedup (drop the higher id of
+    each verified pair) → per-source corpus stats. Planted exact
+    (uppercased) and near (suffixed) duplicates must all be removed.
+    Deterministic end to end — the oracle replays every stage."""
+    from ..functions.text import clean_content
+    from ..operators.dedup import exact_dedup, minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = (
+        docs.select(F.col("doc_id").alias("id"), "source", "text")
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 100000).alias("id"),
+                "source",
+                F.concat("text", F.lit(_PLANT_SUFFIX)).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 200000).alias("id"),
+                "source",
+                F.upper("text").alias("text"),
+            )
+        )
+    )
+    cleaned = raw.withColumn("text", clean_content(F.col("text")))
+    quality = cleaned.filter(
+        (F.length("text") >= 10)
+        & (F.size(F.split(F.trim("text"), r"\s+")) >= 5)
+    )
+    exact_d = exact_dedup(quality, F.md5(F.lower("text")), id_col="id")
+    pairs = minhash_near_duplicates(
+        exact_d, text_col="text", id_col="id",
+        shingle_k=3, n_hashes=16, bands=8, threshold=0.6,
+    )
+    losers = pairs.select(F.col("b_id").alias("id")).distinct()
+    curated = exact_d.join(losers, "id", "left_anti")
+    return curated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("total_tokens"),
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
 WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

@@ -5,7 +5,7 @@
                               bucket-join candidates → exact-Jaccard verify
 * n-gram Jaccard            — exact pairwise set similarity (the verifier /
                               small-scale baseline)
-* SimHash                   — 64-bit fingerprints + Hamming-radius pairs
+* SimHash                   — 60-bit fingerprints + Hamming-radius pairs
 * embedding near-dup        — cosine-threshold pairs (see also
                               operators.knn.similarity_self_join)
 

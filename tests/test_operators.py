@@ -183,3 +183,39 @@ def test_corpus_curation_removes_all_planted_dups(spark):
 
     out = QUERIES["pipeline_corpus_curation"].fn(spark, SF_CORRECTNESS).collect()
     assert sum(r.n_docs for r in out) == 197
+
+
+def test_bucketed_range_join_matches_bruteforce(spark):
+    """Bucketed range join == brute-force range join, including the
+    boundary semantics (>= ts-W inclusive, < ts exclusive) and pairs
+    straddling a bucket boundary."""
+    from vector_db_example_spark.operators.rangejoin import bucketed_range_join
+
+    W = 60  # 1-minute window
+    base = 1_700_000_000_000_000  # µs
+    left_rows = [(i, 1, base + i * 37_000_000) for i in range(40)]
+    right_rows = [(100 + j, 1, base + j * 13_000_000) for j in range(120)]
+    # plus exact-boundary probes: right at exactly ts-W (in) and ts (out)
+    right_rows += [(900, 1, left_rows[5][2] - W * 1_000_000), (901, 1, left_rows[5][2])]
+    left = spark.createDataFrame(left_rows, "lid long, user_id long, t long").select(
+        "lid", "user_id", F.timestamp_micros("t").alias("ts")
+    )
+    right = spark.createDataFrame(right_rows, "rid long, user_id long, t long").select(
+        "rid", "user_id", F.timestamp_micros("t").alias("ts")
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in bucketed_range_join(
+            left, right, key="user_id", window_seconds=W
+        ).collect()
+    }
+    brute = {
+        (r.lid, r.rid)
+        for r in left.join(right.withColumnRenamed("ts", "rts"), "user_id")
+        .filter(
+            (F.unix_micros("rts") >= F.unix_micros("ts") - W * 1_000_000)
+            & (F.unix_micros("rts") < F.unix_micros("ts"))
+        )
+        .collect()
+    }
+    assert got == brute and (5, 900) in got and (5, 901) not in got

@@ -225,6 +225,58 @@ def events_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_range_join_clicks_before_purchase",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events
+      WHERE event_type = 'click')
+SELECT p.user_id, p.event_id AS purchase_id,
+       count(c.event_id)::BIGINT AS n_clicks_30m,
+       round(coalesce(sum(c.value), 0), 2) AS clicks_value_30m
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <  p.ts
+GROUP BY 1, 2
+""",
+    tags=("events", "rangejoin"),
+)
+def events_range_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-interval range join, bucketed (operators/rangejoin.py):
+    clicks in the 30 minutes before each purchase, per user. The oracle
+    states the naive range join; the engine runs the equi-join-on-
+    (key, time-bucket) form that scales."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    matched = bucketed_range_join(
+        purchases, clicks, key="user_id", window_seconds=1800
+    )
+    counts = matched.groupBy("user_id", "purchase_id").agg(
+        F.count("click_id").alias("n_clicks_30m"),
+        F.round(F.sum("value"), 2).alias("clicks_value_30m"),
+    )
+    return (
+        purchases.join(counts, ["user_id", "purchase_id"], "left")
+        .select(
+            "user_id",
+            "purchase_id",
+            F.coalesce("n_clicks_30m", F.lit(0)).alias("n_clicks_30m"),
+            F.coalesce("clicks_value_30m", F.lit(0.0)).alias("clicks_value_30m"),
+        )
+    )
+
+
+@register(
     "events_user_daily_pivot",
     oracle="""
 SELECT user_id,

@@ -9,7 +9,7 @@ token-window form used for real LLM pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.text import (
     CLEAN_PATTERN,
@@ -24,6 +24,102 @@ from ..sources.tables import load_table
 from .registry import register
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register(
+    "pipeline_train_test_split",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 < 8
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM s GROUP BY split
+""",
+    tags=("pipeline", "split", "training-data"),
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (80/20) — the
+    reproducible alternative to random sampling for training pipelines:
+    membership is a pure function of the id (stable across runs, engines
+    and re-partitioning; md5 so the oracle reproduces it), no shuffle, no
+    RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    split = F.when(bucket < 8, "train").otherwise("test")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, count(*)::DOUBLE AS tf
+  FROM tok GROUP BY source, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.term,
+         round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT source, term, tfidf, rk::INTEGER AS rk FROM ranked WHERE rk <= 5
+""",
+    tags=("text", "tfidf", "analysis"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 terms by tf-idf (tf = per-source term count,
+    idf = ln(N_docs / doc-frequency)). Two narrow aggregations + a
+    broadcastable df table — the classic corpus-statistics shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.explode(extract_tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n_docs = docs.count()
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "tfidf", "rk")
+    )
 
 
 @register(

@@ -277,6 +277,53 @@ def events_range_join_clicks_before_purchase(
 
 
 @register(
+    "events_conversion_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts::TIMESTAMP) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts::TIMESTAMP > v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts::TIMESTAMP > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+       (SELECT count(*) FROM c)::BIGINT AS n_click_after_view,
+       (SELECT count(*) FROM p)::BIGINT AS n_purchase_after_click
+""",
+    tags=("events", "funnel", "sequence"),
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users whose first view precedes a click
+    precedes a purchase. Each stage is a groupBy-min + a broadcastable
+    join against the (one-row-per-user) previous stage — no window over
+    the raw event stream, so the hot path is two narrow shuffles however
+    wide the event table is."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(F.broadcast(prev), "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    counts = [df.count() for df in (v, c, p)]
+    return spark.createDataFrame(
+        [tuple(counts)],
+        "n_view bigint, n_click_after_view bigint, n_purchase_after_click bigint",
+    )
+
+
+@register(
     "events_user_daily_pivot",
     oracle="""
 SELECT user_id,

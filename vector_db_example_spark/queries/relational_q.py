@@ -345,15 +345,24 @@ def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_part_brands",
     oracle="""
-SELECT p_brand FROM part WHERE p_size > 40
-INTERSECT
-SELECT p_brand FROM part WHERE p_retailprice > 990
+WITH big AS (SELECT p_brand FROM part WHERE p_size > 25),
+pricey AS (SELECT p_brand FROM part WHERE p_retailprice > 900)
+SELECT 'both' AS grp, p_brand FROM (SELECT p_brand FROM big INTERSECT
+                                    SELECT p_brand FROM pricey)
+UNION ALL
+SELECT 'big_only' AS grp, p_brand FROM (SELECT p_brand FROM big EXCEPT
+                                        SELECT p_brand FROM pricey)
 """,
     tags=("relational", "setop"),
 )
 def setop_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection of two predicate-defined brand sets."""
+    """INTERSECT + EXCEPT of two predicate-defined brand sets (predicates
+    loose enough that both branches are non-empty at every test SF)."""
     part = load_table(spark, sf_dir, "part")
-    big = part.filter(F.col("p_size") > 40).select("p_brand")
-    pricey = part.filter(F.col("p_retailprice") > 990).select("p_brand")
-    return big.intersect(pricey)
+    big = part.filter(F.col("p_size") > 25).select("p_brand")
+    pricey = part.filter(F.col("p_retailprice") > 900).select("p_brand")
+    both = big.intersect(pricey).select(F.lit("both").alias("grp"), "p_brand")
+    only = big.subtract(pricey).select(  # subtract == SQL EXCEPT (distinct)
+        F.lit("big_only").alias("grp"), "p_brand"
+    )
+    return both.unionByName(only)

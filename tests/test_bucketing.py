@@ -93,3 +93,31 @@ def test_approx_distinct_within_rsd(spark):
             rel = abs(a[acol] - e[ecol]) / e[ecol]
             assert rel <= 0.10, f"{flag}.{acol}: rel error {rel:.3f}"
         assert a["n_rows"] == e["n_rows"]
+
+
+def test_approx_quantiles_within_epsilon(spark):
+    """GK sketch at accuracy 10000: each estimate must be an actual data
+    value whose rank is within ~epsilon·n of the target rank — checked
+    directly against the sorted per-type values."""
+    import numpy as np
+    from vector_db_example_spark.queries import QUERIES
+    from vector_db_example_spark.sources.tables import load_table
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["events_approx_quantiles"].fn(spark, SF_SMOKE).collect()
+    }
+    rows = load_table(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for etype, vals in by_type.items():
+        vals = np.sort(np.array(vals))
+        n = len(vals)
+        a = approx[etype]
+        assert a["n"] == n
+        for col, pct in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            rank = np.searchsorted(vals, a[col], side="left")
+            assert abs(rank - pct * n) <= max(2, 0.01 * n), (
+                f"{etype}.{col}: rank {rank} vs target {pct * n:.0f}"
+            )

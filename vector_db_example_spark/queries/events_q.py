@@ -277,6 +277,27 @@ def events_range_join_clicks_before_purchase(
 
 
 @register(
+    "events_approx_quantiles",
+    oracle=None,  # GK-sketch estimates are engine-specific; the error
+    # bound vs exact percentiles is pinned in tests/test_bucketing.py
+    tags=("events", "sketch", "quantile"),
+)
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles (`percentile_approx`,
+    accuracy 10000 ⇒ ε=1e-4): like the HLL++ sketch, the 100 TB shape —
+    the shuffle carries fixed-size sketch state per group instead of the
+    full sorted value stream an exact percentile needs."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(q, 1), 4).alias("p50"),
+        F.round(F.element_at(q, 2), 4).alias("p95"),
+        F.round(F.element_at(q, 3), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "events_conversion_funnel",
     oracle="""
 WITH v AS (

@@ -343,3 +343,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     pairs = similarity_self_join(emb, max_distance=0.7, metric="cosine")
     return pairs.select("a_id", "b_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "dedup_decontaminate",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, source,
+         md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp
+  FROM documents
+),
+bench AS (SELECT DISTINCT fp FROM norm WHERE doc_id % 13 = 0),
+train AS (SELECT * FROM norm WHERE doc_id % 13 <> 0)
+SELECT source,
+       count(*)::BIGINT AS n_train,
+       count(*) FILTER (WHERE fp IN (SELECT fp FROM bench))::BIGINT
+         AS n_contaminated,
+       count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM bench))::BIGINT
+         AS n_kept
+FROM train GROUP BY source
+""",
+    tags=("dedup", "decontamination"),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training docs whose normalized
+    64-char-prefix fingerprint (lowercase, whitespace-collapsed — the
+    standard near-exact key) collides with a held-out benchmark set (here
+    the doc_id % 13 == 0 slice stands in for the benchmark corpus).
+
+    Scale shape: the benchmark fingerprint set is small and broadcast, so
+    the contamination check is a broadcast join over the training corpus
+    with NO shuffle of the corpus itself; the per-source audit counts are
+    one partial+final aggregation. At 100 TB this is the plan you want —
+    the alternative (shuffle-dedup on fingerprint) moves the whole corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(
+            F.substring(
+                F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 64
+            ),
+            "UTF-8",
+        )
+    )
+    norm = docs.select("doc_id", "source", fp.alias("fp"))
+    bench = (
+        norm.filter(F.col("doc_id") % 13 == 0)
+        .select("fp")
+        .distinct()
+        .withColumn("is_bench", F.lit(1))
+    )
+    train = norm.filter(F.col("doc_id") % 13 != 0)
+    flagged = train.join(F.broadcast(bench), "fp", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("is_bench").isNotNull(), 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+        F.sum(F.when(F.col("is_bench").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )

@@ -277,6 +277,89 @@ def events_range_join_clicks_before_purchase(
 
 
 @register(
+    "events_sliding_window",
+    oracle="""
+WITH w AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP)
+           - k.k * INTERVAL 15 MINUTE AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM w GROUP BY 1, 2
+""",
+    tags=("events", "window", "sliding"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window every 15 minutes (`window(ts, size, slide)`).
+    Spark assigns each event to its size/slide = 4 overlapping windows
+    map-side, then one hash aggregation — the oracle states the same
+    semantics as an explicit 4-offset cross join. Streaming form is the
+    identical plan plus a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_latest_snapshot",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value
+           FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       round(value, 2) AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM r WHERE rn = 1
+""",
+    tags=("events", "cdc", "compaction"),
+)
+def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-state compaction: one row per user = the most
+    recent event by (ts, event_id). The oracle states it as the usual
+    row_number()=1 window; the engine uses `max_by` over a struct key —
+    a plain partial+final aggregation (map-side combine keeps one row per
+    key per partition), no per-user sort and no window state. That is the
+    100 TB shape for snapshotting a changelog."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "event_type", "value", "ts"),
+            F.struct("ts", "event_id"),
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_type"),
+        F.round("s.value", 2).alias("last_value"),
+        F.date_format("s.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
+
+
+@register(
     "events_approx_quantiles",
     oracle=None,  # GK-sketch estimates are engine-specific; the error
     # bound vs exact percentiles is pinned in tests/test_bucketing.py

@@ -274,6 +274,31 @@ def agg_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("relational", "agg", "cube"),
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) with the grouping-set id exposed
+    (`grouping_id()` ≡ DuckDB `grouping(a, b)` bitmask, status = high bit)
+    so NULL-as-subtotal is distinguishable from a NULL key value. Spark
+    expands the 4 grouping sets map-side into one hash aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "agg_distinct_counts",
     oracle="""
 SELECT l_returnflag,

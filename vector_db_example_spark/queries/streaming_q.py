@@ -54,6 +54,34 @@ def stream_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_events_sliding_window",
+    oracle="""
+WITH w AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP)
+           - k.k * INTERVAL 15 MINUTE AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM w GROUP BY 1, 2
+""",
+    tags=("streaming", "events", "window", "sliding"),
+)
+def stream_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute window as a STREAMING plan — same
+    watermarked stateful agg as the tumbling form, with 4 overlapping
+    windows of state per key. Must equal the batch
+    `events_sliding_window` (same oracle)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        windowed_type_counts(stream, slide="15 minutes"), name="sliding"
+    )
+
+
+@register(
     "stream_events_sessionization",
     oracle="""
 WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),

@@ -47,15 +47,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_type_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window × event_type aggregation — the
-    streaming form of `events_tumbling_window` (queries/events_q.py).
-    The watermark bounds state retention; late rows older than it are
-    dropped on arrival."""
+    """Tumbling (or, with ``slide``, sliding/hopping) event-time window ×
+    event_type aggregation — the streaming form of
+    `events_tumbling_window` / `events_sliding_window`
+    (queries/events_q.py). The watermark bounds state retention; late
+    rows older than it are dropped on arrival. A sliding window holds
+    size/slide concurrent windows of state per key — still bounded by
+    the watermark."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(F.window("ts", window, slide or window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),

@@ -111,3 +111,32 @@ def test_ivf_batch_prunes_and_broadcasts(spark):
         if "Exchange hashpartitioning" in ln and "query_id" not in ln
     ]
     assert not corpus_shuffles, corpus_shuffles
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark):
+    """The benchmark fingerprint set must broadcast — the training corpus
+    itself is never shuffled for the contamination check."""
+    plan = _plan(QUERIES["dedup_decontaminate"].fn(spark, SF_SMOKE), execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_latest_snapshot_is_partial_agg_not_window(spark):
+    """CDC compaction must compile to partial+final max_by aggregation —
+    no Window node (whose per-key sort the 100 TB changelog can't afford)."""
+    plan = _plan(QUERIES["events_latest_snapshot"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan
+    # Struct-typed max_by buffers fall back to SortAggregate (sorted by
+    # the grouping key only) — what matters is the map-side combine: a
+    # partial_max_by runs before the exchange, so the shuffle carries one
+    # row per (partition, user), not the raw changelog.
+    assert "partial_max_by" in plan
+    assert plan.index("partial_max_by") > plan.index("Exchange")  # plan prints top-down
+
+
+def test_cube_is_single_expand_aggregation(spark):
+    """CUBE compiles to one Expand (4 grouping sets map-side) feeding one
+    partial+final aggregation — not 4 separate scans unioned."""
+    plan = _plan(QUERIES["agg_cube_orders"].fn(spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1

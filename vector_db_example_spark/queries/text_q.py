@@ -287,3 +287,121 @@ def text_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality_score", 6).alias("quality_score"),
         "fingerprint",
     )
+
+
+@register(
+    "pipeline_balanced_lang_sample",
+    oracle="""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+r AS (
+  SELECT lang, n_docs,
+         sqrt((SELECT min(n_docs) FROM c)::DOUBLE / n_docs::DOUBLE) AS rate
+  FROM c
+),
+u AS (
+  SELECT lang, n_chars,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT u.lang,
+       r.n_docs,
+       round(r.rate, 6) AS rate,
+       sum(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       sum(CASE WHEN u.u < r.rate THEN n_chars ELSE 0 END)::BIGINT
+         AS sampled_chars
+FROM u JOIN r USING (lang)
+GROUP BY u.lang, r.n_docs, r.rate
+""",
+    tags=("pipeline", "sampling", "training-data"),
+)
+def pipeline_balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balancing downsample (temperature α=0.5 flavor): each
+    language keeps a sqrt(n_min/n_lang) fraction, pulling the source
+    mixture toward uniform — the standard multilingual-corpus rebalance.
+    Membership is deterministic: an md5-derived uniform in [0,1) per doc
+    compared against the per-lang rate, so the sample is reproducible
+    across runs, engines and repartitioning (no RNG state). The rate
+    math is a single correctly-rounded division + sqrt (no
+    order-dependent float sums), so the oracle is bit-exact.
+
+    Scale shape: one tiny per-lang count agg, broadcast of the 5-row
+    rate table back onto the corpus, one filtered pass — the corpus is
+    never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double")).alias(
+            "rate"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    keep = (u < F.col("rate")).cast("int")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", F.round("rate", 6).alias("rate"))
+        .agg(
+            F.sum(keep).cast("bigint").alias("n_sampled"),
+            F.sum(keep * F.col("n_chars")).cast("bigint").alias("sampled_chars"),
+        )
+    )
+
+
+@register(
+    "text_bigram_top_counts",
+    oracle="""
+WITH t AS (SELECT lang, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+b AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t
+),
+c AS (SELECT lang, bigram, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, bigram) AS rn FROM c)
+SELECT lang, bigram, n FROM r WHERE rn <= 5
+""",
+    tags=("text", "ngram", "training-data"),
+)
+def text_bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: top-5 bigrams per language with a
+    deterministic tie-break (count desc, bigram asc). The n-gram expansion
+    is a JVM index-lambda `transform` + explode (no Python), the count is
+    a partial+final agg, and the per-lang top-5 is a rank window over the
+    (small) distinct-bigram counts — the raw token stream never passes
+    through a window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split(F.trim("text"), r"\s+").alias("toks"))
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "filter(transform(toks, (t, i) -> "
+                "IF(i < size(toks) - 1, concat(t, ' ', toks[i+1]), "
+                "CAST(NULL AS STRING))), x -> x IS NOT NULL)"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

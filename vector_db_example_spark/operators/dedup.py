@@ -114,16 +114,29 @@ def minhash_near_duplicates(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     Returns (a_id, b_id, jaccard) for candidate pairs sharing >=1 LSH band
     whose true shingle Jaccard >= threshold.
+
+    ``materialize`` snapshots the shingle table before fan-out: it feeds
+    three consumers (the signature pass and both sides of the Jaccard
+    verify join), and Spark does not share subplans across a join, so an
+    unmaterialized plan re-shingles the corpus three times. This is the
+    staged-materialization practice of production dedup pipelines — at
+    cluster scale the same role is played by writing the shingle/signature
+    table to storage once (localCheckpoint is the in-session form; it
+    costs a recompute on executor loss, which a real pipeline avoids by
+    checkpointing to reliable storage).
     """
     rows_per_band = n_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
     )
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     banded = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")

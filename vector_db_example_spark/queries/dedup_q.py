@@ -306,6 +306,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(F.split(F.trim("text"), r"\s+")) >= 5)
     )
     exact_d = exact_dedup(quality, F.md5(F.lower("text")), id_col="id")
+    # The exact-dedup survivors feed four consumers (minhash shingling,
+    # both anti-join sides, the final agg); snapshot once instead of
+    # re-running clean→quality→window per consumer. See the materialize
+    # note on minhash_near_duplicates — at cluster scale this is "write
+    # the curated-stage table once", the normal shape of a staged
+    # curation pipeline.
+    exact_d = exact_d.localCheckpoint(eager=True)
     pairs = minhash_near_duplicates(
         exact_d, text_col="text", id_col="id",
         shingle_k=3, n_hashes=16, bands=8, threshold=0.6,

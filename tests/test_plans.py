@@ -18,7 +18,10 @@ from vector_db_example_spark.queries import QUERIES
 def _plan(df, execute: bool = False) -> str:
     if execute:  # let AQE finalize join strategies
         df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # After execution AQE appends the pre-adaptive "Initial Plan" section;
+    # keep only the final plan so node counts aren't doubled.
+    return plan.split("== Initial Plan ==")[0]
 
 
 def test_q3_broadcasts_customer(spark):
@@ -132,6 +135,22 @@ def test_latest_snapshot_is_partial_agg_not_window(spark):
     # row per (partition, user), not the raw changelog.
     assert "partial_max_by" in plan
     assert plan.index("partial_max_by") > plan.index("Exchange")  # plan prints top-down
+
+
+def test_funnel_no_user_level_broadcast_single_job(spark):
+    """The funnel must not broadcast any per-user stage (users grow with
+    the data — that broadcast OOMs at 100×) and must partition by
+    user_id exactly once: the chained stage windows and the per-user
+    rollup all reuse the one distribution."""
+    df = QUERIES["events_conversion_funnel"].fn(spark, SF_SMOKE)
+    plan = _plan(df, execute=True)
+    assert "BroadcastExchange" not in plan
+    user_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_shuffles) == 1, user_shuffles
 
 
 def test_cube_is_single_expand_aggregation(spark):

@@ -405,25 +405,45 @@ SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
 )
 def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: users whose first view precedes a click
-    precedes a purchase. Each stage is a groupBy-min + a broadcastable
-    join against the (one-row-per-user) previous stage — no window over
-    the raw event stream, so the hot path is two narrow shuffles however
-    wide the event table is."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    precedes a purchase, as ONE job with ONE data-sized shuffle.
 
-    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            e = e.join(F.broadcast(prev), "user_id").filter(F.col("ts") > F.col("t")).drop("t")
-        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    v = first_after("view", None)
-    c = first_after("click", v)
-    p = first_after("purchase", c)
-    counts = [df.count() for df in (v, c, p)]
-    return spark.createDataFrame(
-        [tuple(counts)],
-        "n_view bigint, n_click_after_view bigint, n_purchase_after_click bigint",
+    The three stage timestamps are dependent per-user mins
+    (t_click = min click ts AFTER t_view, …), so they compute as three
+    chained unbounded windows over the SAME user_id partitioning — Spark
+    shuffles the (filtered) events once and the two follow-up window
+    passes plus the per-user rollup reuse that distribution. No stage
+    joins at all, so nothing user-sized is ever broadcast (users grow
+    with the data — a broadcast of a per-user table OOMs at 100×), and
+    no driver-side count() actions recompute the chain."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+    )
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn("t_v", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t_c",
+            F.min(
+                F.when(is_("click") & (F.col("ts") > F.col("t_v")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_p",
+            F.min(
+                F.when(is_("purchase") & (F.col("ts") > F.col("t_c")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_v").alias("t_v"), F.min("t_c").alias("t_c"), F.min("t_p").alias("t_p")
+    )
+    return per_user.agg(
+        F.count("t_v").alias("n_view"),
+        F.count("t_c").alias("n_click_after_view"),
+        F.count("t_p").alias("n_purchase_after_click"),
     )
 
 

@@ -23,6 +23,30 @@ def test_minhash_finds_planted_near_dups(spark):
     assert all(p == (1, 2) for p in found), f"false positives: {found}"
 
 
+def test_minhash_degenerate_bucket_is_capped(spark):
+    """A boilerplate string duplicated many times lands in one LSH band
+    bucket; without the cap that bucket alone emits O(n²) pairs from a
+    single task. Over-cap buckets are dropped (exact-dedup territory)
+    while normal near-dup pairs are still found."""
+    from vector_db_example_spark.operators.dedup import minhash_near_duplicates
+
+    boiler = "subscribe to our newsletter for updates and exclusive offers today"
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa EXTRA"),
+        (102, "completely different words nothing shared here at all truly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_duplicates(df, threshold=0.5, max_bucket_size=10).collect()
+    found = {(r.a_id, r.b_id) for r in pairs}
+    assert (100, 101) in found
+    boiler_pairs = [p for p in found if p[0] < 40 and p[1] < 40]
+    assert not boiler_pairs, f"capped bucket leaked {len(boiler_pairs)} pairs"
+    # uncapped control: the same corpus explodes to 40*39/2 boilerplate pairs
+    uncapped = minhash_near_duplicates(df, threshold=0.5, max_bucket_size=10_000)
+    assert uncapped.filter((F.col("a_id") < 40) & (F.col("b_id") < 40)).count() == 780
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     from vector_db_example_spark.operators.dedup import simhash_near_duplicates
 
@@ -185,14 +209,24 @@ def test_corpus_curation_removes_all_planted_dups(spark):
     assert sum(r.n_docs for r in out) == 197
 
 
-def test_bucketed_range_join_matches_bruteforce(spark):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "base",
+    [
+        1_700_000_000_000_000,  # 2023
+        -1_000_000_123_000,  # pre-1970: negative micros, non-bucket-aligned
+    ],
+)
+def test_bucketed_range_join_matches_bruteforce(spark, base):
     """Bucketed range join == brute-force range join, including the
-    boundary semantics (>= ts-W inclusive, < ts exclusive) and pairs
-    straddling a bucket boundary."""
+    boundary semantics (>= ts-W inclusive, < ts exclusive), pairs
+    straddling a bucket boundary, and pre-1970 timestamps (bucket id
+    must be FLOOR division — a truncating cast mis-buckets negatives)."""
     from vector_db_example_spark.operators.rangejoin import bucketed_range_join
 
     W = 60  # 1-minute window
-    base = 1_700_000_000_000_000  # µs
     left_rows = [(i, 1, base + i * 37_000_000) for i in range(40)]
     right_rows = [(100 + j, 1, base + j * 13_000_000) for j in range(120)]
     # plus exact-boundary probes: right at exactly ts-W (in) and ts (out)

@@ -115,11 +115,21 @@ def minhash_near_duplicates(
     bands: int = 4,
     threshold: float = 0.5,
     materialize: bool = True,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     Returns (a_id, b_id, jaccard) for candidate pairs sharing >=1 LSH band
     whose true shingle Jaccard >= threshold.
+
+    ``max_bucket_size`` bounds the worst case: a degenerate band bucket
+    (e.g. one boilerplate string duplicated millions of times) would put
+    the whole bucket into a single aggregation buffer and emit
+    O(|bucket|²) pairs from one task. Buckets over the cap are dropped
+    before pair expansion — their members are near-exact duplicates of
+    each other by construction (an entire band of minhashes collides),
+    which the exact-dedup pass catches at O(n); per-task work is bounded
+    at O(cap²) regardless of corpus skew.
 
     ``materialize`` snapshots the shingle table before fan-out: it feeds
     three consumers (the signature pass and both sides of the Jaccard
@@ -160,7 +170,7 @@ def minhash_near_duplicates(
     candidates = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter(F.size(ids) > 1)
+        .filter((F.size(ids) > 1) & (F.size(ids) <= max_bucket_size))
         .select(F.explode(pair_structs).alias("p"))
         .select("p.a_id", "p.b_id")
         .distinct()

@@ -31,7 +31,12 @@ def bucketed_range_join(
     w_us = window_seconds * 1_000_000
 
     def bucket(ts: Column) -> Column:
-        return (F.unix_micros(ts) / w_us).cast("long")
+        # Floor division via pmod, not `/` + cast: the cast truncates
+        # toward zero, which mis-buckets pre-1970 (negative-micros)
+        # timestamps at bucket boundaries. (us - pmod(us, w)) is an exact
+        # multiple of w, so the division is exact for any valid timestamp.
+        us = F.unix_micros(ts)
+        return ((us - F.pmod(us, F.lit(w_us))) / w_us).cast("long")
 
     lb = left.withColumn(
         "__bucket", F.explode(F.array(bucket(F.col(left_ts)) - 1, bucket(F.col(left_ts))))

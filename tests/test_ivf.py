@@ -77,6 +77,32 @@ def test_assign_cells_matches_kmeans(spark, ivf):
     assert mismatch == 0
 
 
+def test_assign_cells_at_reference_config(spark):
+    """nlist=128 × dim=384 (the reference's real index config,
+    /root/reference/src/app.py:105-111): cell assignment must go through
+    the BLAS pandas_udf, not a Catalyst literal matrix (~49k literal
+    nodes at this shape), and must agree with a numpy argmin oracle."""
+    import numpy as np
+
+    from vector_db_example_spark.index.ivf import IVFIndex, assign_cells
+
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((128, 384))
+    index = IVFIndex(path="unused", centroids=cents, vector_col="v", id_col="i")
+    vecs = rng.standard_normal((64, 384)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "i long, v array<float>"
+    )
+    out = df.withColumn("cell", assign_cells(index, F.col("v")))
+    assert "ArrowEvalPython" in out._jdf.queryExecution().executedPlan().toString()
+    got = {r.i: r.cell for r in out.collect()}
+    d = ((vecs.astype(np.float64) ** 2).sum(axis=1, keepdims=True)
+         - 2.0 * vecs.astype(np.float64) @ cents.T
+         + (cents * cents).sum(axis=1))
+    want = d.argmin(axis=1)
+    assert got == {i: int(want[i]) for i in range(len(vecs))}
+
+
 def test_append_visible_in_next_search(spark, ivf):
     """S6/3.3 semantics: an appended vector (nearest-centroid assignment,
     no refit) is found by the next search."""

@@ -102,6 +102,18 @@ def test_stream_ingest_documents(spark, tmp_path):
     assert n2 == 0
     assert spark.read.parquet(str(tmp_path / "sink")).count() == expected
 
+    # Re-delivery (fresh checkpoint, same sink): foreachBatch is
+    # at-least-once, so the same batches arrive again with the same ids —
+    # the per-batch dynamic-overwrite sink must replace, not duplicate.
+    n3 = stream_ingest_documents(
+        spark,
+        SF_SMOKE,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    assert n3 == 0  # replaced its own partitions: no net new rows
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == expected
+
 
 def test_stream_ingest_into_ivf_layout(spark, tmp_path):
     """Streamed vectors land in the cell-partitioned layout and are

@@ -121,6 +121,16 @@ class CollectionCatalog:
         — unique within the batch (mono ids) and disjoint from existing
         rows (offset), with no global shuffle. Ids are sparse, which
         auto_id explicitly permits (engine-assigned, opaque).
+
+        The batch is materialized ONCE (localCheckpoint) before the write:
+        mono ids are non-deterministic, so counting and writing two
+        separate evaluations could disagree (and would run the embed UDF
+        twice). Single-writer assumption: ``base`` is read without
+        coordination, so two concurrent inserts into the same collection
+        can collide — the catalog models the reference's single-process
+        client (src/app.py:205-238); a multi-writer deployment needs a
+        transactional table format (e.g. an Iceberg/Delta sink) or
+        content-derived ids.
         """
         existing = self.read(name)
         base = (existing.agg(F.max("id")).head()[0] or 0) + 1
@@ -131,9 +141,13 @@ class CollectionCatalog:
             out = out.withColumn(
                 "vector", F.lit(None).cast(T.ArrayType(T.FloatType()))
             )
-        out = out.withColumn(
-            "id", (F.monotonically_increasing_id() + F.lit(base)).cast("long")
-        ).select("id", "chapter", "content", "vector")
+        out = (
+            out.withColumn(
+                "id", (F.monotonically_increasing_id() + F.lit(base)).cast("long")
+            )
+            .select("id", "chapter", "content", "vector")
+            .localCheckpoint(eager=True)
+        )
         n = out.count()
         out.write.mode("append").parquet(self._path(name))
         return n

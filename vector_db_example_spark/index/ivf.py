@@ -172,15 +172,7 @@ def build_ivf_index(
     else:
         raise ValueError(f"unknown trainer {trainer!r}")
 
-    cc = (centroids * centroids).sum(axis=1)
-
-    @pandas_udf("int")
-    def cell_of(vs: pd.Series) -> pd.Series:
-        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
-        d = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ centroids.T) + cc
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
-
-    assigned = df.withColumn("cell_id", cell_of(F.col(vector_col)))
+    assigned = df.withColumn("cell_id", cell_assigner(centroids)(F.col(vector_col)))
     assigned.write.partitionBy("cell_id").mode("overwrite").parquet(path)
     index = IVFIndex(
         path=path,
@@ -223,30 +215,33 @@ def ivf_search(
     )
 
 
+def cell_assigner(centroids: np.ndarray):
+    """Nearest-centroid assignment as an Arrow-batched BLAS matmul
+    (argmin of ||x||² − 2xCᵀ + ||c||² per batch). The ONE cell-assignment
+    path for builds, appends, and streaming ingest: the centroid matrix
+    rides in the UDF closure (broadcast once per executor), so cost is
+    independent of nlist×dim in the PLAN — a Catalyst-literal encoding at
+    the reference's real config (nlist=128 × dim=384 ≈ 49k literal nodes)
+    produces a pathological expression tree."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cc = (cents * cents).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ cents.T) + cc
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return cell_of
+
+
 def assign_cells(index: IVFIndex, vector: Column) -> Column:
-    """Nearest-centroid cell assignment as a pure expression (for appends
-    without refit — reference post-insert visibility semantics,
-    SURVEY.md §3.3). Broadcasts the centroid matrix as an array literal
-    and computes argmin of squared L2 via higher-order functions."""
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in row])
-            for row in index.centroids
-        ]
-    )
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(
-                c,
-                vector,
-                lambda x, y: (x - y.cast("double")) * (x - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    """Cell assignment for appends without refit (reference post-insert
+    visibility semantics, SURVEY.md §3.3) — same BLAS pandas_udf as the
+    build path."""
+    return cell_assigner(index.centroids)(vector)
 
 
 def ivf_bucketed_pairs(

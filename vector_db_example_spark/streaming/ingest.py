@@ -45,21 +45,37 @@ def stream_ingest_documents(
     """Run the continuous ingest pipeline to completion (`availableNow`)
     and return the total inserted row count (S5's accumulated count,
     done correctly — SURVEY.md §2.1 S9 notes the reference's count bug).
-    """
+
+    foreachBatch is at-least-once: a batch can be re-delivered after a
+    partial or complete sink write. The sink is therefore idempotent per
+    batch — each batch writes its own ``__batch_id=`` partition with
+    dynamic partition overwrite, so a retry replaces that batch's rows
+    instead of appending duplicates. The count is the sink's read-back
+    delta for this run — it never re-evaluates the embed pipeline and
+    never double-counts a retried batch."""
     embed = hashing_embedder(dim)
-    inserted = {"n": 0}
+
+    def sink_count() -> int:
+        try:
+            return spark.read.parquet(sink_path).count()
+        except Exception:  # sink not created yet (AnalysisException)
+            return 0
+
+    pre = sink_count()
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
         prepared = (
             batch.withColumn("text", clean_content(F.col("text")))
             .filter(F.length("text") >= min_len)
             .withColumn("embedding", embed(F.col("text")))
+            .withColumn("__batch_id", F.lit(int(batch_id)))
         )
-        prepared.write.mode("append").parquet(sink_path)
-        # spark.read-back is the honest count (write metrics are not
-        # exposed to foreachBatch); batch sizes here are small relative
-        # to the embed cost.
-        inserted["n"] += prepared.count()
+        (
+            prepared.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(sink_path)
+        )
 
     q = (
         read_documents_stream(spark, sf_dir)
@@ -69,7 +85,7 @@ def stream_ingest_documents(
         .start()
     )
     q.awaitTermination()
-    return inserted["n"]
+    return sink_count() - pre
 
 
 def stream_ingest_embeddings_into_ivf(
@@ -79,27 +95,44 @@ def stream_ingest_embeddings_into_ivf(
     checkpoint_path: str,
 ) -> int:
     """Continuous ingest INTO the ANN index layout: each micro-batch of
-    vectors is assigned to its nearest existing centroid (pure-expression
-    argmin, no Python) and appended to the cell-partitioned corpus — so
+    vectors is assigned to its nearest existing centroid (the build
+    path's Arrow-batched BLAS argmin) and appended to the cell-partitioned
+    corpus — so
     rows become searchable at the next query with correct partition
     pruning, without any refit. This is the log-to-index pipeline the
     Milvus doc describes for its data nodes (doc/milvus介绍.md:27,47-52),
     as one Structured Streaming plan; offline `compact_ivf_index` refits
     when drift accumulates.
 
-    Returns the number of vectors appended (exactly-once under restarts
-    via the checkpoint, like stream_ingest_documents).
-    """
+    Returns the number of vectors appended. Delivery: foreachBatch is
+    at-least-once, and this sink must keep the index's exact
+    ``cell_id=``-partitioned layout (adding a batch partition column
+    would leak into every search schema) — so instead of per-batch
+    dynamic overwrite it skips batches whose commit marker already
+    exists (written after the data lands). A re-delivered committed
+    batch is a no-op; only a crash inside the write→marker window can
+    duplicate rows, which the offline ``compact_ivf_index`` rebuild
+    clears."""
+    import os
+
     from ..index.ivf import assign_cells
 
+    marker_dir = os.path.join(index.path, "_committed_batches")
+    os.makedirs(marker_dir, exist_ok=True)
     appended = {"n": 0}
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
         assigned = batch.withColumn(
             "cell_id", assign_cells(index, F.col(index.vector_col))
-        )
+        ).localCheckpoint(eager=True)  # one evaluation for write AND count
         assigned.write.partitionBy("cell_id").mode("append").parquet(index.path)
-        appended["n"] += batch.count()
+        n = assigned.count()
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+        appended["n"] += n
 
     stream = (
         spark.readStream.schema("vec_id long, embedding array<float>, label int")

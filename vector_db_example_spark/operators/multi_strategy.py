@@ -8,9 +8,9 @@ re-expressed as ONE DataFrame DAG instead of a Python loop of searches:
              ──U1/U2───► union + first-occurrence dedup on content[:50]
              ──W1──────► per-question score top-k
 
-Reference constants preserved as defaults (SURVEY.md §2.6): vector top-10,
-keywords ≤3 × top-2, chunks ≤2 × top-1 (only when len(question) > 20),
-score threshold 0.3, final top-5. Strategy priority for dedup order:
+Reference constants preserved (SURVEY.md §2.6): vector top-(2·top_k),
+keywords ≤3 × top-2 (fixed), chunks ≤2 × top-1 (fixed, only when
+len(question) > 20), score threshold 0.3, final top-``top_k``. Strategy priority for dedup order:
 vector < keyword < chunk (first occurrence wins, src/app.py:289-299).
 
 Scale shape: N questions fan out to ≤6N query rows — always broadcastable;
@@ -38,9 +38,16 @@ _LEN_DESC_SORT = (
 )
 
 
-def build_strategy_queries(questions: DataFrame, question_col: str = "question") -> DataFrame:
+def build_strategy_queries(
+    questions: DataFrame, question_col: str = "question", top_k: int = 5
+) -> DataFrame:
     """Fan a questions DataFrame out into per-strategy query rows:
     (question_id, strategy, priority, qtext, k). Pure expressions.
+
+    Per-strategy fetch sizes follow the reference exactly: the vector
+    strategy fetches ``top_k * 2`` (src/app.py:279), while keyword and
+    chunk sub-searches use FIXED k=2 / k=1 regardless of the caller's
+    top_k (src/app.py:313-315, 326-328) — so only the vector k scales.
 
     P3 (reference src/app.py:242-243, 363-364): empty / whitespace-only
     questions are dropped here, so they fan out to zero query rows and
@@ -54,7 +61,7 @@ def build_strategy_queries(questions: DataFrame, question_col: str = "question")
         F.lit("vector").alias("strategy"),
         F.lit(0).alias("priority"),
         q.alias("qtext"),
-        F.lit(10).alias("k"),
+        F.lit(top_k * 2).alias("k"),
     )
 
     tokens = F.array_distinct(
@@ -120,7 +127,7 @@ def multi_strategy_search(
     Returns (question_id, strategy, id, chapter, content, score) with at
     most ``top_k`` rows per question, score-descending.
     """
-    squeries = build_strategy_queries(questions, question_col)
+    squeries = build_strategy_queries(questions, question_col, top_k=top_k)
     w_dedup_order = [F.col("priority").asc(), F.col("score").desc(), F.col(id_col).asc()]
 
     embedded = (
@@ -135,7 +142,7 @@ def multi_strategy_search(
     hits = knn_batch(
         corpus,
         embedded,
-        k=10,  # max per-strategy k; per-row k filter below
+        k=max(top_k * 2, 2),  # max per-strategy k; per-row k filter below
         vector_col=vector_col,
         query_vector_col="query_vec",
         query_id_col="sq_id",

@@ -94,7 +94,10 @@ SELECT source, term, tfidf, rk::INTEGER AS rk FROM ranked WHERE rk <= 5
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-5 terms by tf-idf (tf = per-source term count,
     idf = ln(N_docs / doc-frequency)). Two narrow aggregations + a
-    broadcastable df table — the classic corpus-statistics shape."""
+    broadcastable df table — the classic corpus-statistics shape. The
+    corpus size N rides along as a broadcast 1-row cross join, so the
+    whole query is ONE Spark job (a separate driver-side count() action
+    would scan the corpus twice)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "source", "doc_id", F.explode(extract_tokens(F.col("text"))).alias("term")
@@ -105,12 +108,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tok.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     scored = (
         tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
         .withColumn(
-            "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+            "tfidf", F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6)
         )
+        .drop("__n_docs")
     )
     w = Window.partitionBy("source").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Best-effort only: spark.driver.memory must reach the JVM before
+        # it launches, so this applies ONLY when this builder starts the
+        # gateway (fresh process, no PYSPARK_SUBMIT_ARGS). Under
+        # spark-submit, or if a session already exists, it is a silent
+        # no-op — launchers that need a guaranteed heap must pass
+        # --driver-memory / PYSPARK_SUBMIT_ARGS themselves.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if master is not None:

@@ -86,11 +86,48 @@ def test_sample_frames_reassembles_prefix(media):
         assert bytes(first[r["doc_id"]]) == bytes(r["payload"])[:64]
 
 
-def test_decode_images_is_gated_stub(media):
-    """Codec libs are absent in this container: the decode surface must
-    fail loudly at plan-build time, not silently return junk."""
-    with pytest.raises(NotImplementedError):
-        decode_images(media)
+def test_ppm_codec_roundtrip_bit_exact():
+    from vector_db_example_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+
+
+def test_resize_nearest_matches_numpy_oracle():
+    from vector_db_example_spark.operators.multimodal import _resize_nearest
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    out = _resize_nearest(arr, width=4, height=3)
+    for r in range(3):
+        for c in range(4):
+            assert np.array_equal(out[r, c], arr[(r * 6) // 3, (c * 10) // 4])
+
+
+def test_decode_images_real_ppm_path(spark):
+    """decode_images actually executes on PPM payloads (no codec lib):
+    dims and first pixel match the synthetic corpus' closed form."""
+    from vector_db_example_spark.operators.multimodal import synth_ppm_images
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    decoded = decode_images(synth_ppm_images(docs)).collect()
+    assert decoded
+    for r in decoded:
+        d = r.doc_id
+        assert (r.width, r.height, r.mode) == (4 + d % 13, 3 + d % 7, "RGB")
+        assert r.first_px == (d * 31) % 256
+
+
+def test_decode_images_unknown_format_fails_loudly(spark, media):
+    """Non-image bytes (the text-derived payloads) must raise, not
+    silently return junk, when no codec library is present."""
+    from vector_db_example_spark.operators.multimodal import _HAS_PIL
+
+    if _HAS_PIL:
+        pytest.skip("PIL present: unknown formats go to the PIL path")
+    with pytest.raises(Exception, match="unsupported image format"):
+        decode_images(media).collect()
 
 
 def test_metadata_query_prunes_payload(spark):
@@ -109,8 +146,25 @@ def test_metadata_query_prunes_payload(spark):
     assert scan and "payload" not in scan[0]
 
 
-def test_resize_images_is_gated_stub(media):
-    from vector_db_example_spark.operators.multimodal import resize_images
+def test_resize_images_real_ppm_path(spark):
+    """Full executor-side resize: payload out is a decodable PPM of the
+    target size whose pixels are the nearest-neighbor sample of the
+    source (checked against the closed-form pixel formula)."""
+    from vector_db_example_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+        synth_ppm_images,
+    )
 
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 64, 64)
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    out = resize_images(synth_ppm_images(docs), width=8, height=6).collect()
+    assert out
+    for r in out:
+        d = r.doc_id
+        arr = decode_ppm(bytes(r.payload))
+        assert arr.shape == (6, 8, 3)
+        w_in, h_in = 4 + d % 13, 3 + d % 7
+        for rr, cc in ((0, 0), (5, 7), (2, 3)):
+            src_r, src_c = (rr * h_in) // 6, (cc * w_in) // 8
+            expect = [(d * 31 + 7 * src_r + 3 * src_c + ch) % 256 for ch in range(3)]
+            assert arr[rr, cc].tolist() == expect

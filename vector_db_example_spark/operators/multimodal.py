@@ -160,38 +160,90 @@ def sample_frames(
 
 
 # ---------------------------------------------------------------------------
-# Codec-backed decode — STUB: the codec libraries are not installed in this
-# container. The signatures and batch plumbing are real; the pixel path
-# raises until PIL (or an equivalent) is present.
+# Codec-backed decode — REAL for PPM (P6), a format simple enough to codec
+# in pure numpy (header + raw RGB24), so the decode/resize mapInPandas path
+# actually executes and is deterministic end-to-end. Other formats fall
+# back to PIL when installed (it is not, in this container).
 # ---------------------------------------------------------------------------
 
-DECODED_IMAGE_SCHEMA = "doc_id long, width int, height int, mode string"
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6) bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
-def decode_images(media: DataFrame) -> DataFrame:
-    """Decode image payloads to (width, height, mode) via PIL inside
-    mapInPandas. STUB in this environment: raises ``NotImplementedError``
-    at plan-build time when PIL is absent (keeps failure obvious and
-    driver-side, not buried in executor logs)."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "decode_images requires Pillow, which is not installed in this "
-            "container; byte-level operators (extract_byte_histogram, "
-            "sample_frames) cover the mapInPandas plumbing deterministically"
-        )
+def decode_ppm(buf: bytes):
+    """Binary PPM (P6) bytes → (h, w, 3) uint8 array."""
+    import re
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    import numpy as np
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", buf)
+    if m is None:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    pixels = np.frombuffer(buf, dtype=np.uint8, count=h * w * 3, offset=m.end())
+    return pixels.reshape(h, w, 3)
+
+
+def _resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resize (floor index map — deterministic, the
+    standard src = floor(dst * in/out) grid)."""
+    import numpy as np
+
+    h_in, w_in = arr.shape[:2]
+    rows = (np.arange(height) * h_in) // height
+    cols = (np.arange(width) * w_in) // width
+    return arr[rows][:, cols]
+
+
+DECODED_IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, mode string, first_px int"
+)
+
+
+def _decode_one(buf: bytes):
+    """payload → (width, height, mode, first_px). PPM natively; anything
+    else via PIL when present."""
+    if buf[:2] == b"P6":
+        arr = decode_ppm(buf)
+        return arr.shape[1], arr.shape[0], "RGB", int(arr[0, 0, 0])
+    if _HAS_PIL:  # pragma: no cover — PIL absent in this container
         import io
 
         from PIL import Image as PILImage
 
+        img = PILImage.open(io.BytesIO(buf))
+        first = img.getpixel((0, 0))
+        return img.width, img.height, img.mode, int(
+            first[0] if isinstance(first, tuple) else first
+        )
+    raise ValueError(
+        "unsupported image format (only PPM/P6 decodes without Pillow)"
+    )
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode image payloads to (width, height, mode, first_px) inside
+    mapInPandas. PPM (P6) decodes in pure numpy — deterministic and
+    always available; other formats require Pillow."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                img = PILImage.open(io.BytesIO(bytes(buf)))
-                rows.append((doc_id, img.width, img.height, img.mode))
+                w, h, mode, px = _decode_one(bytes(buf))
+                rows.append((doc_id, w, h, mode, px))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "mode"]
+                rows, columns=["doc_id", "width", "height", "mode", "first_px"]
             )
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
@@ -199,33 +251,78 @@ def decode_images(media: DataFrame) -> DataFrame:
     )
 
 
-RESIZED_SCHEMA = "doc_id long, payload binary"
+RESIZED_SCHEMA = "doc_id long, media_type string, payload binary"
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Re-encode image payloads at (width × height) via PIL inside
-    mapInPandas. STUB in this environment (same gating rationale as
-    decode_images): raises at plan-build time when PIL is absent."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "resize_images requires Pillow, which is not installed in this "
-            "container"
+    """Resize image payloads to (width × height) inside mapInPandas.
+    PPM (P6) payloads resize nearest-neighbor in numpy and re-encode as
+    PPM (bit-deterministic); other formats require Pillow."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+
+    def resize_one(buf: bytes) -> bytes:
+        if buf[:2] == b"P6":
+            return encode_ppm(_resize_nearest(decode_ppm(buf), width, height))
+        if _HAS_PIL:  # pragma: no cover — PIL absent in this container
+            import io
+
+            from PIL import Image as PILImage
+
+            img = PILImage.open(io.BytesIO(buf)).resize((width, height))
+            out = io.BytesIO()
+            img.save(out, format=img.format or "PNG")
+            return out.getvalue()
+        raise ValueError(
+            "unsupported image format (only PPM/P6 resizes without Pillow)"
         )
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import io
-
-        from PIL import Image as PILImage
-
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                img = PILImage.open(io.BytesIO(bytes(buf))).resize((width, height))
-                out = io.BytesIO()
-                img.save(out, format=img.format or "PNG")
-                rows.append((doc_id, out.getvalue()))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+            rows = [
+                (doc_id, mt, resize_one(bytes(buf)))
+                for doc_id, mt, buf in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
         resize, RESIZED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic PPM corpus: deterministic image payloads derived from doc_id
+# alone, so the decode/resize round-trip has an ARITHMETIC DuckDB oracle
+# (expected dims and pixels are closed-form in doc_id — no codec needed on
+# the oracle side).
+# ---------------------------------------------------------------------------
+
+
+def synth_ppm_images(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_type='image', payload) where payload is
+    a PPM image of size (4 + doc_id%13) × (3 + doc_id%7) with pixel
+    (r, c, ch) = (doc_id*31 + r*7 + c*3 + ch) % 256. Only image-typed
+    rows (doc_id % 3 == 0, mirroring attach_media)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 3 + d % 7
+                r = np.arange(h).reshape(h, 1, 1) * 7
+                c = np.arange(w).reshape(1, w, 1) * 3
+                ch = np.arange(3).reshape(1, 1, 3)
+                arr = ((d * 31 + r + c + ch) % 256).astype(np.uint8)
+                rows.append((d, "image", encode_ppm(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, media_type string, payload binary")
     )

@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.multimodal import (
     attach_media,
+    decode_images,
     extract_byte_histogram,
+    resize_images,
     sample_frames,
+    synth_ppm_images,
 )
 from ..sources.tables import load_table
 from .registry import register
@@ -96,6 +99,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.octet_length("frame_bytes")).alias("frame_bytes"),
+    )
+
+
+@register(
+    "multimodal_image_decode_roundtrip",
+    # The synthetic PPM corpus is closed-form in doc_id (dims 4+d%13 ×
+    # 3+d%7, pixel(r,c,ch) = (d*31 + 7r + 3c + ch) % 256), so the oracle
+    # checks the encode → nearest-neighbor resize → decode round-trip
+    # arithmetically: resized first pixel is source pixel (0,0) and the
+    # in-corner sample at dst (5,7) maps to src (floor(5*h/6), floor(7*w/8)).
+    oracle="""
+WITH img AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w_in,
+         3 + doc_id % 7 AS h_in
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       8 AS width, 6 AS height, 'RGB' AS mode,
+       ((doc_id * 31) % 256)::INTEGER AS first_px,
+       ((doc_id * 31 + 7 * ((5 * h_in) // 6) + 3 * ((7 * w_in) // 8) + 2)
+         % 256)::INTEGER AS corner_px
+FROM img
+""",
+    tags=("multimodal", "decode", "resize", "mapInPandas"),
+)
+def multimodal_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: synthesize PPM payloads per image-typed doc,
+    resize nearest-neighbor to 8×6 (numpy inside mapInPandas), decode the
+    resized payload, and probe two pixels. Every byte is deterministic,
+    so the DuckDB oracle replays the whole round-trip in closed form."""
+    images = synth_ppm_images(load_table(spark, sf_dir, "documents"))
+    resized = resize_images(images, width=8, height=6)
+    decoded = decode_images(resized)
+
+    # Second probe, JVM-side: blue channel of resized pixel (row 5,
+    # col 7). The resized header "P6\n8 6\n255\n" is 11 bytes, so the
+    # byte sits at 1-based offset 11 + ((5*8 + 7)*3 + 2) + 1; substring
+    # slices BINARY natively and hex→conv reads the byte value — no
+    # second Python pass over the payloads.
+    off = 11 + ((5 * 8) + 7) * 3 + 2 + 1
+    corner = resized.select(
+        "doc_id",
+        F.conv(F.hex(F.expr(f"substring(payload, {off}, 1)")), 16, 10)
+        .cast("int")
+        .alias("corner_px"),
+    )
+    return decoded.join(corner, "doc_id").select(
+        "doc_id", "width", "height", "mode", "first_px", "corner_px"
     )
 
 

@@ -43,6 +43,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "multimodal_metadata_stats",
     "multimodal_frame_sample",
     "multimodal_byte_histogram",
+    "multimodal_image_decode_roundtrip",
 )
 
 #: Registry entries kept OUT of the driver-facing ``queries()`` surface so
@@ -74,6 +75,9 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "text_bigram_top_counts",
         # vector analytics extras; group_standardize + cosine_topk stay
         "vector_centroid_norm",
+        # O(n²) similarity_self_join baseline; dedup_embedding_cosine
+        # (kept) drives the same operator with the same oracle pattern
+        "vector_range_self_join",
         # sampling summary; balanced_lang_sample (kept) covers the family
         "pipeline_train_test_split",
     }

@@ -70,7 +70,48 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(result))
+    _report_deltas(result)
     spark.stop()
+
+
+def _report_deltas(result: dict) -> None:
+    """Round-over-round tracking: compare against the newest BENCH_r*.json
+    next to this script and print a per-query delta table to STDERR
+    (stdout stays the one-line JSON contract). A headline query >2× its
+    previous-round time is flagged as a REGRESSION."""
+    here = Path(__file__).resolve().parent
+    benches = sorted(here.glob("BENCH_r*.json"))
+    if not benches:
+        return
+    prev_path = benches[-1]
+    try:
+        prev = json.loads(prev_path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return
+    # Driver-recorded BENCH files wrap the bench JSON line under "parsed".
+    prev = prev.get("parsed", prev)
+    prev_q = prev.get("queries", {})
+    lines = [
+        f"-- bench deltas vs {prev_path.name} "
+        f"(total {prev.get('value')}s -> {result['value']}s) --"
+    ]
+    regressions = []
+    for name, now in sorted(result["queries"].items()):
+        was = prev_q.get(name)
+        if was is None:
+            lines.append(f"   {name:<40} {now:>7.3f}s   (new)")
+            continue
+        ratio = now / was if was else float("inf")
+        mark = ""
+        if ratio > 2.0:
+            mark = "  REGRESSION >2x"
+            regressions.append(name)
+        lines.append(f"   {name:<40} {now:>7.3f}s  vs {was:.3f}s  x{ratio:.2f}{mark}")
+    for name in sorted(set(prev_q) - set(result["queries"])):
+        lines.append(f"   {name:<40} (dropped; was {prev_q[name]:.3f}s)")
+    if regressions:
+        lines.append(f"-- {len(regressions)} regression(s): {', '.join(regressions)}")
+    print("\n".join(lines), file=sys.stderr)
 
 
 if __name__ == "__main__":

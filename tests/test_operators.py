@@ -47,6 +47,22 @@ def test_minhash_degenerate_bucket_is_capped(spark):
     assert uncapped.filter((F.col("a_id") < 40) & (F.col("b_id") < 40)).count() == 780
 
 
+def test_connected_components_chains_and_convergence(spark):
+    """a-b, b-c (no a-c edge) must collapse into one cluster labelled by
+    the min id; disjoint chains stay separate; a longer path converges
+    within the iteration bound."""
+    from vector_db_example_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    comp = {r.id: r.comp for r in connected_components(df).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     from vector_db_example_spark.operators.dedup import simhash_near_duplicates
 

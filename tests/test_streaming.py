@@ -144,3 +144,63 @@ def test_stream_ingest_into_ivf_layout(spark, tmp_path):
     qv = emb.filter(F.col("vec_id") == 400).collect()[0]["embedding"]
     hits = ivf_search(spark, index, qv, k=1, nprobe=1).collect()
     assert hits[0]["vec_id"] == 400 and hits[0]["distance"] == 0.0
+
+
+def test_stateful_topk_merges_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState must MERGE per-user state across
+    micro-batches: the events split into two files processed one file
+    per trigger must end at the same per-user top-3 as one pass over
+    everything (for every user updated in the final batch, and the
+    others carry their batch-1 snapshot)."""
+    import pandas as pd
+
+    from vector_db_example_spark.streaming.events import stateful_user_topk
+
+    src = tmp_path / "events_split"
+    src.mkdir()
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf[pdf.event_id % 2 == 0].to_parquet(src / "events_a.parquet", index=False)
+    pdf[pdf.event_id % 2 == 1].to_parquet(src / "events_b.parquet", index=False)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    snapshots: list = []
+
+    def capture(batch, batch_id):
+        snapshots.append((batch_id, batch.toPandas()))
+
+    q = (
+        stateful_user_topk(stream, k=3)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(snapshots) >= 2, "expected one micro-batch per file"
+
+    # latest snapshot per user across batches = the operator's answer
+    latest: dict[int, pd.DataFrame] = {}
+    for _, snap in sorted(snapshots, key=lambda s: s[0]):
+        for uid, grp in snap.groupby("user_id"):
+            latest[uid] = grp
+
+    expect = (
+        pdf[pdf.value.notna()]
+        .sort_values(["value", "event_id"], ascending=[False, True])
+        .groupby("user_id")
+        .head(3)
+    )
+    for uid, grp in expect.groupby("user_id"):
+        got = latest[uid].sort_values("rank")
+        assert got.event_id.tolist() == grp.event_id.tolist(), f"user {uid}"

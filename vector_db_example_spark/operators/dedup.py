@@ -276,3 +276,61 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list → the
+    canonical "duplicate clusters" step after any pairwise dedup pass
+    (a~b and b~c must collapse into ONE cluster even when a~c was never
+    emitted as a pair).
+
+    Returns (id, component) for every node appearing in ``edges``, where
+    ``component`` is the minimum node id of the cluster (the survivor a
+    keep-first policy retains).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(diameter) rounds. Duplicate clusters have tiny diameters (near-
+    dup relations are locally dense), so the loop exits after 2-3 rounds
+    in practice, and ``max_iter`` bounds the adversarial case. Each
+    round is one shuffle of the (symmetrized) edge list plus a
+    convergence count; labels are re-materialized per round
+    (localCheckpoint) so lineage stays flat. At extreme scale swap the
+    body for the alternating large-star/small-star variant (same
+    contract, O(log n) rounds).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import (
+    connected_components,
     exact_dup_groups,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -28,6 +29,7 @@ from .registry import register
 
 #: Shared in-plan duplicate plantings (must match the SQL CTEs verbatim).
 _PLANT_SUFFIX = " zzq zzw zzr"
+_PLANT_SUFFIX2 = " zzx zzy zzz"
 
 
 def _planted_corpus(spark: SparkSession, sf_dir: str, limit_id: int = 150) -> DataFrame:
@@ -408,4 +410,103 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_contaminated"
         ),
         F.sum(F.when(F.col("is_bench").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@register(
+    "dedup_duplicate_clusters",
+    # Same bit-exact md5 minhash pair generation as dedup_minhash_lsh,
+    # over a THREE-level planted corpus (base, +3 tokens, +6 tokens),
+    # then a recursive-CTE transitive closure: cluster_id = min reachable
+    # id — the independent oracle for the iterative min-label propagation.
+    oracle=f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000 AS id, text || '{_PLANT_SUFFIX}' AS text
+  FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 200000 AS id, text || '{_PLANT_SUFFIX}{_PLANT_SUFFIX2}' AS text
+  FROM documents WHERE doc_id < 150
+),
+base AS (
+  SELECT id, {_SHINGLE_SQL} AS sh
+  FROM (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus)
+),
+sig AS (
+  SELECT id, sh,
+         list_transform(range(1, 17),
+           s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sg
+  FROM base
+),
+banded AS (
+  SELECT id, b::INTEGER AS band,
+         md5(array_to_string(sg[(b*2+1):(b*2+2)], '')) AS key
+  FROM sig CROSS JOIN generate_series(0, 7) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT l.id AS a_id, r.id AS b_id
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM cand
+  JOIN base sa ON cand.a_id = sa.id
+  JOIN base sb ON cand.b_id = sb.id
+  WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+          / (len(sa.sh) + len(sb.sh)
+             - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.5
+),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id,
+       count(*)::BIGINT AS cluster_size,
+       max(id) AS max_member
+FROM comp GROUP BY cluster_id
+""",
+    tags=("dedup", "clusters", "graph"),
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: MinHash near-dup pairs over a
+    three-level planted corpus (base ~ +3-token variant ~ +6-token
+    variant) are closed under transitivity by iterative min-label
+    propagation (operators.dedup.connected_components), yielding one row
+    per cluster with its keep-first survivor id as cluster_id. This is
+    the step every production dedup pipeline needs between "pairs" and
+    "drop list" — a~b and b~c must collapse even when a~c was never
+    emitted."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    lvl1 = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
+    )
+    lvl2 = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX + _PLANT_SUFFIX2)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(lvl1).unionByName(lvl2)
+    pairs = minhash_near_duplicates(
+        corpus,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=3,
+        n_hashes=16,
+        bands=8,
+        threshold=0.5,
+    )
+    comps = connected_components(pairs)
+    return comps.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("id").alias("max_member"),
     )

@@ -290,3 +290,38 @@ def pipeline_multi_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_threshold=-1.0,  # unit-norm corpus: keep all, rank by score
     )
     return out.withColumn("score", F.round("score", 6))
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle="""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks
+)
+SELECT source AS stream,
+       ((c - n_tokens) // 2048)::BIGINT AS pack_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens,
+       min(doc_id) AS first_doc
+FROM cum
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "packing", "training"),
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing at budget 2048: each
+    document joins the pack where its first token lands (per-source
+    streams, doc_id order — reproducible for resumable training). One
+    shuffle on the stream key; streams pack independently."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=2048)

@@ -44,6 +44,10 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_byte_histogram",
     "multimodal_image_decode_roundtrip",
+    # round-2 additions — no verdict yet, so they lead with the others
+    "dedup_duplicate_clusters",
+    "pipeline_sequence_packing",
+    "stream_user_topk_state",
 )
 
 #: Registry entries kept OUT of the driver-facing ``queries()`` surface so
@@ -59,6 +63,14 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "agg_rollup_order_status",
         # sliding window (kept) generalizes tumbling; stream tumbling kept too
         "events_tumbling_window",
+        # batch sliding window: stream_events_sliding_window (kept) runs
+        # the same windows/oracle as a stateful streaming plan
+        "events_sliding_window",
+        # conditional-agg pivot and JSON-props extraction: r01-green
+        # groupBy shapes; the events family keeps sessionization, asof,
+        # range join, funnel, CDC snapshot and quantiles in the surface
+        "events_user_daily_pivot",
+        "events_json_props",
         # plain groupBy stats; JSON-props variant (kept) is the distinctive op
         "events_type_stats",
         # relational breadth beyond the reference; q1/q3 stay as anchors

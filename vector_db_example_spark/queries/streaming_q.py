@@ -25,6 +25,7 @@ from ..streaming.events import (
     read_events_stream,
     run_to_memory,
     session_windows,
+    stateful_user_topk,
     windowed_type_counts,
 )
 from ..streaming.ingest import stream_ingest_documents
@@ -143,6 +144,31 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.select("event_id", "event_type"), name="dedup", output_mode="append"
     )
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "stream_user_topk_state",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, value, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, rank::INTEGER AS rank, value, event_type, event_id
+FROM ranked WHERE rank <= 3
+""",
+    tags=("streaming", "state", "applyInPandasWithState"),
+)
+def stream_user_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user top-3 events by value held as explicit O(k) group state.
+    On the static input this must equal the batch window top-k — the
+    oracle is a plain row_number window."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        stateful_user_topk(stream, k=3), name="user_topk", output_mode="update"
+    )
 
 
 @register(

@@ -121,3 +121,69 @@ def run_to_memory(
     )
     q.awaitTermination()
     return result.sparkSession.table(qname)
+
+
+def stateful_user_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """CUSTOM stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for semantics no built-in stateful op expresses: a
+    per-user bounded top-k heap (largest ``value`` events, event_id
+    tiebreak) carried as explicit group state across micro-batches.
+
+    State is the current top-k triple-list only — O(k) per user however
+    long the stream runs, the state-store discipline that survives
+    unbounded streams. Each invocation merges the group's new rows into
+    the heap, persists it, and emits the updated top-k (update-mode
+    snapshot semantics: with a multi-batch source the sink holds one
+    snapshot per batch; the latest is the answer — on the harness's
+    single-file source exactly one batch fires, so the emission IS the
+    final answer and equals the batch window-top-k).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, rank int, value double, event_type string, event_id long"
+    )
+    state_schema = (
+        "values array<double>, event_ids array<long>, types array<string>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        rows: list[tuple[float, int, str]] = []
+        if state.exists:
+            vs, ids, tys = state.get
+            rows = list(zip(vs, ids, tys))
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    (float(v) for v in pdf["value"]),
+                    (int(i) for i in pdf["event_id"]),
+                    (str(t) for t in pdf["event_type"]),
+                )
+            )
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        top = rows[:k]
+        state.update(
+            ([r[0] for r in top], [r[1] for r in top], [r[2] for r in top])
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "value": [r[0] for r in top],
+                "event_type": [r[2] for r in top],
+                "event_id": [r[1] for r in top],
+            }
+        )
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

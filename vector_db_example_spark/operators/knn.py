@@ -92,11 +92,16 @@ def knn_batch(
 ) -> DataFrame:
     """Per-query top-k for a (small) DataFrame of query vectors.
 
-    ``queries`` must have ``query_id_col`` and ``query_vector_col``. The
-    query side is broadcast → a single corpus scan computes all distances;
-    ``row_number`` over (query, distance) keeps k per query.
+    ``queries`` must have ``query_id_col`` and ``query_vector_col``; any
+    OTHER query columns ride along through the broadcast and appear in
+    the output (so callers with per-query metadata — priority, fetch
+    size, labels — never need a second join against the query table,
+    which would broadcast it twice); their names must not collide with
+    corpus columns. The query side is broadcast → a
+    single corpus scan computes all distances; ``row_number`` over
+    (query, distance) keeps k per query.
     """
-    q = F.broadcast(queries.select(query_id_col, query_vector_col))
+    q = F.broadcast(queries)
     joined = corpus.crossJoin(q)
     if metric == "l2":
         dist = l2_distance(F.col(vector_col), F.col(query_vector_col))
@@ -152,3 +157,84 @@ def similarity_self_join(
         .filter(F.col("distance") <= F.lit(max_distance))
         .select("a_id", "b_id", "distance")
     )
+
+
+def knn_grouped(
+    corpus: DataFrame,
+    query_vec,
+    k: int = DEFAULT_TOP_K,
+    group_col: str = "chapter",
+    group_size: int = 1,
+    vector_col: str = "embedding",
+    metric: str = "l2",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Grouping search (Milvus 2.4 ``group_by_field`` semantics): the
+    top-k *groups* by their best hit, each represented by its
+    ``group_size`` best rows — result diversity across e.g. chapters
+    instead of k near-identical chunks from one document.
+
+    Shape: per-group top rows via a window over the group key (one
+    shuffle on the group key, map-side distance), then the tiny
+    one-row-per-group table ranks globally — the corpus is scanned once
+    and never broadcast or re-shuffled.
+    """
+    q = _vector_literal(query_vec) if not isinstance(query_vec, Column) else query_vec
+    if metric == "l2":
+        dist = l2_distance(F.col(vector_col), q)
+    elif metric == "cosine":
+        dist = F.lit(1.0) - cosine_similarity(F.col(vector_col), q)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = corpus.withColumn("distance", dist).withColumn(
+        "score", score_from_distance("distance")
+    )
+    in_group = Window.partitionBy(group_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    best = (
+        scored.withColumn("group_rank", F.row_number().over(in_group))
+        .filter(F.col("group_rank") <= group_size)
+    )
+    # the group_rank==1 row IS the group's best hit — rank groups by it
+    # (TakeOrdered over one row per group, no second window pass)
+    top_groups = (
+        best.filter(F.col("group_rank") == 1)
+        .orderBy(F.col("distance").asc(), F.col(group_col).asc())
+        .limit(k)
+        .select(group_col)
+    )
+    return (
+        best.join(F.broadcast(top_groups), group_col)
+        .select(group_col, id_col, "group_rank", "distance", "score")
+    )
+
+
+def knn_range(
+    corpus: DataFrame,
+    query_vec,
+    radius: float,
+    range_filter: float | None = None,
+    vector_col: str = "embedding",
+    metric: str = "l2",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Range search (Milvus 2.4 ``radius``/``range_filter`` semantics for
+    distance metrics): all rows with ``range_filter <= distance < radius``
+    — no k limit; the band filter is a pure map-side predicate, so the
+    plan is scan → filter with zero shuffle (callers paginate/iterate).
+    """
+    q = _vector_literal(query_vec) if not isinstance(query_vec, Column) else query_vec
+    if metric == "l2":
+        dist = l2_distance(F.col(vector_col), q)
+    elif metric == "cosine":
+        dist = F.lit(1.0) - cosine_similarity(F.col(vector_col), q)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    out = (
+        corpus.withColumn("distance", dist)
+        .filter(F.col("distance") < F.lit(float(radius)))
+    )
+    if range_filter is not None:
+        out = out.filter(F.col("distance") >= F.lit(float(range_filter)))
+    return out.select(id_col, "distance")

@@ -139,6 +139,9 @@ def multi_strategy_search(
         )
         .select("sq_id", "question_id", "strategy", "priority", "k", "query_vec")
     )
+    # The per-strategy metadata (question_id, priority, per-row k) rides
+    # through knn_batch's query broadcast, so no second join / second
+    # broadcast of the query table is needed downstream.
     hits = knn_batch(
         corpus,
         embedded,
@@ -148,12 +151,6 @@ def multi_strategy_search(
         query_id_col="sq_id",
         score_threshold=score_threshold,
         id_col=id_col,
-    )
-    # knn_batch returns corpus cols + sq_id + rank; re-attach the
-    # per-strategy metadata (priority, per-row k) via a broadcast join.
-    hits = hits.join(
-        F.broadcast(embedded.select("sq_id", "question_id", "strategy", "priority", "k")),
-        "sq_id",
     ).filter(F.col("rank") <= F.col("k"))
 
     # U2: first-occurrence dedup on content[:50] within each question,

@@ -48,6 +48,8 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "dedup_duplicate_clusters",
     "pipeline_sequence_packing",
     "stream_user_topk_state",
+    "vector_grouping_search",
+    "vector_range_search",
 )
 
 #: Registry entries kept OUT of the driver-facing ``queries()`` surface so
@@ -83,6 +85,12 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "pipeline_ingest_jsonl",
         # per-doc stats are replayed inside pipeline_corpus_curation (kept)
         "text_stats_full",
+        # F3 chunking: sentence_split (kept) is the reference's actual op;
+        # token windows are the extra-reference variant
+        "text_chunk_token_windows",
+        # same match set as events_asof_click_purchase (kept); the
+        # bucketed range-join operator keeps its brute-force pytest
+        "events_range_join_clicks_before_purchase",
         # unigram top-k (kept) covers the tokenize→explode→topk family
         "text_bigram_top_counts",
         # vector analytics extras; group_standardize + cosine_topk stay

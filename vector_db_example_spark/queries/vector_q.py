@@ -336,3 +336,69 @@ def vector_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("dims"),
         F.round(F.sqrt(F.sum(F.col("cv") * F.col("cv"))), 6).alias("centroid_norm"),
     )
+
+
+@register(
+    "vector_grouping_search",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
+d AS (
+  SELECT e.label, e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label ORDER BY dist, vec_id)
+           AS group_rank
+  FROM d
+),
+best AS (SELECT * FROM r WHERE group_rank <= 2),
+gb AS (SELECT label, min(dist) AS group_best FROM best GROUP BY label),
+topg AS (SELECT label FROM gb ORDER BY group_best, label LIMIT 5)
+SELECT best.label, best.vec_id, group_rank::INTEGER AS group_rank,
+       round(dist, 6) AS distance, round(1.0 - dist, 6) AS score
+FROM best JOIN topg ON best.label = topg.label
+""",
+    tags=("vector", "grouping", "milvus24"),
+)
+def vector_grouping_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping search (Milvus 2.4 group_by_field): top-5 label groups by
+    their best hit, 2 representatives each — result diversity across
+    groups instead of 10 near-identical neighbors."""
+    from ..operators.knn import knn_grouped
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_grouped(
+        emb, _query_vec(spark, sf_dir, 9), k=5, group_col="label", group_size=2
+    )
+    return out.select(
+        "label",
+        "vec_id",
+        "group_rank",
+        F.round("distance", 6).alias("distance"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@register(
+    "vector_range_search",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+d AS (
+  SELECT e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(dist, 6) AS distance
+FROM d WHERE dist < 1.40 AND dist >= 1.25
+""",
+    tags=("vector", "range", "milvus24"),
+)
+def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (Milvus 2.4 radius/range_filter): every row in the
+    distance band [1.25, 1.40) — a pure map-side predicate, zero shuffle,
+    no k limit (the iterator/pagination form of search)."""
+    from ..operators.knn import knn_range
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_range(emb, _query_vec(spark, sf_dir, 5), radius=1.40, range_filter=1.25)
+    return out.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -42,5 +42,9 @@ def test_driver_surface_capped_and_critical_first():
     # test_oracle_parity) — they are trimmed, not deleted
     assert DRIVER_EXCLUDED <= set(QUERIES)
     assert not (DRIVER_EXCLUDED & set(qs))
+    sketches = {"agg_approx_distinct_sketch", "events_approx_quantiles"}
     for name in DRIVER_EXCLUDED:
-        assert QUERIES[name].oracle is not None, name
+        # every excluded query keeps a local oracle-parity check, except
+        # the sketches whose checks are dedicated error-bound tests
+        if name not in sketches:
+            assert QUERIES[name].oracle is not None, name

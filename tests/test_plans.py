@@ -153,6 +153,40 @@ def test_funnel_no_user_level_broadcast_single_job(spark):
     assert len(user_shuffles) == 1, user_shuffles
 
 
+def test_grouping_search_no_corpus_broadcast_single_group_shuffle(spark):
+    """Grouping search: one hashpartitioning(label) exchange for the
+    per-group window; the corpus itself is never broadcast (only the
+    k-row top-groups table is)."""
+    plan = _plan(QUERIES["vector_grouping_search"].fn(spark, SF_SMOKE), execute=True)
+    label_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "label" in ln
+    ]
+    assert len(label_shuffles) <= 2  # window + (AQE-planned) join side
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_search_is_pure_map_side(spark):
+    """Range search must compile to scan -> filter with no exchange at
+    all — the band predicate is evaluated where the data lives."""
+    plan = _plan(QUERIES["vector_range_search"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_sequence_packing_single_stream_shuffle(spark):
+    """Packing = one shuffle on the stream key; the window and the
+    per-pack rollup reuse the same distribution."""
+    plan = _plan(QUERIES["pipeline_sequence_packing"].fn(spark, SF_SMOKE), execute=True)
+    stream_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "source" in ln
+    ]
+    assert len(stream_shuffles) == 1, stream_shuffles
+    assert "BroadcastExchange" not in plan
+
+
 def test_cube_is_single_expand_aggregation(spark):
     """CUBE compiles to one Expand (4 grouping sets map-side) feeding one
     partial+final aggregation — not 4 separate scans unioned."""

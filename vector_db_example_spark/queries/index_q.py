@@ -152,3 +152,60 @@ def vector_ivf_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "a_id", "b_id", F.round("distance", 6).alias("distance")
     )
+
+
+@register(
+    "vector_sq8_rerank_topk",
+    # Full closed-form oracle: per-dim min/max -> scales -> floor codes ->
+    # midpoint-dequantized approximate distance -> approx top-30 ->
+    # exact rerank top-10. floor (not round) keeps the code assignment
+    # engine-portable; multiplication (not pow) matches Spark's fold.
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+dims AS (
+  SELECT i.i AS d,
+         min(e.embedding[i.i]::DOUBLE) AS mn,
+         max(e.embedding[i.i]::DOUBLE) AS mx
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1
+),
+params AS (
+  SELECT list(mn ORDER BY d) AS mins,
+         list(greatest((mx - mn) / 256.0, 1e-12) ORDER BY d) AS scs
+  FROM dims
+),
+coded AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(range(1, 65),
+           i -> greatest(0, least(255,
+                  floor((e.embedding[i]::DOUBLE - p.mins[i]) / p.scs[i])::BIGINT)))
+           AS codes
+  FROM embeddings e CROSS JOIN params p
+),
+approx AS (
+  SELECT c.vec_id, c.embedding,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> (q.qv[i]::DOUBLE - (p.mins[i] + (c.codes[i] + 0.5) * p.scs[i]))
+              * (q.qv[i]::DOUBLE - (p.mins[i] + (c.codes[i] + 0.5) * p.scs[i])))))
+           AS ad
+  FROM coded c CROSS JOIN params p CROSS JOIN q
+),
+cand AS (SELECT * FROM approx ORDER BY ad, vec_id LIMIT 30)
+SELECT cand.vec_id,
+       round({_l2_sql('cand.embedding', 'q.qv')}, 6) AS distance
+FROM cand CROSS JOIN q
+ORDER BY {_l2_sql('cand.embedding', 'q.qv')}, cand.vec_id
+LIMIT 10
+""",
+    tags=("vector", "index", "sq8", "quantization"),
+)
+def vector_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized search (the IVF_SQ8 family): 8-bit per-dim
+    affine codes (4x memory/IO), approximate top-30 on dequantized codes
+    map-side, exact rerank to top-10 — deterministic end to end, so the
+    whole quantize/search path is hash-checked, not just recall-bounded."""
+    from ..index.sq8 import sq8_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sq8_search(emb, _query_vec(spark, sf_dir, 7), k=10, overfetch=3)
+    return out.select("vec_id", F.round("distance", 6).alias("distance"))

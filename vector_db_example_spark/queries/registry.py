@@ -50,6 +50,8 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "stream_user_topk_state",
     "vector_grouping_search",
     "vector_range_search",
+    "vector_sq8_rerank_topk",
+    "text_pii_scrub",
 )
 
 #: Registry entries kept OUT of the driver-facing ``queries()`` surface so
@@ -81,6 +83,10 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "join_semi_anti_customers",
         "agg_distinct_counts",
         "window_running_revenue",
+        # rows-only sketches: the driver check is existence-only; the
+        # rsd/epsilon error bounds live in tests/test_bucketing.py
+        "agg_approx_distinct_sketch",
+        "events_approx_quantiles",
         # CSV ingest (kept) is the reference's actual source; JSONL is extra
         "pipeline_ingest_jsonl",
         # per-doc stats are replayed inside pipeline_corpus_curation (kept)

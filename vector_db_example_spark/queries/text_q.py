@@ -410,3 +410,67 @@ def text_bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "text_pii_scrub",
+    # PII is planted deterministically (no natural emails/phones in the
+    # synthetic corpus), then both engines run the same portable regexes
+    # (no lookaround — Java regex and RE2 agree) and count + redact.
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN ' contact user' || doc_id ||
+                           '@example.com or 555-123-4567 now'
+                      ELSE '' END AS text
+  FROM documents
+),
+pat AS (
+  SELECT doc_id, text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email_re,
+         '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b' AS phone_re
+  FROM corpus
+)
+SELECT doc_id,
+       (len(regexp_extract_all(text, email_re))
+        + len(regexp_extract_all(text, phone_re)))::BIGINT AS n_pii,
+       regexp_replace(regexp_replace(text, email_re, '[EMAIL]', 'g'),
+                      phone_re, '[PHONE]', 'g') AS clean_text
+FROM pat
+""",
+    tags=("text", "pii", "scrub"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email + phone redaction with per-doc counts) — the
+    compliance pass every training-data pipeline runs before anything
+    else. Pure JVM regex expressions, map-side only; the patterns avoid
+    lookaround so they behave identically across engines."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_pii = F.size(F.regexp_extract_all(F.col("text"), F.lit(email_re), 0)) + F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(phone_re), 0)
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return planted.select(
+        "doc_id",
+        n_pii.cast("long").alias("n_pii"),
+        clean.alias("clean_text"),
+    )

@@ -198,3 +198,38 @@ def test_build_rejects_undersized_training_set(spark, tmp_path):
     emb = load_table(spark, SF_SMOKE, "embeddings").limit(5)
     with pytest.raises(ValueError, match="nlist"):
         build_ivf_index(emb, path=str(tmp_path / "x"), nlist=16)
+
+
+def test_ivf_sq8_exact_identity_and_column_pruning(spark, tmp_path):
+    """IVF_SQ8 with nprobe=nlist and a generous overfetch must reproduce
+    the exact top-k, and its approximate stage must scan ONLY the code
+    column (the float vectors stay unread until the rerank) — partition
+    pruning cuts rows, column pruning cuts bytes."""
+    from vector_db_example_spark.index.sq8 import (
+        build_ivf_sq8_index,
+        ivf_sq8_search,
+    )
+    from vector_db_example_spark.operators.knn import knn_exact
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index, mins, scales = build_ivf_sq8_index(
+        emb, path=str(tmp_path / "ivfsq8"), nlist=8
+    )
+    q = emb.filter(F.col("vec_id") == 11).head().embedding
+
+    hits = ivf_sq8_search(
+        spark, index, mins, scales, q, k=10, nprobe=8, overfetch=5
+    )
+    got = [(r.vec_id, round(r.distance, 9)) for r in hits.collect()]
+    exact = [
+        (r.vec_id, round(r.distance, 9))
+        for r in knn_exact(emb, q, k=10, score_threshold=None).collect()
+    ]
+    assert got == exact
+
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    code_scans = [ln for ln in scans if "sq8_codes" in ln and "embedding" not in ln]
+    assert code_scans, f"approx stage must not read float vectors: {scans}"
+    assert all("PartitionFilters" in ln and "cell_id" in ln for ln in scans)

@@ -109,3 +109,67 @@ def sq8_search(
         .limit(k)
         .select(id_col, "distance")
     )
+
+
+def build_ivf_sq8_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    **build_kw,
+):
+    """IVF_SQ8 proper: train global SQ8 params, store the 8-bit codes AS
+    A COLUMN of the cell-partitioned IVF layout. Returns
+    (IVFIndex, mins, scales). The approximate search stage then scans
+    ONLY (cell_id, id, codes) — partition pruning cuts rows, column
+    pruning cuts the float vectors, which is where the 4x IO saving
+    actually lands at scale."""
+    from .ivf import build_ivf_index
+
+    mins, scales = train_sq8_params(df, vector_col)
+    coded = df.withColumn("sq8_codes", sq8_codes(F.col(vector_col), mins, scales))
+    index = build_ivf_index(
+        coded, path, nlist=nlist, vector_col=vector_col, id_col=id_col, **build_kw
+    )
+    return index, mins, scales
+
+
+def ivf_sq8_search(
+    spark,
+    index,
+    mins: list[float],
+    scales: list[float],
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    overfetch: int = 3,
+) -> DataFrame:
+    """Two-stage IVF_SQ8 search: partition-pruned scan of the nprobe
+    nearest cells reading only the code column (approximate top-
+    (k·overfetch)), then exact rerank of just those candidates against
+    the float vectors (broadcast candidate-id semi-join into the same
+    pruned cells)."""
+    from ..functions.vector import l2_distance
+    from .ivf import nearest_cells
+
+    probe = nearest_cells(index, query_vec, nprobe)
+    pruned = spark.read.parquet(index.path).filter(F.col("cell_id").isin(probe))
+    approx = (
+        pruned.select(index.id_col, "sq8_codes")
+        .withColumn(
+            "approx_distance",
+            sq8_distance(F.col("sq8_codes"), query_vec, mins, scales),
+        )
+        .orderBy(F.col("approx_distance").asc(), F.col(index.id_col).asc())
+        .limit(k * overfetch)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        pruned.select(index.id_col, index.vector_col)
+        .join(F.broadcast(approx.select(index.id_col)), index.id_col)
+        .withColumn("distance", l2_distance(F.col(index.vector_col), qlit))
+        .orderBy(F.col("distance").asc(), F.col(index.id_col).asc())
+        .limit(k)
+        .select(index.id_col, "distance")
+    )

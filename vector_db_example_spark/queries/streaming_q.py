@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..streaming.events import (
+    interval_join_clicks_before_purchases,
     read_events_stream,
     run_to_memory,
     session_windows,
@@ -144,6 +145,35 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.select("event_id", "event_type"), name="dedup", output_mode="append"
     )
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "stream_events_interval_join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events
+      WHERE event_type = 'click')
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       c.value AS click_value
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <  p.ts
+""",
+    tags=("streaming", "join", "interval"),
+)
+def stream_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases x preceding clicks) as a
+    REAL streaming plan — double-watermarked, time-bounded state. On the
+    static input this equals the batch inner range join (same oracle
+    family as the bucketed batch form)."""
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = interval_join_clicks_before_purchases(purchases, clicks)
+    return run_to_memory(joined, name="interval_join", output_mode="append")
 
 
 @register(

@@ -187,3 +187,52 @@ def stateful_user_topk(events: DataFrame, k: int = 3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join_clicks_before_purchases(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: each purchase matched to the
+    same user's clicks in the preceding ``window_seconds``. Both sides
+    carry watermarks and the join condition bounds event time in both
+    directions, so the state store retains only rows inside the interval
+    plus the watermark delay — bounded state on unbounded streams (the
+    canonical Structured Streaming stream-stream join shape).
+
+    Inner (not left-outer) deliberately: inner matches emit as soon as
+    both rows arrive, so a static input equals the batch inner join
+    exactly; outer results would wait on watermark advancement and drop
+    the tail of a finite run.
+    """
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "click_value",
+    )

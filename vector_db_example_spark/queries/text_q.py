@@ -474,3 +474,50 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pii.cast("long").alias("n_pii"),
         clean.alias("clean_text"),
     )
+
+
+@register(
+    "text_repetition_filter",
+    # Same 3-gram derivation as the minhash family but WITHOUT the
+    # distinct: the repetition ratio is 1 - distinct/total shingles.
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(grams)::BIGINT AS total_3grams,
+       len(list_distinct(grams))::BIGINT AS distinct_3grams,
+       round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS rep_ratio,
+       (1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) <= 0.2 AS kept
+FROM g
+""",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rule: the fraction of duplicated 3-gram
+    shingles per document (1 - distinct/total); documents above 0.2 are
+    flagged for removal. Pure higher-order expressions, map-side only —
+    the canonical cheap quality gate before any dedup pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    ratio = F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    return docs.select(
+        "doc_id",
+        total.alias("total_3grams"),
+        distinct.alias("distinct_3grams"),
+        F.round(ratio, 6).alias("rep_ratio"),
+        (ratio <= 0.2).alias("kept"),
+    )

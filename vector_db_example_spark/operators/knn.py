@@ -238,3 +238,36 @@ def knn_range(
     if range_filter is not None:
         out = out.filter(F.col("distance") >= F.lit(float(range_filter)))
     return out.select(id_col, "distance")
+
+
+def knn_truncated_rerank(
+    corpus: DataFrame,
+    query_vec,
+    k: int = DEFAULT_TOP_K,
+    prefix_dims: int = 16,
+    overfetch: int = 3,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index-free two-stage search on truncated dimensions (the
+    matryoshka-embedding pattern): approximate top-(k·overfetch) using
+    only the first ``prefix_dims`` components (4x fewer flops at
+    prefix 16/64, and with a column of pre-sliced prefixes, 4x less IO),
+    then exact rerank on the full vectors. Both stages are map-side +
+    TakeOrdered — no shuffle, no index to maintain."""
+    q_prefix = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dims]])
+    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    approx = (
+        corpus.withColumn(
+            "approx_distance",
+            l2_distance(F.slice(F.col(vector_col), 1, prefix_dims), q_prefix),
+        )
+        .orderBy(F.col("approx_distance").asc(), F.col(id_col).asc())
+        .limit(k * overfetch)
+    )
+    return (
+        approx.withColumn("distance", l2_distance(F.col(vector_col), q_full))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "distance")
+    )

@@ -111,6 +111,9 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # O(n²) similarity_self_join baseline; dedup_embedding_cosine
         # (kept) drives the same operator with the same oracle pattern
         "vector_range_self_join",
+        # local-only ANN variant; the two-stage rerank family is driver-
+        # checked via vector_sq8_rerank_topk
+        "vector_truncated_rerank",
         # sampling summary; balanced_lang_sample (kept) covers the family
         "pipeline_train_test_split",
     }

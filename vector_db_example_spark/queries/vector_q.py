@@ -402,3 +402,33 @@ def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = knn_range(emb, _query_vec(spark, sf_dir, 5), radius=1.40, range_filter=1.25)
     return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "vector_truncated_rerank",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+a AS (
+  SELECT e.vec_id, e.embedding,
+         {_l2_sql('e.embedding', 'q.qv', dim=16)} AS ad
+  FROM embeddings e CROSS JOIN q
+),
+cand AS (SELECT * FROM a ORDER BY ad, vec_id LIMIT 30)
+SELECT cand.vec_id, round({_l2_sql('cand.embedding', 'q.qv')}, 6) AS distance
+FROM cand CROSS JOIN q
+ORDER BY {_l2_sql('cand.embedding', 'q.qv')}, cand.vec_id
+LIMIT 10
+""",
+    tags=("vector", "matryoshka", "rerank"),
+)
+def vector_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage search: approximate on the first 16 of
+    64 dims, exact rerank of the 30 candidates — the index-free ANN
+    accelerator for truncation-trained embeddings."""
+    from ..operators.knn import knn_truncated_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_truncated_rerank(
+        emb, _query_vec(spark, sf_dir, 3), k=10, prefix_dims=16, overfetch=3
+    )
+    return out.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -233,3 +233,111 @@ def test_ivf_sq8_exact_identity_and_column_pruning(spark, tmp_path):
     code_scans = [ln for ln in scans if "sq8_codes" in ln and "embedding" not in ln]
     assert code_scans, f"approx stage must not read float vectors: {scans}"
     assert all("PartitionFilters" in ln and "cell_id" in ln for ln in scans)
+
+
+def test_pq_overfetch_all_is_exact(spark):
+    """PQ with overfetch covering the whole corpus must reproduce the
+    exact top-k: the ADC stage then only orders candidates, and the
+    rerank is a plain exact knn — the PQ analog of nprobe=nlist."""
+    from vector_db_example_spark.index.pq import pq_search
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    q = _qvec(spark, 11)
+    got = [
+        (r.vec_id, round(r.distance, 9))
+        for r in pq_search(emb, q, k=10, overfetch=n).collect()
+    ]
+    exact = [
+        (r.vec_id, round(r.distance, 9))
+        for r in _exact_topk(spark, q, k=10).collect()
+    ]
+    assert got == exact
+
+
+def test_pq_codes_shape_and_reconstruction_bound(spark):
+    """Codes are m small ints in [0, ksub); the reconstruction error is
+    bounded by the distance to the nearest sampled codeword per subspace
+    (sanity: on unit vectors the patchwork must be non-degenerate)."""
+    from vector_db_example_spark.index.pq import (
+        pq_codes,
+        pq_reconstruct,
+        train_pq_codebook,
+    )
+    from vector_db_example_spark.functions.vector import l2_distance
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = train_pq_codebook(emb)
+    assert len(cb) == 32 and len(cb[0]) == 64
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        pq_codes(F.col("embedding"), cb).alias("codes"),
+    )
+    stats = coded.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+        F.max(
+            l2_distance(pq_reconstruct(F.col("codes"), cb), F.col("embedding"))
+        ).alias("max_err"),
+    ).head()
+    assert stats.lo >= 0 and stats.hi <= 31 and stats.m == 8
+    # unit vectors: worst-case patchwork error is far below the 2.0
+    # diameter; a broken argmin would push this toward sqrt(2)+
+    assert stats.max_err < 1.5
+
+
+def test_pq_recall_beats_random(spark):
+    """ADC top-50 candidates must contain most of the exact top-10 on
+    average — recall >= 0.6 over a query panel (random 50 of 500 would
+    give ~0.1; near-random unit vectors are PQ's worst case, so the
+    per-query spread is wide by nature)."""
+    from vector_db_example_spark.index.pq import pq_search
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    recalls = []
+    for vid in (3, 11, 42, 99, 200):
+        q = _qvec(spark, vid)
+        got = {r.vec_id for r in pq_search(emb, q, k=10, overfetch=5).collect()}
+        exact = {r.vec_id for r in _exact_topk(spark, q, k=10).collect()}
+        recalls.append(len(got & exact) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_pq_exact_identity_and_column_pruning(spark, tmp_path):
+    """IVF_PQ with nprobe=nlist and overfetch covering the corpus must
+    reproduce the exact top-k, and its ADC stage must scan ONLY the code
+    column (the float vectors stay unread until the rerank)."""
+    from vector_db_example_spark.index.pq import (
+        build_ivf_pq_index,
+        ivf_pq_search,
+    )
+    from vector_db_example_spark.operators.knn import knn_exact
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    index, codebook = build_ivf_pq_index(
+        emb, path=str(tmp_path / "ivfpq"), nlist=8
+    )
+    q = _qvec(spark, 11)
+
+    hits = ivf_pq_search(
+        spark, index, codebook, q, k=10, nprobe=8, overfetch=n
+    )
+    got = [(r.vec_id, round(r.distance, 9)) for r in hits.collect()]
+    exact = [
+        (r.vec_id, round(r.distance, 9))
+        for r in knn_exact(emb, q, k=10, score_threshold=None).collect()
+    ]
+    assert got == exact
+
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    code_scans = [ln for ln in scans if "pq_codes" in ln and "embedding" not in ln]
+    assert code_scans, f"ADC stage must not read float vectors: {scans}"
+    assert all("PartitionFilters" in ln and "cell_id" in ln for ln in scans)

@@ -209,3 +209,66 @@ def vector_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = sq8_search(emb, _query_vec(spark, sf_dir, 7), k=10, overfetch=3)
     return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+_PQ_SAMPLE_SQL = ", ".join(str(7 + 15 * k) for k in range(32))
+
+
+@register(
+    "vector_pq_adc_topk",
+    # Full closed-form oracle for product quantization: the codebook is a
+    # deterministic corpus sample (k-means init without the Lloyd step —
+    # iterative means are not bit-reproducible across engines), so encode
+    # (per-subspace argmin, ties -> smallest code via the rn window), ADC
+    # distance (query vs per-subspace codeword patchwork, fixed 64-fold
+    # add order) and the exact rerank all hash-match.
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+cb AS (
+  SELECT list(embedding ORDER BY vec_id) AS cws
+  FROM embeddings WHERE vec_id IN ({_PQ_SAMPLE_SQL})
+),
+dists AS (
+  SELECT e.vec_id, j.j, k.k,
+         list_sum(list_transform(range(1, 9), d ->
+           (e.embedding[j.j*8+d]::DOUBLE - cb.cws[k.k+1][j.j*8+d]::DOUBLE)
+         * (e.embedding[j.j*8+d]::DOUBLE - cb.cws[k.k+1][j.j*8+d]::DOUBLE)))
+           AS dist
+  FROM embeddings e CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS k) k
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY j) AS codes FROM (
+    SELECT vec_id, j, k AS code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+    FROM dists) WHERE rn = 1 GROUP BY vec_id
+),
+approx AS (
+  SELECT c.vec_id, e.embedding,
+         sqrt(list_sum(list_transform(range(1, 65), i ->
+           (q.qv[i]::DOUBLE - cb.cws[c.codes[((i-1)//8)+1]+1][i]::DOUBLE)
+         * (q.qv[i]::DOUBLE - cb.cws[c.codes[((i-1)//8)+1]+1][i]::DOUBLE))))
+           AS ad
+  FROM codes c JOIN embeddings e USING (vec_id) CROSS JOIN cb CROSS JOIN q
+),
+cand AS (SELECT * FROM approx ORDER BY ad, vec_id LIMIT 50)
+SELECT cand.vec_id,
+       round({_l2_sql('cand.embedding', 'q.qv')}, 6) AS distance
+FROM cand CROSS JOIN q
+ORDER BY {_l2_sql('cand.embedding', 'q.qv')}, cand.vec_id
+LIMIT 10
+""",
+    tags=("vector", "index", "pq", "quantization"),
+)
+def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized search (the IVF_PQ family): m=8 subspace codes
+    of ksub=32 (32x compression vs float32), asymmetric-distance
+    approximate top-50 map-side, exact rerank to top-10 — the entire
+    encode/ADC/rerank path is hash-checked against DuckDB, not just
+    recall-bounded."""
+    from ..index.pq import pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_search(emb, _query_vec(spark, sf_dir, 11), k=10, overfetch=5)
+    return out.select("vec_id", F.round("distance", 6).alias("distance"))

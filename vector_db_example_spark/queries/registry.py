@@ -53,6 +53,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "vector_sq8_rerank_topk",
     "text_pii_scrub",
     "stream_events_interval_join",
+    "vector_pq_adc_topk",
 )
 
 #: Registry entries kept OUT of the driver-facing ``queries()`` surface so
@@ -65,8 +66,11 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
     {
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",
-        # CUBE (kept) is a superset of ROLLUP on the same columns
+        # grouping-set breadth beyond the reference: both remain plan-
+        # tested (single-scan Expand) + locally oracle-checked; tpch_q1
+        # anchors the relational-agg family in the surface
         "agg_rollup_order_status",
+        "agg_cube_orders",
         # sliding window (kept) generalizes tumbling; stream tumbling kept too
         "events_tumbling_window",
         # batch sliding window: stream_events_sliding_window (kept) runs

@@ -193,3 +193,19 @@ def test_cube_is_single_expand_aggregation(spark):
     plan = _plan(QUERIES["agg_cube_orders"].fn(spark, SF_SMOKE))
     assert "Expand" in plan
     assert plan.count("FileScan") == 1
+
+
+def test_filtered_knn_pushes_label_filter(spark):
+    """Milvus-style filtered search must filter-then-search: the scalar
+    predicate reaches the parquet scan as a pushed filter, so distances
+    are only computed on surviving rows."""
+    plan = _plan(QUERIES["vector_filtered_knn"].fn(spark, SF_SMOKE))
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters")[1][:200]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagination_is_takeordered_not_global_sort(spark):
+    """Page N of the search iterator still TakeOrders offset+k rows —
+    never a global sort of the corpus."""
+    plan = _plan(QUERIES["vector_search_pagination"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan

@@ -271,3 +271,30 @@ def knn_truncated_rerank(
         .limit(k)
         .select(id_col, "distance")
     )
+
+
+def knn_page(
+    corpus: DataFrame,
+    query_vec,
+    k: int = DEFAULT_TOP_K,
+    offset: int = 0,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Paginated top-k (the Milvus ``search_iterator`` / ``offset`` param):
+    page p of size k = ranks (offset, offset+k] of the global distance
+    order. Executes as TakeOrdered of offset+k rows (tiny) + a window over
+    just those rows — the corpus itself is never shuffled, so iterating
+    pages costs one map-side scan per page at any corpus size."""
+    q = _vector_literal(query_vec)
+    top = (
+        corpus.withColumn("distance", l2_distance(F.col(vector_col), q))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(offset + k)
+    )
+    w = Window.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") > offset)
+        .select(id_col, "distance", "rank")
+    )

@@ -272,3 +272,53 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = pq_search(emb, _query_vec(spark, sf_dir, 11), k=10, overfetch=5)
     return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "vector_bq_hamming_topk",
+    # Closed-form oracle for binary quantization: sign-bit packing into
+    # 32-bit words and XOR/popcount Hamming are exact integer math, so
+    # there is no fold-order subtlety anywhere — codes, Hamming
+    # distances, and the exact rerank all hash-match by construction.
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 13),
+qc AS (
+  SELECT list_transform(range(0, 2), w ->
+           list_sum(list_transform(range(1, 33), b ->
+             CASE WHEN q.qv[w*32 + b] > 0
+                  THEN (2::BIGINT ^ (b - 1))::BIGINT ELSE 0 END))) AS qcode
+  FROM q
+),
+coded AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(range(0, 2), w ->
+           list_sum(list_transform(range(1, 33), b ->
+             CASE WHEN e.embedding[w*32 + b] > 0
+                  THEN (2::BIGINT ^ (b - 1))::BIGINT ELSE 0 END))) AS code
+  FROM embeddings e
+),
+approx AS (
+  SELECT c.vec_id, c.embedding,
+         list_sum(list_transform(range(1, 3),
+           w -> bit_count(xor(c.code[w], qc.qcode[w])))) AS hamming
+  FROM coded c CROSS JOIN qc
+),
+cand AS (SELECT * FROM approx ORDER BY hamming, vec_id LIMIT 50)
+SELECT cand.vec_id,
+       round({_l2_sql('cand.embedding', 'q.qv')}, 6) AS distance
+FROM cand CROSS JOIN q
+ORDER BY {_l2_sql('cand.embedding', 'q.qv')}, cand.vec_id
+LIMIT 10
+""",
+    tags=("vector", "index", "bq", "quantization", "milvus24"),
+)
+def vector_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized search (Milvus BIN_FLAT / BQ compression): sign
+    bits packed into 32-bit words (32x compression, training-free),
+    XOR+popcount Hamming approximate top-50 map-side, exact L2 rerank to
+    top-10 — hash-checked end to end."""
+    from ..index.bq import bq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = bq_search(emb, _query_vec(spark, sf_dir, 13), k=10, overfetch=5)
+    return out.select("vec_id", F.round("distance", 6).alias("distance"))

@@ -432,3 +432,52 @@ def vector_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _query_vec(spark, sf_dir, 3), k=10, prefix_dims=16, overfetch=3
     )
     return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "vector_filtered_knn",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+d AS (
+  SELECT e.vec_id, e.label, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = 2
+)
+SELECT vec_id, label, round(dist, 6) AS distance
+FROM d ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "filtered", "milvus24"),
+)
+def vector_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-filtered vector search (Milvus ``search(filter=...)``):
+    the predicate lands in the Parquet scan as a pushed filter (pinned in
+    tests/test_plans.py), so the distance expression only runs on
+    surviving rows — filter-then-search, never search-then-filter."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 2)
+    out = knn_exact(emb, _query_vec(spark, sf_dir, 5), k=10, score_threshold=None)
+    return out.select("vec_id", "label", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "vector_search_pagination",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
+d AS (
+  SELECT e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist,
+         row_number() OVER (ORDER BY {_l2_sql('e.embedding', 'q.qv')}, e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(dist, 6) AS distance, rank::INTEGER AS rank
+FROM d WHERE rank > 10 AND rank <= 20 ORDER BY rank
+""",
+    tags=("vector", "pagination", "milvus24"),
+)
+def vector_search_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated search (Milvus ``search_iterator``/``offset``): page 2 of
+    size 10 — TakeOrdered of the first offset+k rows, window-ranked, first
+    offset dropped; the corpus is scanned map-side once per page."""
+    from ..operators.knn import knn_page
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_page(emb, _query_vec(spark, sf_dir, 9), k=10, offset=10)
+    return out.select("vec_id", F.round("distance", 6).alias("distance"), "rank")

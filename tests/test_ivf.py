@@ -341,3 +341,87 @@ def test_ivf_pq_exact_identity_and_column_pruning(spark, tmp_path):
     code_scans = [ln for ln in scans if "pq_codes" in ln and "embedding" not in ln]
     assert code_scans, f"ADC stage must not read float vectors: {scans}"
     assert all("PartitionFilters" in ln and "cell_id" in ln for ln in scans)
+
+
+def test_bq_overfetch_all_is_exact_and_codes_bounded(spark):
+    """BQ with overfetch covering the whole corpus must reproduce the
+    exact top-k (rerank over everything), and the packed sign codes must
+    be 2 words of 32 bits each."""
+    from vector_db_example_spark.index.bq import bq_codes, bq_search
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    q = _qvec(spark, 13)
+    got = [
+        (r.vec_id, round(r.distance, 9))
+        for r in bq_search(emb, q, k=10, overfetch=n).collect()
+    ]
+    exact = [
+        (r.vec_id, round(r.distance, 9))
+        for r in _exact_topk(spark, q, k=10).collect()
+    ]
+    assert got == exact
+
+    stats = emb.select(bq_codes(F.col("embedding")).alias("c")).select(
+        F.min(F.size("c")).alias("nw"),
+        F.max(F.array_max("c")).alias("hi"),
+        F.min(F.array_min("c")).alias("lo"),
+    ).head()
+    assert stats.nw == 2 and stats.lo >= 0 and stats.hi < (1 << 32)
+
+
+def test_knn_pages_partition_the_topk(spark):
+    """Pages 1 and 2 together must equal the exact top-20, in order,
+    with no overlap — the search_iterator contract."""
+    from vector_db_example_spark.operators.knn import knn_page
+
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = _qvec(spark, 9)
+    p1 = [(r.vec_id, round(r.distance, 9)) for r in knn_page(emb, q, k=10, offset=0).collect()]
+    p2 = [(r.vec_id, round(r.distance, 9)) for r in knn_page(emb, q, k=10, offset=10).collect()]
+    top20 = [
+        (r.vec_id, round(r.distance, 9))
+        for r in _exact_topk(spark, q, k=20).collect()
+    ]
+    assert p1 + p2 == top20
+
+
+def test_pq_lloyd_refinement_reduces_quantization_error(spark):
+    """Lloyd's objective (total squared reconstruction error) is
+    non-increasing per iteration on ANY data — refine_pq_codebook must
+    not be worse than the sampled init, and must actually move the
+    codewords off the corpus rows."""
+    from vector_db_example_spark.index.pq import (
+        pq_codes,
+        pq_reconstruct,
+        refine_pq_codebook,
+        train_pq_codebook,
+    )
+    from vector_db_example_spark.functions.vector import l2_distance_sq
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def sse(cb):
+        coded = emb.select(
+            "embedding", pq_codes(F.col("embedding"), cb).alias("codes")
+        )
+        return coded.select(
+            F.sum(
+                l2_distance_sq(
+                    pq_reconstruct(F.col("codes"), cb), F.col("embedding")
+                )
+            ).alias("s")
+        ).head().s
+
+    cb0 = train_pq_codebook(emb)
+    cb1 = refine_pq_codebook(emb, cb0, iters=2)
+    e0, e1 = sse(cb0), sse(cb1)
+    assert e1 <= e0 * 1.0000001, (e0, e1)
+    assert cb1 != cb0
+    # a real improvement, not a no-op: random-unit-vector corpora still
+    # shed a few percent of SSE in two Lloyd steps
+    assert e1 < e0 * 0.995, (e0, e1)

@@ -224,3 +224,55 @@ def ivf_pq_search(
         .limit(k)
         .select(index.id_col, "distance")
     )
+
+
+def refine_pq_codebook(
+    corpus: DataFrame,
+    codebook: list[list[float]],
+    m: int = 8,
+    iters: int = 2,
+    vector_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of the sampled codebook — the offline-compaction
+    step (exactly like the IVF centroid refit): per iteration, assign
+    codes corpus-side (pure expression), then recompute each subspace
+    codeword as the mean of its assigned subvectors in ONE distributed
+    aggregation (inline the m (j, code, subvector) structs per row,
+    posexplode, groupBy(j, code, d) avg — m·ksub·dsub ≈ 2k rows to the
+    driver). Iterative means are engine-local (float-sum order), so the
+    refined codebook backs the recall path, not the hash-checked oracle
+    query; centroids are rounded to de-noise run-to-run fold order.
+
+    Empty clusters keep their previous codeword (FAISS behavior)."""
+    dim = len(codebook[0])
+    dsub = dim // m
+    ksub = len(codebook)
+    cb = [list(cw) for cw in codebook]
+    for _ in range(iters):
+        codes = pq_codes(F.col(vector_col), cb, m)
+        parts = F.inline(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.element_at(codes, j + 1).alias("code"),
+                    F.slice(
+                        F.col(vector_col).cast("array<double>"), j * dsub + 1, dsub
+                    ).alias("sub"),
+                ),
+            )
+        )
+        rows = (
+            corpus.select(parts)
+            .select("j", "code", F.posexplode("sub").alias("d", "x"))
+            .groupBy("j", "code", "d")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        for r in rows:
+            if 0 <= r.code < ksub:
+                cb[r.code][r.j * dsub + r.d] = round(r.mu, 9)
+    # NOTE: codeword k's subspace-j block is refined independently per
+    # (j, k) — the codebook stops being "rows of the corpus" after the
+    # first iteration, which is exactly the point.
+    return cb

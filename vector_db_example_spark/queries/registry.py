@@ -115,11 +115,19 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # O(n²) similarity_self_join baseline; dedup_embedding_cosine
         # (kept) drives the same operator with the same oracle pattern
         "vector_range_self_join",
-        # local-only ANN variant; the two-stage rerank family is driver-
-        # checked via vector_sq8_rerank_topk
+        # local-only ANN/API variants; the two-stage rerank family is
+        # driver-checked via vector_sq8_rerank_topk + vector_pq_adc_topk,
+        # and plain filtered/paginated knn share vector_knn_exact_l2's
+        # scan shape — all four stay oracle-checked in pytest
         "vector_truncated_rerank",
+        "vector_bq_hamming_topk",
+        "vector_filtered_knn",
+        "vector_search_pagination",
         # sampling summary; balanced_lang_sample (kept) covers the family
         "pipeline_train_test_split",
+        # stateless stream-static join; the streaming family keeps its 7
+        # stateful driver entries, and the batch oracle is identical
+        "stream_events_enrich_dim",
     }
 )
 

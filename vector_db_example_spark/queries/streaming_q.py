@@ -240,3 +240,33 @@ def stream_ingest_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_events_enrich_dim",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    tags=("streaming", "events", "join", "enrichment"),
+)
+def stream_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment: streaming events joined per-batch
+    against the static customer dimension (broadcast, stateless — no
+    watermark or join state needed), rolled up to revenue per market
+    segment × event type. The batch oracle is the exact same join+agg."""
+    from ..sources.tables import load_table
+    from ..streaming.events import enrich_against_dimension
+
+    stream = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    out = enrich_against_dimension(
+        stream,
+        customer,
+        stream["user_id"] == customer["c_custkey"],
+        "c_mktsegment",
+    )
+    return run_to_memory(out, name="enrich_dim")

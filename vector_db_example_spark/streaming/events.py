@@ -236,3 +236,19 @@ def interval_join_clicks_before_purchases(
         "click_id",
         "click_value",
     )
+
+
+def enrich_against_dimension(
+    events: DataFrame, dim: DataFrame, join_expr, segment_col: str
+) -> DataFrame:
+    """Stream–static enrichment join + segment rollup: each micro-batch
+    joins against the (broadcast) static dimension STATELESSLY — no
+    watermark, no join state, the one streaming join shape that is free
+    at any scale — then feeds a running per-segment aggregate. On a
+    cluster the dimension is a slowly-changing table re-read per batch;
+    broadcast keeps the stream side shuffle-free."""
+    joined = events.join(F.broadcast(dim), join_expr)
+    return joined.groupBy(F.col(segment_col), F.col("event_type")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -370,6 +370,15 @@ def test_bq_overfetch_all_is_exact_and_codes_bounded(spark):
     ).head()
     assert stats.nw == 2 and stats.lo >= 0 and stats.hi < (1 << 32)
 
+    # A generator query vector must behave like a list (the function
+    # materializes it once; a naive triple-iteration would silently see
+    # an empty vector on passes 2 and 3).
+    got_gen = [
+        (r.vec_id, round(r.distance, 9))
+        for r in bq_search(emb, (x for x in q), k=10, overfetch=n).collect()
+    ]
+    assert got_gen == exact
+
 
 def test_knn_pages_partition_the_topk(spark):
     """Pages 1 and 2 together must equal the exact top-20, in order,

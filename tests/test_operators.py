@@ -26,8 +26,9 @@ def test_minhash_finds_planted_near_dups(spark):
 def test_minhash_degenerate_bucket_is_capped(spark):
     """A boilerplate string duplicated many times lands in one LSH band
     bucket; without the cap that bucket alone emits O(n²) pairs from a
-    single task. Over-cap buckets are dropped (exact-dedup territory)
-    while normal near-dup pairs are still found."""
+    single task. Over-cap buckets switch to star expansion: the min id
+    is paired with every other member (O(n) pairs, no silent recall
+    loss — connected components recovers the cluster transitively)."""
     from vector_db_example_spark.operators.dedup import minhash_near_duplicates
 
     boiler = "subscribe to our newsletter for updates and exclusive offers today"
@@ -40,8 +41,10 @@ def test_minhash_degenerate_bucket_is_capped(spark):
     pairs = minhash_near_duplicates(df, threshold=0.5, max_bucket_size=10).collect()
     found = {(r.a_id, r.b_id) for r in pairs}
     assert (100, 101) in found
-    boiler_pairs = [p for p in found if p[0] < 40 and p[1] < 40]
-    assert not boiler_pairs, f"capped bucket leaked {len(boiler_pairs)} pairs"
+    boiler_pairs = sorted(p for p in found if p[0] < 40 and p[1] < 40)
+    # star shape only: every boiler pair anchors at the min id (0), one
+    # per other member — 39 pairs, not 40*39/2
+    assert boiler_pairs == [(0, i) for i in range(1, 40)], boiler_pairs
     # uncapped control: the same corpus explodes to 40*39/2 boilerplate pairs
     uncapped = minhash_near_duplicates(df, threshold=0.5, max_bucket_size=10_000)
     assert uncapped.filter((F.col("a_id") < 40) & (F.col("b_id") < 40)).count() == 780
@@ -61,6 +64,19 @@ def test_connected_components_chains_and_convergence(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
     }
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iter hops must fail loudly, not silently
+    return split clusters."""
+    import pytest
+
+    from vector_db_example_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
 
 
 def test_simhash_identical_docs_hamming_zero(spark):

@@ -145,6 +145,23 @@ def test_stream_ingest_into_ivf_layout(spark, tmp_path):
     hits = ivf_search(spark, index, qv, k=1, nprobe=1).collect()
     assert hits[0]["vec_id"] == 400 and hits[0]["distance"] == 0.0
 
+    # A SECOND run with a FRESH checkpoint restarts batch ids at 0; its
+    # commit markers are namespaced per checkpoint, so the stale markers
+    # of run 1 must not swallow run 2's data (that would be silent loss,
+    # not idempotence).
+    n2 = stream_ingest_embeddings_into_ivf(
+        spark, SF_SMOKE, index, checkpoint_path=str(tmp_path / "ckpt_fresh")
+    )
+    assert n2 == emb.count()
+    assert spark.read.parquet(index.path).count() == n0 + n + n2
+
+    # Re-delivery on the SAME checkpoint is a no-op (markers hit).
+    n3 = stream_ingest_embeddings_into_ivf(
+        spark, SF_SMOKE, index, checkpoint_path=str(tmp_path / "ckpt_fresh")
+    )
+    assert n3 == 0
+    assert spark.read.parquet(index.path).count() == n0 + n + n2
+
 
 def test_stateful_topk_merges_state_across_batches(spark, tmp_path):
     """applyInPandasWithState must MERGE per-user state across

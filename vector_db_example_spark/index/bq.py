@@ -72,8 +72,11 @@ def bq_search(
     packed sign codes (map-side XOR/popcount + TakeOrdered), exact L2
     rerank on the original vectors. Returns (id, distance) with exact
     distances."""
-    dim = len(list(query_vec))
-    qcode = bq_codes(F.array(*[F.lit(float(x)) for x in query_vec]), dim)
+    # Materialize once: a generator input would be exhausted after the
+    # first pass and silently yield an empty query array downstream.
+    query_vec = [float(x) for x in query_vec]
+    dim = len(query_vec)
+    qcode = bq_codes(F.array(*[F.lit(x) for x in query_vec]), dim)
     coded = corpus.select(
         F.col(id_col),
         F.col(vector_col),
@@ -84,7 +87,7 @@ def bq_search(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k * overfetch)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = F.array(*[F.lit(x) for x in query_vec])
     return (
         approx.withColumn("distance", l2_distance(F.col(vector_col), qlit))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())

@@ -123,13 +123,17 @@ def minhash_near_duplicates(
     whose true shingle Jaccard >= threshold.
 
     ``max_bucket_size`` bounds the worst case: a degenerate band bucket
-    (e.g. one boilerplate string duplicated millions of times) would put
-    the whole bucket into a single aggregation buffer and emit
-    O(|bucket|²) pairs from one task. Buckets over the cap are dropped
-    before pair expansion — their members are near-exact duplicates of
-    each other by construction (an entire band of minhashes collides),
-    which the exact-dedup pass catches at O(n); per-task work is bounded
-    at O(cap²) regardless of corpus skew.
+    (e.g. one boilerplate string duplicated millions of times) would emit
+    O(|bucket|²) pairs from one task. Buckets over the cap switch from
+    all-pairs to *star* expansion — the bucket's min id is paired with
+    every other member, O(|bucket|) pairs — so per-task pair fan-out is
+    bounded at O(cap²) regardless of corpus skew, and nothing is dropped
+    silently: every over-cap member still reaches the Jaccard verify via
+    its representative, and downstream ``connected_components`` recovers
+    the full cluster transitively. (A band collision only pins 2 of 16
+    minhashes, so over-cap members are *usually*, not provably,
+    near-identical — star keeps recall at cluster granularity where a
+    wholesale drop would silently lose it.)
 
     ``materialize`` snapshots the shingle table before fan-out: it feeds
     three consumers (the signature pass and both sides of the Jaccard
@@ -167,11 +171,21 @@ def minhash_near_duplicates(
             ),
         )
     )
+    star_structs = F.transform(
+        F.slice(ids, 2, F.size(ids) - 1),
+        lambda other: F.struct(F.element_at(ids, 1).alias("a_id"), other.alias("b_id")),
+    )
     candidates = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter((F.size(ids) > 1) & (F.size(ids) <= max_bucket_size))
-        .select(F.explode(pair_structs).alias("p"))
+        .filter(F.size(ids) > 1)
+        .select(
+            F.explode(
+                F.when(F.size(ids) <= max_bucket_size, pair_structs).otherwise(
+                    star_structs
+                )
+            ).alias("p")
+        )
         .select("p.a_id", "p.b_id")
         .distinct()
     )
@@ -333,4 +347,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # max_iter exhausted with labels still moving: clusters whose
+        # diameter exceeds max_iter would be returned split. Loudly fail
+        # rather than hand back wrong clusters with no signal.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to the large-star/small-star variant for high-diameter graphs"
+        )
     return labels

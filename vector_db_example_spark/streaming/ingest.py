@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..functions.embedding import hashing_embedder
 from ..functions.text import clean_content
@@ -58,7 +59,7 @@ def stream_ingest_documents(
     def sink_count() -> int:
         try:
             return spark.read.parquet(sink_path).count()
-        except Exception:  # sink not created yet (AnalysisException)
+        except AnalysisException:  # sink not created yet
             return 0
 
     pre = sink_count()
@@ -112,12 +113,22 @@ def stream_ingest_embeddings_into_ivf(
     exists (written after the data lands). A re-delivered committed
     batch is a no-op; only a crash inside the write→marker window can
     duplicate rows, which the offline ``compact_ivf_index`` rebuild
-    clears."""
+    clears.
+
+    Batch ids are scoped to a *checkpoint*, so markers are namespaced by
+    a digest of the checkpoint path: a second ingest run with a fresh
+    checkpoint (new source data) into the same index starts again at
+    batch 0 and must NOT be swallowed by a stale marker from an earlier
+    run."""
+    import hashlib
     import os
 
     from ..index.ivf import assign_cells
 
-    marker_dir = os.path.join(index.path, "_committed_batches")
+    ckpt_token = hashlib.sha256(
+        os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:16]
+    marker_dir = os.path.join(index.path, "_committed_batches", ckpt_token)
     os.makedirs(marker_dir, exist_ok=True)
     appended = {"n": 0}
 

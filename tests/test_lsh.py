@@ -99,6 +99,52 @@ def test_lsh_full_probe_is_exact(spark, emb):
     assert got == exact
 
 
+def test_lsh_layout_matches_expression_path(spark, emb, tmp_path):
+    """The bucket-partitioned layout must return exactly what the
+    layout-free expression path returns (same planes, same probes, same
+    rerank) — the layout changes IO shape, never semantics. Also pins
+    the Arrow-batched bucket assigner to the expression bucketing."""
+    from vector_db_example_spark.index.lsh import (
+        LSHIndex,
+        build_lsh_layout,
+        bucket_assigner,
+        lsh_layout_search,
+    )
+
+    index = build_lsh_layout(
+        emb, path=str(tmp_path / "lsh"), dim=64, n_planes=N_PLANES, seed=42
+    )
+    qv = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    for radius in (1, 3, N_PLANES):
+        got = [
+            (r.vec_id, round(r.distance, 9))
+            for r in lsh_layout_search(
+                spark, index, qv, k=10, probe_radius=radius
+            ).collect()
+        ]
+        ref = [
+            (r.vec_id, round(r.distance, 9))
+            for r in lsh_ann_search(
+                emb, qv, PLANES, k=10, probe_radius=radius
+            ).collect()
+        ]
+        assert got == ref, f"radius={radius}"
+
+    # assigner (BLAS batch) == expression bucketing, row for row
+    both = (
+        emb.withColumn("b_expr", bucket_expr(F.col("embedding"), PLANES))
+        .withColumn("b_udf", bucket_assigner(PLANES)(F.col("embedding")))
+        .filter(F.col("b_expr") != F.col("b_udf"))
+        .count()
+    )
+    assert both == 0
+
+    # meta roundtrip: a fresh process reloads the same planes
+    loaded = LSHIndex.load(str(tmp_path / "lsh"))
+    assert np.array_equal(loaded.planes, index.planes)
+    assert loaded.vector_col == "embedding" and loaded.id_col == "vec_id"
+
+
 def test_lsh_scan_fraction(emb):
     """The pruned candidate set must actually be a small fraction of the
     corpus (the point of the index)."""

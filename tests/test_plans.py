@@ -81,6 +81,28 @@ def test_ivf_probe_prunes_partitions(spark):
     )
 
 
+def test_lsh_probe_prunes_partitions(spark):
+    """The LSH multiprobe list must reach the scan as PARTITION pruning
+    on the bucket-partitioned layout (the IVF nprobe mechanism) — not a
+    post-read filter over a full corpus scan."""
+    plan = _plan(QUERIES["vector_ann_lsh_topk"].fn(spark, SF_SMOKE))
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "bucket" in scan[0], (
+        "LSH probes must be a partition-pruned scan, not full read + filter"
+    )
+
+
+def test_ivf_pq_driver_query_scans_codes_only(spark):
+    """The registered IVF_PQ query's ADC stage must read the stored code
+    column, never the float vectors (column pruning on the persisted
+    layout — the 32x IO cut IVF_PQ exists for)."""
+    plan = _plan(QUERIES["vector_ivf_pq_topk"].fn(spark, SF_SMOKE), execute=True)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    code_scans = [ln for ln in scans if "pq_codes" in ln and "embedding" not in ln]
+    assert code_scans, f"ADC stage must not read float vectors: {scans}"
+    assert all("PartitionFilters" in ln and "cell_id" in ln for ln in scans)
+
+
 def test_tokenize_stopword_join_is_broadcast_anti(spark):
     plan = _plan(QUERIES["text_tokenize_topk"].fn(spark, SF_SMOKE), execute=True)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -9,13 +9,15 @@ then reranks exactly.
 
 Scale design:
 
-* The plane matrix is (n_planes × dim) floats — broadcast as literal
-  expressions; bucketing is a pure JVM expression column, so the one-off
-  bucket assignment is a single map pass (or a partitioned write, same as
-  the IVF layout, for repeated querying).
-* A query's probe set is computed driver-side (tiny combinatorics); the
-  scan filters ``bucket IN probes`` — with a bucket-partitioned layout
-  that is partition pruning, identical machinery to IVF nprobe.
+* The plane matrix is (n_planes × dim) floats — tiny, driver-side. For
+  one-off scans the bucketing is a pure JVM expression column
+  (``bucket_expr``); for repeated querying ``build_lsh_layout`` writes
+  the corpus as Parquet **partitioned by bucket** (the IVF layout's
+  twin), assigning buckets via an Arrow-batched sign(X·Pᵀ) matmul.
+* A query's probe set is computed driver-side (tiny combinatorics); a
+  layout search filters ``bucket IN probes`` on the partition column —
+  Parquet partition pruning, identical machinery to IVF nprobe. The scan
+  reads only the probed directories; nothing else is opened.
 * Expected scan fraction ≈ Σ_{i<=r} C(n_planes, i) / 2^n_planes — tune
   n_planes to corpus size (buckets ≈ a few hundred rows each) and
   probe_radius to the recall target.
@@ -23,11 +25,15 @@ Scale design:
 
 from __future__ import annotations
 
+import json
+import os
+from dataclasses import dataclass
 from itertools import combinations
 
 import numpy as np
+import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.knn import knn_exact
@@ -83,9 +89,13 @@ def lsh_ann_search(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ANN top-k by cosine: prune to the multiprobe buckets, exact rerank
-    within them. With a bucket-partitioned layout the IN-filter becomes
-    partition pruning (see module docstring)."""
+    """Layout-free ANN top-k by cosine: compute buckets on the fly and
+    prune to the multiprobe set with a map-side filter. This still READS
+    the whole corpus (the filter discards, it does not skip) — it is the
+    one-shot form for a corpus that will be queried once. Repeated
+    querying should build ``build_lsh_layout`` once and use
+    ``lsh_layout_search``, where the same probe list becomes Parquet
+    partition pruning and unprobed buckets are never opened."""
     probes = probe_buckets(
         bucket_of(query_vec, planes), len(planes), probe_radius
     )
@@ -99,4 +109,113 @@ def lsh_ann_search(
         metric="cosine",
         score_threshold=None,
         id_col=id_col,
+    )
+
+
+@dataclass
+class LSHIndex:
+    """Bucket-partitioned LSH layout on disk (the IVF layout's twin —
+    index/ivf.py:45). ``planes`` is the (n_planes × dim) hyperplane
+    matrix; buckets are Parquet partition directories ``bucket=<id>``."""
+
+    path: str
+    planes: np.ndarray
+    vector_col: str
+    id_col: str
+
+    @property
+    def n_planes(self) -> int:
+        return len(self.planes)
+
+    def save_meta(self) -> None:
+        meta = {
+            "vector_col": self.vector_col,
+            "id_col": self.id_col,
+            "planes": self.planes.tolist(),
+        }
+        with open(os.path.join(self.path, "_lsh_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "LSHIndex":
+        with open(os.path.join(path, "_lsh_meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            path=path,
+            planes=np.asarray(meta["planes"], dtype=np.float64),
+            vector_col=meta["vector_col"],
+            id_col=meta["id_col"],
+        )
+
+
+def bucket_assigner(planes: np.ndarray):
+    """Bucket assignment as an Arrow-batched BLAS matmul: sign bits of
+    X·Pᵀ packed into an int per batch. The build-path twin of
+    index/ivf.py:218 ``cell_assigner`` — the plane matrix rides in the
+    UDF closure (broadcast once per executor) instead of a literal
+    expression tree, so the plan stays O(1) regardless of
+    n_planes × dim (the reference shape is 384-dim — see the IVF literal
+    -matrix lesson in that docstring). Sign convention matches
+    ``bucket_of``/``bucket_expr``: bit set iff dot >= 0."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(len(P))).astype(np.int64)
+
+    @pandas_udf("int")
+    def bucket_of_batch(vs: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (X @ P.T) >= 0
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return bucket_of_batch
+
+
+def build_lsh_layout(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> LSHIndex:
+    """Assign every vector its hyperplane bucket (one Arrow-batched map
+    pass) and write the corpus as Parquet partitioned by ``bucket`` —
+    after which every multiprobe search is partition pruning, not a
+    full-scan filter. One shuffle-free pass at build time, zero scans of
+    unprobed buckets forever after (exactly the IVF build contract,
+    index/ivf.py:136)."""
+    planes = hyperplanes(dim, n_planes=n_planes, seed=seed)
+    bucketed = df.withColumn("bucket", bucket_assigner(planes)(F.col(vector_col)))
+    bucketed.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    index = LSHIndex(path=path, planes=planes, vector_col=vector_col, id_col=id_col)
+    index.save_meta()
+    return index
+
+
+def lsh_layout_search(
+    spark: SparkSession,
+    index: LSHIndex,
+    query_vec,
+    k: int = 10,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """ANN top-k against the bucket-partitioned layout: the driver-side
+    probe list becomes an IN-filter on the PARTITION column, so the scan
+    opens only the probed ``bucket=`` directories (plan-pinned in
+    tests/test_plans.py) and reranks exactly within them — identical
+    semantics to ``lsh_ann_search``, IVF-nprobe mechanics."""
+    probes = probe_buckets(
+        bucket_of(query_vec, index.planes), index.n_planes, probe_radius
+    )
+    pruned = spark.read.parquet(index.path).filter(F.col("bucket").isin(probes))
+    return knn_exact(
+        pruned,
+        query_vec,
+        k=k,
+        vector_col=index.vector_col,
+        metric="cosine",
+        score_threshold=None,
+        id_col=index.id_col,
     )

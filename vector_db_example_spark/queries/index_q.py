@@ -18,10 +18,16 @@ from ..index.ivf import (
 )
 from ..sources.tables import load_table
 from .registry import register
-from .vector_q import _l2_sql, _query_vec
+from .vector_q import _l2_sql, _query_vec, _query_vecs
 
 #: One index build per (sf_dir, nlist) per process — queries share it.
 _INDEX_CACHE: dict[tuple[str, int], IVFIndex] = {}
+
+#: Same, for the bucket-partitioned LSH layout.
+_LSH_CACHE: dict[tuple[str, int], "LSHIndex"] = {}
+
+#: Same, for the IVF_PQ stored-codes layout: (IVFIndex, codebook).
+_IVFPQ_CACHE: dict[tuple[str, int], tuple] = {}
 
 
 def get_ivf_index(
@@ -107,7 +113,8 @@ def vector_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the brute-force per-query top-k, which the oracle states."""
     index = get_ivf_index(spark, sf_dir, nlist=16)
     qids = (3, 11, 23)
-    queries = [(qid, _query_vec(spark, sf_dir, qid)) for qid in qids]
+    vecs = _query_vecs(spark, sf_dir, qids)  # one collect, not three
+    queries = [(qid, vecs[qid]) for qid in qids]
     hits = ivf_search_batch(spark, index, queries, k=5, nprobe=16)
     return hits.select(
         "query_id",
@@ -117,22 +124,38 @@ def vector_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def get_lsh_layout(
+    spark: SparkSession, sf_dir: str, n_planes: int = 8
+) -> "LSHIndex":
+    from ..index.lsh import build_lsh_layout
+    from .vector_q import DIM
+
+    key = (sf_dir, n_planes)
+    if key not in _LSH_CACHE:
+        tag = hashlib.md5(f"{sf_dir}|lsh{n_planes}".encode()).hexdigest()[:8]
+        emb = load_table(spark, sf_dir, "embeddings")
+        _LSH_CACHE[key] = build_lsh_layout(
+            emb, path=f"/tmp/spark_graft_lsh_{tag}", dim=DIM, n_planes=n_planes
+        )
+    return _LSH_CACHE[key]
+
+
 @register(
     "vector_ann_lsh_topk",
     oracle=None,  # approximate by design (bucket pruning)
     tags=("vector", "lsh", "ann", "index"),
 )
 def vector_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (cosine): multiprobe bucket pruning +
-    exact rerank — the LSH-bucketed scale path beside IVF. Recall vs the
-    exact cosine baseline is pinned in tests/test_lsh.py."""
-    from ..index.lsh import hyperplanes, lsh_ann_search
-    from .vector_q import DIM
+    """Random-hyperplane LSH ANN (cosine) against the bucket-PARTITIONED
+    layout: the driver-side multiprobe list prunes Parquet partitions
+    (unprobed buckets are never opened — plan-pinned in
+    tests/test_plans.py), exact rerank within. Recall vs the exact
+    cosine baseline is pinned in tests/test_lsh.py."""
+    from ..index.lsh import lsh_layout_search
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    planes = hyperplanes(DIM, n_planes=8, seed=42)
-    hits = lsh_ann_search(
-        emb, _query_vec(spark, sf_dir, 7), planes, k=10, probe_radius=3
+    index = get_lsh_layout(spark, sf_dir, n_planes=8)
+    hits = lsh_layout_search(
+        spark, index, _query_vec(spark, sf_dir, 7), k=10, probe_radius=3
     )
     return hits.select(
         "vec_id", "label", F.round("distance", 6).alias("distance")
@@ -271,6 +294,88 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = pq_search(emb, _query_vec(spark, sf_dir, 11), k=10, overfetch=5)
+    return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+def get_ivf_pq_index(spark: SparkSession, sf_dir: str, nlist: int = 16):
+    from ..index.pq import build_ivf_pq_index
+
+    key = (sf_dir, nlist)
+    if key not in _IVFPQ_CACHE:
+        tag = hashlib.md5(f"{sf_dir}|ivfpq{nlist}".encode()).hexdigest()[:8]
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVFPQ_CACHE[key] = build_ivf_pq_index(
+            emb, path=f"/tmp/spark_graft_ivfpq_{tag}", nlist=nlist
+        )
+    return _IVFPQ_CACHE[key]
+
+
+@register(
+    "vector_ivf_pq_topk",
+    # End-to-end IVF_PQ against the STORED-CODES layout at nprobe=nlist:
+    # every cell is probed, so the candidate set is the global ADC top-50
+    # over the persisted pq_codes column and the whole build->store->
+    # scan->ADC->rerank path is hash-exact (deterministic sampled
+    # codebook, same closed form as vector_pq_adc_topk; qid 23 here).
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 23),
+cb AS (
+  SELECT list(embedding ORDER BY vec_id) AS cws
+  FROM embeddings WHERE vec_id IN ({_PQ_SAMPLE_SQL})
+),
+dists AS (
+  SELECT e.vec_id, j.j, k.k,
+         list_sum(list_transform(range(1, 9), d ->
+           (e.embedding[j.j*8+d]::DOUBLE - cb.cws[k.k+1][j.j*8+d]::DOUBLE)
+         * (e.embedding[j.j*8+d]::DOUBLE - cb.cws[k.k+1][j.j*8+d]::DOUBLE)))
+           AS dist
+  FROM embeddings e CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS k) k
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY j) AS codes FROM (
+    SELECT vec_id, j, k AS code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+    FROM dists) WHERE rn = 1 GROUP BY vec_id
+),
+approx AS (
+  SELECT c.vec_id, e.embedding,
+         sqrt(list_sum(list_transform(range(1, 65), i ->
+           (q.qv[i]::DOUBLE - cb.cws[c.codes[((i-1)//8)+1]+1][i]::DOUBLE)
+         * (q.qv[i]::DOUBLE - cb.cws[c.codes[((i-1)//8)+1]+1][i]::DOUBLE))))
+           AS ad
+  FROM codes c JOIN embeddings e USING (vec_id) CROSS JOIN cb CROSS JOIN q
+),
+cand AS (SELECT * FROM approx ORDER BY ad, vec_id LIMIT 50)
+SELECT cand.vec_id,
+       round({_l2_sql('cand.embedding', 'q.qv')}, 6) AS distance
+FROM cand CROSS JOIN q
+ORDER BY {_l2_sql('cand.embedding', 'q.qv')}, cand.vec_id
+LIMIT 10
+""",
+    tags=("vector", "index", "ivf", "pq", "quantization"),
+)
+def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_PQ end to end on the persisted layout (Milvus
+    ``index_type="IVF_PQ"``): codes stored as a column of the
+    cell-partitioned corpus at build time; search scans ONLY
+    (cell_id, vec_id, pq_codes) for the ADC stage (partition + column
+    pruning — plan-pinned in tests) and touches float vectors for just
+    the 50 rerank candidates. nprobe=nlist makes it exact-probe and
+    hash-checkable."""
+    from ..index.pq import ivf_pq_search
+
+    index, codebook = get_ivf_pq_index(spark, sf_dir, nlist=16)
+    out = ivf_pq_search(
+        spark,
+        index,
+        codebook,
+        _query_vec(spark, sf_dir, 23),
+        k=10,
+        nprobe=16,
+        overfetch=5,
+    )
     return out.select("vec_id", F.round("distance", 6).alias("distance"))
 
 

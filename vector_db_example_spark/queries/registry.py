@@ -29,6 +29,16 @@ QUERIES: dict[str, Query] = {}
 #: (it stops after ~50 entries, in ``queries()`` order). These must come
 #: FIRST in the driver-facing surface so they finally get hash verdicts.
 DRIVER_CRITICAL: tuple[str, ...] = (
+    # round-3 rotation: the six round-2 registry additions that never got
+    # a driver verdict (excluded then by the 50-entry cap), plus the new
+    # IVF_PQ stored-codes query — they lead so they verify this round
+    "vector_bq_hamming_topk",
+    "vector_truncated_rerank",
+    "vector_filtered_knn",
+    "vector_search_pagination",
+    "stream_events_enrich_dim",
+    "text_repetition_filter",
+    "vector_ivf_pq_topk",
     "pipeline_multi_strategy",
     "vector_ivf_exact_parity",
     "vector_ivf_batch_topk",
@@ -57,13 +67,40 @@ DRIVER_CRITICAL: tuple[str, ...] = (
 )
 
 #: Registry entries kept OUT of the driver-facing ``queries()`` surface so
-#: the total stays within the driver's ~50-entry window. Each is either
-#: (a) hash-green in CORRECTNESS_r01.json and redundant with a query that
-#: stays in (same oracle, superset semantics, or same operator family), or
-#: (b) a minor local-only addition whose family is already driver-checked.
-#: All remain registered and oracle-checked by tests/test_oracle_parity.py.
+#: the total stays within the driver's ~50-entry window. Rotation policy:
+#: an entry is only excludable once it is hash-green in TWO driver rounds
+#: (r01 AND r02 for the round-3 rotation) and its operator family keeps an
+#: anchor in the surface; never-verified entries rotate IN (front of
+#: DRIVER_CRITICAL) until every registered query has at least one green
+#: driver row. All entries remain registered and oracle-checked locally by
+#: tests/test_oracle_parity.py regardless of surface membership.
 DRIVER_EXCLUDED: frozenset[str] = frozenset(
     {
+        # --- rotated OUT in round 3 (hash-green in r01 AND r02; each
+        # family keeps a surface anchor) to make room for the six
+        # never-verified round-2 entries + the new IVF_PQ query ---
+        # cosine metric: anchored by vector_ann_lsh_topk's cosine rerank
+        # + the L2 knn family (exact_l2/threshold/batch all stay)
+        "vector_cosine_topk",
+        # F3 chunking: replayed inside pipeline_multi_strategy (flagship,
+        # stays); P5's min-length filter is pinned there too
+        "text_sentence_split",
+        # CDC compaction: the events family keeps asof/funnel/quantiles,
+        # and the max_by plan shape stays pinned in tests/test_plans.py
+        "events_latest_snapshot",
+        # O(n²) all-pairs oracle baseline; MinHash/SimHash/exact anchor
+        # the dedup family in the surface
+        "dedup_ngram_jaccard",
+        # per-group standardization extra; vector agg family anchored by
+        # the knn/grouping/range entries
+        "vector_group_standardize",
+        # batch sessionization: stream_events_sessionization (stays) runs
+        # the same session windows/oracle as a stateful streaming plan
+        "events_sessionization",
+        # embedding near-dup: scale twin vector_ivf_bucketed_pairs stays,
+        # and the curation pipeline's dedup stages stay hash-checked
+        "dedup_embedding_cosine",
+        # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",
         # grouping-set breadth beyond the reference: both remain plan-
@@ -107,27 +144,13 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "events_range_join_clicks_before_purchase",
         # unigram top-k (kept) covers the tokenize→explode→topk family
         "text_bigram_top_counts",
-        # local-only quality gate; the quality/dedup family is driver-
-        # checked via curation + pii_scrub + the dedup queries
-        "text_repetition_filter",
-        # vector analytics extras; group_standardize + cosine_topk stay
+        # vector analytics extras; the knn family anchors the surface
         "vector_centroid_norm",
         # O(n²) similarity_self_join baseline; dedup_embedding_cosine
         # (kept) drives the same operator with the same oracle pattern
         "vector_range_self_join",
-        # local-only ANN/API variants; the two-stage rerank family is
-        # driver-checked via vector_sq8_rerank_topk + vector_pq_adc_topk,
-        # and plain filtered/paginated knn share vector_knn_exact_l2's
-        # scan shape — all four stay oracle-checked in pytest
-        "vector_truncated_rerank",
-        "vector_bq_hamming_topk",
-        "vector_filtered_knn",
-        "vector_search_pagination",
         # sampling summary; balanced_lang_sample (kept) covers the family
         "pipeline_train_test_split",
-        # stateless stream-static join; the streaming family keeps its 7
-        # stateful driver entries, and the batch oracle is identical
-        "stream_events_enrich_dim",
     }
 )
 

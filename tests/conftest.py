@@ -13,6 +13,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running perf smokes (reference-shape index builds)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from vector_db_example_spark.session import get_spark

@@ -434,3 +434,71 @@ def test_pq_lloyd_refinement_reduces_quantization_error(spark):
     # a real improvement, not a no-op: random-unit-vector corpora still
     # shed a few percent of SSE in two Lloyd steps
     assert e1 < e0 * 0.995, (e0, e1)
+
+
+@pytest.mark.slow
+def test_reference_shape_nlist128_dim384(spark, tmp_path):
+    """Perf smoke at the reference's REAL index config (Milvus IVF_FLAT
+    nlist=128, dim=384, nprobe=20 — /root/reference/src/app.py:105-111,
+    253): a 10k x 384 synthetic corpus builds in one BLAS-assignment pass
+    (the literal-matrix encoding at this shape was pathological — this
+    pins the pandas_udf path), the nprobe=20 search prunes partitions,
+    and nprobe=nlist reproduces the exact top-k. Budget: the whole test
+    must stay well under a minute locally."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from vector_db_example_spark.index.ivf import build_ivf_index, ivf_search
+    from vector_db_example_spark.operators.knn import knn_exact
+
+    DIM, N = 384, 10_000
+
+    X = np.random.RandomState(7).randn(N, DIM).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(N, dtype=np.int64), "embedding": list(X)}
+    )
+    corpus = (
+        spark.createDataFrame(pdf)
+        .select("vec_id", F.col("embedding").cast("array<float>"))
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+
+    t0 = time.perf_counter()
+    index = build_ivf_index(
+        corpus,
+        path=str(tmp_path / "ivf384"),
+        nlist=128,
+        train_sample=5_120,
+    )
+    build_s = time.perf_counter() - t0
+    assert index.centroids.shape == (128, DIM)
+
+    qv = [float(x) for x in corpus.filter(F.col("vec_id") == 42).head().embedding]
+
+    t0 = time.perf_counter()
+    hits = ivf_search(spark, index, qv, k=10, nprobe=20)
+    rows = hits.collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == 10 and rows[0].vec_id == 42 and rows[0].distance == 0.0
+
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and "cell_id" in scans[0]
+
+    # nprobe=nlist identity holds at the production shape too
+    exact = [
+        (r.vec_id, round(r.distance, 6))
+        for r in knn_exact(corpus, qv, k=10, score_threshold=None).collect()
+    ]
+    full = [
+        (r.vec_id, round(r.distance, 6))
+        for r in ivf_search(spark, index, qv, k=10, nprobe=128).collect()
+    ]
+    assert full == exact
+
+    # generous ceilings — this is a does-it-degenerate check, not a bench
+    assert build_s < 45, f"build took {build_s:.1f}s at nlist=128/dim=384"
+    assert search_s < 15, f"search took {search_s:.1f}s at nprobe=20"

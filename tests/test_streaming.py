@@ -221,3 +221,82 @@ def test_stateful_topk_merges_state_across_batches(spark, tmp_path):
     for uid, grp in expect.groupby("user_id"):
         got = latest[uid].sort_values("rank")
         assert got.event_id.tolist() == grp.event_id.tolist(), f"user {uid}"
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream interval join: a purchase with no
+    qualifying click must surface with null click columns — but only
+    after the watermark passes its join bound, which a finite run has to
+    force with later watermark-advancing input. Three micro-batches
+    (maxFilesPerTrigger=1): batch A holds the real data (one matched
+    purchase, one unmatched), batches B and C hold far-future events
+    that drag the watermark past batch A's bounds."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from vector_db_example_spark.streaming.events import (
+        interval_join_clicks_before_purchases,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        # micros, not pandas' default nanos — Spark reads TIMESTAMP(MICROS)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        return pdf
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch A: user 1 purchase at 12:00 with a click 10 min before
+    # (match); user 2 purchase at 12:00 with no click at all (unmatched)
+    mk(
+        [
+            (100, t0, 1, "purchase", 50.0),
+            (101, t0 - dt.timedelta(minutes=10), 1, "click", 1.0),
+            (200, t0, 2, "purchase", 70.0),
+        ]
+    ).to_parquet(src / "a_batch.parquet", index=False)
+    # batches B, C: watermark advancers half a day out on BOTH types
+    # (the join watermark is min over both input streams' watermarks)
+    adv1 = t0 + dt.timedelta(hours=12)
+    mk(
+        [(900, adv1, 9, "purchase", 0.0), (901, adv1, 9, "click", 0.0)]
+    ).to_parquet(src / "b_batch.parquet", index=False)
+    adv2 = t0 + dt.timedelta(hours=24)
+    mk(
+        [(950, adv2, 9, "purchase", 0.0), (951, adv2, 9, "click", 0.0)]
+    ).to_parquet(src / "c_batch.parquet", index=False)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def read(name):
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+            .filter(F.col("event_type") == name)
+        )
+
+    joined = interval_join_clicks_before_purchases(
+        read("purchase"), read("click"), watermark="1 hour", how="leftOuter"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_ij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM outer_ij").collect()
+    }
+    assert (100, 101) in got, got  # the inner match
+    assert (200, None) in got, got  # unmatched purchase, null click

@@ -353,17 +353,18 @@ SELECT
     tags=("relational", "join"),
 )
 def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi and left-anti joins (existence tests)."""
+    """Left-semi and left-anti joins (existence tests) — expressed as ONE
+    plan: a left join against the distinct order keys, then a conditional
+    count, so the customer and orders tables are each scanned once (the
+    two-action semi+anti form cost two driver jobs and two scans)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    with_orders = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).count()
-    without = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).count()
-    return spark.createDataFrame(
-        [(with_orders, without)], "with_orders bigint, without_orders bigint"
+    okeys = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    joined = cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left")
+    return joined.agg(
+        F.count(F.col("o_custkey")).alias("with_orders"),
+        F.count_if(F.col("o_custkey").isNull()).alias("without_orders"),
     )
 
 

@@ -194,19 +194,28 @@ def interval_join_clicks_before_purchases(
     clicks: DataFrame,
     window_seconds: int = 1800,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER interval join: each purchase matched to the
-    same user's clicks in the preceding ``window_seconds``. Both sides
-    carry watermarks and the join condition bounds event time in both
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``window_seconds``. Both sides carry
+    watermarks and the join condition bounds event time in both
     directions, so the state store retains only rows inside the interval
     plus the watermark delay — bounded state on unbounded streams (the
     canonical Structured Streaming stream-stream join shape).
 
-    Inner (not left-outer) deliberately: inner matches emit as soon as
-    both rows arrive, so a static input equals the batch inner join
-    exactly; outer results would wait on watermark advancement and drop
-    the tail of a finite run.
+    ``how="inner"`` (the driver-checked default): matches emit as soon
+    as both rows arrive, so a static input equals the batch inner join
+    exactly. ``how="leftOuter"``: purchases with no qualifying click
+    ALSO emit, with null click columns — but only once the watermark
+    passes the purchase's join bound (the engine must prove no future
+    click can match before it may emit the null row). A finite run
+    therefore needs late watermark-advancing input (or it drops the
+    unmatched tail) — which is why the oracle-checked surface pins the
+    inner form and the outer form is pinned by a multi-batch pytest
+    (tests/test_streaming.py) that advances the watermark explicitly.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     p = (
         purchases.withWatermark("ts", watermark)
         .select(
@@ -229,7 +238,7 @@ def interval_join_clicks_before_purchases(
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
         & (F.col("c_ts") < F.col("p_ts")),
-        "inner",
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",

@@ -285,3 +285,31 @@ def test_bucketed_range_join_matches_bruteforce(spark, base):
         .collect()
     }
     assert got == brute and (5, 900) in got and (5, 901) not in got
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """The O(log n)-round large/small-star variant must produce exactly
+    the same (id, comp) labelling as min-label propagation on random
+    graphs, and must converge on a 300-hop chain that min-label's
+    20-iteration default could never finish."""
+    import random
+
+    from vector_db_example_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    ref = {r.id: r.comp for r in connected_components(df, max_iter=50).collect()}
+    got = {r.id: r.comp for r in connected_components_star(df).collect()}
+    assert got == ref
+
+    # 300-hop chain: diameter 300, star converges in O(log n) rounds
+    chain = [(i, i + 1) for i in range(300)]
+    cdf = spark.createDataFrame(chain, "a_id long, b_id long")
+    labels = {r.id: r.comp for r in connected_components_star(cdf).collect()}
+    assert set(labels) == set(range(301))
+    assert set(labels.values()) == {0}

@@ -502,3 +502,84 @@ def test_reference_shape_nlist128_dim384(spark, tmp_path):
     # generous ceilings — this is a does-it-degenerate check, not a bench
     assert build_s < 45, f"build took {build_s:.1f}s at nlist=128/dim=384"
     assert search_s < 15, f"search took {search_s:.1f}s at nprobe=20"
+
+
+def test_split_hot_cells_repairs_skew(spark, tmp_path):
+    """A layout with one swamped cell (a hot template cluster) is
+    repaired by splitting ONLY that cell: max partition size drops, cold
+    partitions' files are untouched, every row survives exactly once,
+    and the nprobe=nlist identity still reproduces the exact top-k
+    (retired centroids are unreachable, sub-cells carry their rows)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from vector_db_example_spark.index.ivf import (
+        build_ivf_index,
+        ivf_search,
+        split_hot_cells,
+    )
+    from vector_db_example_spark.operators.knn import knn_exact
+
+    rng = np.random.RandomState(3)
+    # 4 natural clusters of 50 + one hot cluster of 600 packed tight
+    cold = [rng.randn(64) + 8.0 * np.eye(64)[i % 4] * 5 for i in range(200)]
+    hot = [np.full(64, -6.0) + 0.1 * rng.randn(64) for _ in range(600)]
+    X = [v.astype(np.float32) for v in cold + hot]
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(X), dtype=np.int64), "embedding": X}
+    )
+    corpus = spark.createDataFrame(pdf).select(
+        "vec_id", F.col("embedding").cast("array<float>")
+    )
+
+    index = build_ivf_index(
+        corpus, path=str(tmp_path / "skew"), nlist=8, train_sample=800
+    )
+    sizes0 = {
+        int(r["cell_id"]): int(r["n"])
+        for r in spark.read.parquet(index.path)
+        .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(sizes0.values()) > 150  # the hot cluster swamped a cell
+    cold_cells = [c for c, n in sizes0.items() if n <= 150]
+    cold_files = {
+        c: sorted(os.listdir(os.path.join(index.path, f"cell_id={c}")))
+        for c in cold_cells
+    }
+
+    index2 = split_hot_cells(spark, index, max_cell_rows=150, sub_nlist=4)
+    sizes1 = {
+        int(r["cell_id"]): int(r["n"])
+        for r in spark.read.parquet(index2.path)
+        .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every row survives exactly once; skew strictly reduced
+    assert sum(sizes1.values()) == len(X)
+    assert max(sizes1.values()) < max(sizes0.values())
+    out = spark.read.parquet(index2.path)
+    assert out.select("vec_id").distinct().count() == len(X)
+    # cold partitions untouched on disk (same files, byte-identical names)
+    for c in cold_cells:
+        assert (
+            sorted(os.listdir(os.path.join(index2.path, f"cell_id={c}")))
+            == cold_files[c]
+        )
+
+    # exactness: nprobe = full (extended) centroid count ≡ brute force
+    qv = [float(x) for x in X[777]]
+    exact = [
+        (r.vec_id, round(r.distance, 6))
+        for r in knn_exact(corpus, qv, k=5, score_threshold=None).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.distance, 6))
+        for r in ivf_search(
+            spark, index2, qv, k=5, nprobe=len(index2.centroids)
+        ).collect()
+    ]
+    assert got == exact
+    # and a pruned probe still finds the hot-cluster row itself
+    hits = ivf_search(spark, index2, qv, k=1, nprobe=1).collect()
+    assert hits[0].vec_id == 777 and hits[0].distance == 0.0

@@ -157,3 +157,27 @@ def test_lsh_scan_fraction(emb):
     )
     total = emb.count()
     assert n_scanned < 0.45 * total, f"scanned {n_scanned}/{total}"
+
+
+def test_lsh_append_immediately_searchable(spark, emb, tmp_path):
+    """Rows appended to the layout (fixed planes, no refit) are found by
+    the next pruned search at distance 0 — the post-insert visibility
+    contract, and the layout twin of the IVF append test."""
+    from vector_db_example_spark.index.lsh import (
+        build_lsh_layout,
+        lsh_append,
+        lsh_layout_search,
+    )
+
+    half = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    index = build_lsh_layout(
+        half, path=str(tmp_path / "lsh"), dim=64, n_planes=N_PLANES, seed=42
+    )
+    n0 = spark.read.parquet(index.path).count()
+    lsh_append(index, rest)
+    assert spark.read.parquet(index.path).count() == n0 + rest.count()
+
+    qv = emb.filter(F.col("vec_id") == 400).collect()[0]["embedding"]
+    hits = lsh_layout_search(spark, index, qv, k=1, probe_radius=0).collect()
+    assert hits[0]["vec_id"] == 400 and round(hits[0]["distance"], 9) == 0.0

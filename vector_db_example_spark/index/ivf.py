@@ -310,6 +310,94 @@ def compact_ivf_index(
     )
 
 
+#: Sentinel coordinate for retired centroids: distance to anything is
+#: astronomically large, so a dead cell can never be nearest — keeping
+#: cell ids stable (they are row indices into the centroid matrix)
+#: without renumbering live cells' partition directories.
+_DEAD_CENTROID_COORD = 1.0e30
+
+
+def split_hot_cells(
+    spark: SparkSession,
+    index: IVFIndex,
+    max_cell_rows: int,
+    sub_nlist: int = 4,
+    seed: int = 42,
+    train_sample: int = 25_600,
+) -> IVFIndex:
+    """Targeted skew repair: split every cell holding more than
+    ``max_cell_rows`` rows into ``sub_nlist`` sub-cells (k-means within
+    the cell), touching ONLY the hot partitions — the surgical
+    alternative to ``compact_ivf_index``'s full rebuild when one hot
+    region of embedding space (a crawl's boilerplate cluster, a viral
+    template) swamps its cell while the other 99% of the layout is fine.
+
+    Mechanics: per hot cell, train sub-centroids on a bounded sample of
+    that cell, append its rows re-assigned to NEW cell ids (rows appended
+    to the centroid matrix), drop the old partition directory, and
+    retire the old centroid by moving it to an unreachable sentinel
+    point — probe lists and appends can then never select it, and live
+    cell ids stay stable (they are positions in the centroid matrix, and
+    the cold partitions on disk are never touched or renamed).
+
+    The rewrite is write-then-delete per cell (new sub-partitions land
+    before the hot directory is removed); as with the streaming sink's
+    commit markers, a crash between the two leaves a recoverable
+    duplicate window that a real deployment closes with a transactional
+    table format. Single-writer assumption, documented.
+
+    Returns a NEW IVFIndex (same path, extended centroid matrix); the
+    old in-memory index object is stale after this call.
+    """
+    import shutil
+
+    counts = {
+        int(r["cell_id"]): int(r["n"])
+        for r in spark.read.parquet(index.path)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hot = sorted(c for c, n in counts.items() if n > max_cell_rows)
+    if not hot:
+        return index
+
+    centroids = index.centroids.copy()
+    for cell in hot:
+        part = spark.read.parquet(index.path).filter(F.col("cell_id") == cell)
+        part = part.drop("cell_id").localCheckpoint(eager=True)
+        train = np.vstack(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in part.select(index.vector_col)
+                .limit(train_sample)
+                .collect()
+            ]
+        )
+        sub = _train_centroids(
+            train, nlist=min(sub_nlist, len(train)), seed=seed, max_iter=20
+        )
+        base_id = len(centroids)
+        centroids = np.vstack([centroids, sub])
+        # assign within the hot cell against the SUB centroids only, then
+        # offset into the global id space
+        assigned = part.withColumn(
+            "cell_id", cell_assigner(sub)(F.col(index.vector_col)) + F.lit(base_id)
+        )
+        assigned.write.partitionBy("cell_id").mode("append").parquet(index.path)
+        shutil.rmtree(os.path.join(index.path, f"cell_id={cell}"))
+        centroids[cell] = _DEAD_CENTROID_COORD  # retire; never nearest again
+
+    out = IVFIndex(
+        path=index.path,
+        centroids=centroids,
+        vector_col=index.vector_col,
+        id_col=index.id_col,
+    )
+    out.save_meta()
+    return out
+
+
 def ivf_search_batch(
     spark: SparkSession,
     index: IVFIndex,

@@ -194,6 +194,20 @@ def build_lsh_layout(
     return index
 
 
+def lsh_append(index: LSHIndex, rows: DataFrame) -> None:
+    """Append rows to the bucket-partitioned layout without any refit —
+    the hyperplanes are FIXED at build time (unlike IVF centroids there
+    is no drift: a vector's bucket is a pure function of the planes), so
+    appends never degrade search quality and no compaction is ever
+    needed for correctness. Same post-insert visibility contract as
+    ``ivf_append`` (index/ivf.py:278): the next search's partition
+    pruning sees the new rows immediately."""
+    assigned = rows.withColumn(
+        "bucket", bucket_assigner(index.planes)(F.col(index.vector_col))
+    )
+    assigned.write.partitionBy("bucket").mode("append").parquet(index.path)
+
+
 def lsh_layout_search(
     spark: SparkSession,
     index: LSHIndex,

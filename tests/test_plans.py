@@ -231,3 +231,13 @@ def test_pagination_is_takeordered_not_global_sort(spark):
     never a global sort of the corpus."""
     plan = _plan(QUERIES["vector_search_pagination"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_takeordered_broadcast_stats(spark):
+    """BM25 top-k must be TakeOrderedAndProject (never a global sort) and
+    its corpus statistics (df/N/avgdl) must reach the scorer as broadcast
+    1-row tables — no shuffle keyed on the term dimension."""
+    plan = _plan(QUERIES["text_bm25_search"].fn(spark, SF_SMOKE), execute=True)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "SortMergeJoin" in plan  # no global sort node
+    assert plan.count("BroadcastExchange") >= 2  # dfs row + totals row

@@ -9,7 +9,7 @@ from tests.conftest import SF_SMOKE
 
 from vector_db_example_spark.functions.text import clean_content
 from vector_db_example_spark.queries import QUERIES
-from vector_db_example_spark.sources.tables import load_table
+from vector_db_example_spark.sources.tables import load_table, restore_event_ts
 from vector_db_example_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
@@ -180,15 +180,12 @@ def test_stateful_topk_merges_state_across_batches(spark, tmp_path):
     pdf[pdf.event_id % 2 == 1].to_parquet(src / "events_b.parquet", index=False)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
+    raw_schema = spark.read.parquet(str(src)).schema
+    stream = restore_event_ts(
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     snapshots: list = []
 

@@ -32,6 +32,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     # round-3 rotation: the six round-2 registry additions that never got
     # a driver verdict (excluded then by the 50-entry cap), plus the new
     # IVF_PQ stored-codes query — they lead so they verify this round
+    "text_bm25_search",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -100,6 +101,9 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # embedding near-dup: scale twin vector_ivf_bucketed_pairs stays,
         # and the curation pipeline's dedup stages stay hash-checked
         "dedup_embedding_cosine",
+        # hash-green r01+r02; dedup family anchored by exact/minhash/
+        # clusters/decontaminate/curation — makes room for text_bm25_search
+        "dedup_simhash",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

@@ -521,3 +521,64 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("rep_ratio"),
         (ratio <= 0.2).alias("kept"),
     )
+
+
+_BM25_TERMS = ("vector", "stream", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END)::DOUBLE AS tf0,
+         sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END)::DOUBLE AS tf1,
+         sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END)::DOUBLE AS tf2
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id
+),
+dfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'vector' THEN doc_id END)::DOUBLE AS df0,
+         count(DISTINCT CASE WHEN term = 'stream' THEN doc_id END)::DOUBLE AS df1,
+         count(DISTINCT CASE WHEN term = 'window' THEN doc_id END)::DOUBLE AS df2
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+),
+dl AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS dl
+  FROM documents
+),
+totals AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}')))::DOUBLE AS tot
+  FROM documents
+)
+SELECT doc_id,
+       round(
+         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+           * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot / n))))
+       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+           * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot / n))))
+       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+           * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot / n))))
+       , 6) AS bm25
+FROM tf JOIN dl USING (doc_id) CROSS JOIN dfs CROSS JOIN totals
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+    tags=("text", "bm25", "full-text", "search"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over `documents` for a fixed 3-term query —
+    the lexical full-text leg a Milvus 2.5-era deployment pairs with
+    vector search (and the input to hybrid RRF fusion). See
+    operators/bm25.py for the one-scan / single-broadcast-row /
+    TakeOrderedAndProject plan shape and the fixed-order float
+    discipline that keeps it hash-exact vs the oracle."""
+    from ..operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=10)

@@ -34,18 +34,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    to its microsecond timestamp type. Read it as a raw int64 (legacy
-    nanosAsLong) and truncate ns → µs with integer division (the value is
-    ~1.7e18, far beyond double precision — float division would corrupt
-    it). Set defensively at runtime so this works under any caller's
-    session, not just ours."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pyspark.sql import functions as F
+def restore_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to Spark's microsecond TimestampType.
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    The driver's corpus has shipped two shapes across rounds: TIMESTAMP
+    (NANOS) — which Spark 4 only reads as a raw int64 under legacy
+    nanosAsLong, so we truncate ns → µs with *integer* division (the
+    value is ~1.7e18, beyond double precision; float division would
+    corrupt it) — and native timestamp[us], which arrives as
+    TIMESTAMP_NTZ and only needs a cast (UTC session timezone makes the
+    cast value-preserving)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nanosAsLong is a no-op for µs data; set defensively so the NANOS
+    # corpus shape works under any caller's session, not just ours.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return restore_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -19,31 +19,31 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Explicit source schema — required by file-stream sources (no inference
-#: at stream time). ts is TIMESTAMP(NANOS) in the parquet; we read it as
-#: raw int64 (legacy nanosAsLong, same as the batch loader in
-#: sources/tables.py) and truncate to microseconds with integer division.
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+from vector_db_example_spark.sources.tables import restore_event_ts
+
 
 _MEMSINK_IDS = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`readStream` over the events table with event-time `ts` restored
-    to a microsecond timestamp (bit-identical to the batch loader)."""
+    to a microsecond timestamp (bit-identical to the batch loader).
+
+    File-stream sources require an explicit schema (no inference at
+    stream time); take it from one batch footer read so the stream sees
+    whichever raw ts shape (int64 nanos / native µs) this corpus drop
+    has — sources/tables.py's restore_event_ts normalizes either."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # File-stream sources require a directory; the test tables are single
-    # files, so stream the parent dir filtered to this table's file(s).
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The test tables are single files; stream the parent dir filtered
+    # to this table's file(s).
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return restore_event_ts(raw)
 
 
 def windowed_type_counts(

@@ -241,3 +241,14 @@ def test_bm25_takeordered_broadcast_stats(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan or "SortMergeJoin" in plan  # no global sort node
     assert plan.count("BroadcastExchange") >= 2  # dfs row + totals row
+
+
+def test_hypertable_report_prunes_both_layouts(spark):
+    """Closed days must read ONLY rollup partitions < cutoff; the raw
+    tail must read ONLY chunk partitions >= cutoff — both as partition
+    filters at the source, never a post-scan filter over full history."""
+    plan = _plan(QUERIES["events_hypertable_rollup"].fn(spark, SF_SMOKE))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert sum("event_date" in ln and not ln.strip().startswith("PartitionFilters: []") for ln in pf) >= 2, (
+        f"expected date partition filters on rollup AND raw scans; got {pf}"
+    )

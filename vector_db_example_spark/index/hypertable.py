@@ -1,0 +1,129 @@
+"""Time-chunked event layout + hourly continuous aggregate (rollup).
+
+The 100-TB scale story for append-heavy event tables (the TimescaleDB
+"hypertable" / Druid segment idea, expressed as plain Spark layouts):
+
+- **Raw chunks**: events written date-partitioned (`event_date=.../`).
+  Any query with a time-range predicate prunes whole days at the parquet
+  source (`PartitionFilters`, pinned in tests/test_plans.py) — at 1000
+  executors x 100 TB the scan cost is proportional to the window asked
+  for, not the table's history.
+- **Hourly rollup**: a pre-aggregated continuous aggregate per
+  (hour, event_type) holding ONLY algebraic measures — count, sum, min,
+  max — so any coarser grain (day/week/whole-range) or any sub-range
+  re-aggregates from rollup rows without touching raw data. Mean is
+  derived (sum/count), never stored. The rollup is itself
+  date-partitioned, so rollup reads prune identically.
+- **Query time** (`hypertable_report`): closed days are answered from
+  the rollup; the open tail is aggregated from raw chunks on the fly;
+  a union + final combine merges the two — the continuous-aggregate
+  pattern. The tail scan's partition filter makes "aggregate 100 TB of
+  history + today's live data" cost one rollup read + one day of raw.
+
+Maintenance composes with the streaming layer: the idempotent
+foreachBatch sink in streaming/ingest.py can append closed-hour rollup
+rows per micro-batch (commit-marker exactly-once), with the same
+query-time union covering the not-yet-rolled-up tail.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass(frozen=True)
+class Hypertable:
+    """Paths of a built time-chunked layout (both date-partitioned)."""
+
+    raw_path: str
+    rollup_path: str
+
+
+def build_hypertable(events: DataFrame, path: str) -> Hypertable:
+    """Write `events` as a date-chunked raw layout plus an hourly rollup.
+
+    One pass for each output; the rollup aggregation is partial+final
+    (map-side combine) keyed on (event_date, hour_ts, event_type) — at
+    scale this is a shuffle of per-(hour,type) partials, a few rows per
+    executor-day, not of events.
+    """
+    raw_path = f"{path}/raw"
+    rollup_path = f"{path}/rollup_1h"
+
+    with_date = events.withColumn("event_date", F.to_date("ts"))
+    (
+        with_date.write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(raw_path)
+    )
+
+    rollup = (
+        with_date.groupBy(
+            "event_date",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+    (
+        rollup.write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(rollup_path)
+    )
+    return Hypertable(raw_path=raw_path, rollup_path=rollup_path)
+
+
+def hypertable_report(
+    spark: SparkSession, table: Hypertable, tail_from: str
+) -> DataFrame:
+    """Per-(event_date, event_type) daily summary over the whole table:
+    days before `tail_from` (ISO date string) re-aggregate ROLLUP rows
+    (closed chunks — never touches raw), `tail_from` onward aggregates
+    RAW events (the open tail). Both sides' date predicates are partition
+    filters on the chunked layouts.
+
+    Output: (event_date, event_type, n, total, vmin, vmax), `total`
+    rounded to 2 (the repo's float-sum output convention); `event_date`
+    formatted 'yyyy-MM-dd' (the repo's date output convention — both
+    engines emit the identical string).
+    """
+    cutoff = F.lit(tail_from).cast("date")
+
+    closed = (
+        spark.read.parquet(table.rollup_path)
+        .filter(F.col("event_date") < cutoff)
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_sum").alias("total"),
+            F.min("value_min").alias("vmin"),
+            F.max("value_max").alias("vmax"),
+        )
+    )
+    tail = (
+        spark.read.parquet(table.raw_path)
+        .filter(F.col("event_date") >= cutoff)
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    merged = closed.unionByName(tail)
+    return merged.select(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+    )

@@ -42,23 +42,18 @@ K1 = 1.2
 B = 0.75
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     query_terms: Sequence[str],
-    k: int = 10,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-``k`` documents by BM25 score against ``query_terms``.
+    """``(id_col, bm25)`` for every document containing ≥1 query term,
+    with the UNROUNDED double score (callers round at their output edge).
 
     IDF uses the Lucene form ``ln(1 + (N - df + 0.5) / (df + 0.5))``
-    (always positive, unlike the raw Robertson IDF). A document scores
-    iff it contains at least one query term.
-
-    Returns ``(id_col, bm25)`` with ``bm25`` rounded to 6 places,
-    ordered by score desc then id asc (deterministic tiebreak so the
-    LIMIT is stable across engines and partitionings).
+    (always positive, unlike the raw Robertson IDF).
     """
     terms = list(dict.fromkeys(query_terms))
     if not terms:
@@ -127,8 +122,24 @@ def bm25_topk(
     for c in contribs[1:]:
         score = score + c
 
+    return scored.select(F.col(id_col), score.alias("bm25"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against ``query_terms``:
+    ``(id_col, bm25)`` rounded to 6 places, ordered by score desc then id
+    asc (deterministic tiebreak so the LIMIT is stable across engines and
+    partitionings)."""
     return (
-        scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col), F.round(F.col("bm25"), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -473,3 +473,49 @@ def events_user_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("click", "view", "purchase", "error", "signup")
     ]
     return ev.groupBy("user_id", day).agg(*aggs)
+
+
+#: One hypertable build (raw chunks + hourly rollup) per sf_dir per
+#: process — queries share it, mirroring the IVF index cache.
+_HYPERTABLE_CACHE: dict[str, "Hypertable"] = {}
+
+
+def get_hypertable(spark: SparkSession, sf_dir: str) -> "Hypertable":
+    import hashlib
+
+    from ..index.hypertable import build_hypertable
+
+    if sf_dir not in _HYPERTABLE_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ev = load_table(spark, sf_dir, "events")
+        _HYPERTABLE_CACHE[sf_dir] = build_hypertable(
+            ev, path=f"/tmp/spark_graft_hypertable_{tag}"
+        )
+    return _HYPERTABLE_CACHE[sf_dir]
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS event_date, event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total,
+       round(min(value), 2) AS vmin,
+       round(max(value), 2) AS vmax
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "hypertable", "rollup", "layout"),
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type summary answered the hypertable way: closed days
+    (before 2024-01-25) re-aggregate the HOURLY ROLLUP layout, the open
+    tail aggregates raw date-partitioned chunks, union + combine — while
+    the oracle states the same semantics directly over raw `events`.
+    Both legs' date predicates are partition filters (pinned in
+    tests/test_plans.py); see index/hypertable.py for the 100-TB story.
+    """
+    ht = get_hypertable(spark, sf_dir)
+    from ..index.hypertable import hypertable_report
+
+    return hypertable_report(spark, ht, tail_from="2024-01-25")

@@ -33,6 +33,8 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     # a driver verdict (excluded then by the 50-entry cap), plus the new
     # IVF_PQ stored-codes query — they lead so they verify this round
     "text_bm25_search",
+    "hybrid_weighted_search",
+    "events_hypertable_rollup",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -104,6 +106,12 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # hash-green r01+r02; dedup family anchored by exact/minhash/
         # clusters/decontaminate/curation — makes room for text_bm25_search
         "dedup_simhash",
+        # hash-green r01+r02; hybrid family anchored by the NEW
+        # hybrid_weighted_search (WeightedRanker semantics) it swaps for
+        "hybrid_rrf_search",
+        # hash-green r01+r02; events family anchored by funnel/range-join
+        # + the NEW events_hypertable_rollup it makes room for
+        "events_asof_click_purchase",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

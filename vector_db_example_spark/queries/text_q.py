@@ -524,28 +524,42 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS = ("vector", "stream", "window")
-_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
-@register(
-    "text_bm25_search",
-    oracle=f"""
-WITH tok AS (
+def _bm25_oracle_ctes(terms: tuple[str, ...] = _BM25_TERMS) -> str:
+    """DuckDB CTE chain ending in `bm25_scored(doc_id, bm25)` (unrounded),
+    mirroring operators/bm25.py expression-for-expression: integer-exact
+    tf/df/dl/N inputs, identical literal constants (2.2 / 1.2 / 0.25 /
+    0.75), and a fixed left-to-right per-term contribution sum — the
+    invariants that make the double bit-exact across engines. Shared by
+    the text_bm25_search oracle and the weighted-hybrid oracle."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n".join(
+        f"         sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)::DOUBLE AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n".join(
+        f"         count(DISTINCT CASE WHEN term = '{t}' THEN doc_id END)::DOUBLE AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = "\n       + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))\n"
+        f"           * (tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot / n))))"
+        for i in range(len(terms))
+    )
+    return f"""tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
   FROM documents
 ),
 tf AS (
   SELECT doc_id,
-         sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END)::DOUBLE AS tf0,
-         sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END)::DOUBLE AS tf1,
-         sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END)::DOUBLE AS tf2
-  FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id
+{tf_cols}
+  FROM tok WHERE term IN ({terms_sql}) GROUP BY doc_id
 ),
 dfs AS (
-  SELECT count(DISTINCT CASE WHEN term = 'vector' THEN doc_id END)::DOUBLE AS df0,
-         count(DISTINCT CASE WHEN term = 'stream' THEN doc_id END)::DOUBLE AS df1,
-         count(DISTINCT CASE WHEN term = 'window' THEN doc_id END)::DOUBLE AS df2
-  FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+  SELECT
+{df_cols}
+  FROM tok WHERE term IN ({terms_sql})
 ),
 dl AS (
   SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS dl
@@ -555,18 +569,22 @@ totals AS (
   SELECT count(*)::DOUBLE AS n,
          sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}')))::DOUBLE AS tot
   FROM documents
-)
-SELECT doc_id,
-       round(
-         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
-           * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot / n))))
-       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
-           * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot / n))))
-       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-           * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tot / n))))
-       , 6) AS bm25
-FROM tf JOIN dl USING (doc_id) CROSS JOIN dfs CROSS JOIN totals
-ORDER BY bm25 DESC, doc_id ASC
+),
+bm25_scored AS (
+  SELECT doc_id,
+         {contribs}
+           AS bm25
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfs CROSS JOIN totals
+)"""
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+WITH {_bm25_oracle_ctes()}
+SELECT doc_id, round(bm25, 6) AS bm25
+FROM bm25_scored
+ORDER BY round(bm25, 6) DESC, doc_id ASC
 LIMIT 10
 """,
     tags=("text", "bm25", "full-text", "search"),

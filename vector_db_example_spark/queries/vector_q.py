@@ -505,3 +505,130 @@ def vector_search_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = knn_page(emb, _query_vec(spark, sf_dir, 9), k=10, offset=10)
     return out.select("vec_id", F.round("distance", 6).alias("distance"), "rank")
+
+
+@register(
+    "hybrid_weighted_search",
+    oracle=None,  # replaced below — needs the BM25 CTE builder
+    tags=("vector", "hybrid", "weighted", "bm25"),
+)
+def hybrid_weighted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-score hybrid search (the Milvus WeightedRanker shape, vs
+    hybrid_rrf_search's rank-only RRFRanker): a dense L2 top-20 over
+    `embeddings` and a lexical BM25 top-20 over `documents`, each branch
+    min-max normalized to [0,1] over its own candidate set (best -> 1),
+    fused as 0.7*dense + 0.3*lexical, top-10.
+
+    Scale shape: both branches end in TakeOrderedAndProject; the min-max
+    stats are 1-row aggregates over 20-row branch outputs; the fusion is
+    a full-outer join of two 20-row inputs. Nothing after the branch
+    top-ks touches a corpus again. Float discipline: normalization and
+    the weighted sum run on the UNROUNDED branch doubles (bit-exact per
+    the branch contracts) in one fixed order; outputs round at the edge.
+    """
+    from ..operators.bm25 import bm25_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = _query_vecs(spark, sf_dir, [7])[7]
+
+    dense = (
+        knn_exact(emb, qv, k=20, score_threshold=None)
+        .select(F.col("vec_id").alias("id"), "distance")
+    )
+    dstats = dense.agg(F.min("distance").alias("dmin"), F.max("distance").alias("dmax"))
+    dn = (
+        dense.crossJoin(F.broadcast(dstats))
+        .select(
+            "id",
+            F.when(F.col("dmax") == F.col("dmin"), F.lit(1.0))
+            .otherwise(
+                (F.col("dmax") - F.col("distance")) / (F.col("dmax") - F.col("dmin"))
+            )
+            .alias("vnorm"),
+        )
+    )
+
+    lex = (
+        bm25_scores(docs, ("vector", "stream", "window"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(F.col("doc_id").alias("id"), "bm25")
+    )
+    bstats = lex.agg(F.min("bm25").alias("bmin"), F.max("bm25").alias("bmax"))
+    bn = (
+        lex.crossJoin(F.broadcast(bstats))
+        .select(
+            "id",
+            F.when(F.col("bmax") == F.col("bmin"), F.lit(1.0))
+            .otherwise(
+                (F.col("bm25") - F.col("bmin")) / (F.col("bmax") - F.col("bmin"))
+            )
+            .alias("bnorm"),
+        )
+    )
+
+    fused = dn.join(bn, "id", "full_outer").withColumn(
+        "ws",
+        F.lit(0.7) * F.coalesce(F.col("vnorm"), F.lit(0.0))
+        + F.lit(0.3) * F.coalesce(F.col("bnorm"), F.lit(0.0)),
+    )
+    return (
+        fused.orderBy(F.col("ws").desc(), F.col("id").asc())
+        .limit(10)
+        .select(
+            "id",
+            F.round("vnorm", 6).alias("vec_norm"),
+            F.round("bnorm", 6).alias("bm25_norm"),
+            F.round("ws", 6).alias("weighted_score"),
+        )
+    )
+
+
+def _install_hybrid_weighted_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES
+    from .text_q import _bm25_oracle_ctes
+
+    oracle = f"""
+WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+dense AS (
+  SELECT e.vec_id AS id, {_l2_sql('e.embedding', 'qv.v')} AS dist
+  FROM embeddings e CROSS JOIN qv
+  ORDER BY dist ASC, e.vec_id ASC LIMIT 20
+),
+dstats AS (SELECT min(dist) AS dmin, max(dist) AS dmax FROM dense),
+dn AS (
+  SELECT id,
+         CASE WHEN dmax = dmin THEN 1.0
+              ELSE (dmax - dist) / (dmax - dmin) END AS vnorm
+  FROM dense CROSS JOIN dstats
+),
+{_bm25_oracle_ctes()},
+lex AS (
+  SELECT doc_id AS id, bm25 FROM bm25_scored
+  ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+),
+bstats AS (SELECT min(bm25) AS bmin, max(bm25) AS bmax FROM lex),
+bn AS (
+  SELECT id,
+         CASE WHEN bmax = bmin THEN 1.0
+              ELSE (bm25 - bmin) / (bmax - bmin) END AS bnorm
+  FROM lex CROSS JOIN bstats
+),
+fused AS (
+  SELECT coalesce(dn.id, bn.id) AS id, dn.vnorm, bn.bnorm,
+         0.7 * coalesce(dn.vnorm, 0.0) + 0.3 * coalesce(bn.bnorm, 0.0) AS ws
+  FROM dn FULL OUTER JOIN bn ON dn.id = bn.id
+)
+SELECT id, round(vnorm, 6) AS vec_norm, round(bnorm, 6) AS bm25_norm,
+       round(ws, 6) AS weighted_score
+FROM fused ORDER BY ws DESC, id ASC LIMIT 10
+"""
+    QUERIES["hybrid_weighted_search"] = replace(
+        QUERIES["hybrid_weighted_search"], oracle=oracle
+    )
+
+
+_install_hybrid_weighted_oracle()

@@ -297,3 +297,85 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     }
     assert (100, 101) in got, got  # the inner match
     assert (200, None) in got, got  # unmatched purchase, null click
+
+
+def test_rollup_upsert_merges_across_batches_and_late_data(spark, tmp_path):
+    """The merge-upsert continuous aggregate: (a) a 2-batch replay equals
+    the one-shot hourly aggregation; (b) re-running a drained stream on
+    the same checkpoint is a no-op; (c) late data appended to the source
+    and drained under the SAME checkpoint (the file source tracks
+    processed files; batch ids continue past the committed markers)
+    merges stragglers into already-closed hours instead of duplicating
+    or dropping."""
+    import pandas as pd
+
+    from vector_db_example_spark.sources.tables import load_table, restore_event_ts
+    from vector_db_example_spark.streaming.rollup import (
+        read_rollup,
+        stream_rollup_maintenance,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "src"
+    rollup = str(tmp_path / "rollup")
+    for i in range(2):
+        ev.filter(F.col("event_id") % 3 == i).write.mode("append").parquet(str(src))
+
+    def run(ckpt: str) -> None:
+        schema = spark.read.parquet(str(src)).schema
+        stream = restore_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        stream_rollup_maintenance(
+            spark, stream, rollup_path=rollup, checkpoint_path=str(tmp_path / ckpt)
+        )
+
+    run("ckpt1")
+    partial = {
+        (r.hour_ts, r.event_type): (r.n, r.value_sum)
+        for r in read_rollup(spark, rollup).collect()
+    }
+    expect_partial = {
+        (r.hour_ts, r.event_type): (r.n, r.value_sum)
+        for r in ev.filter(F.col("event_id") % 3 != 2)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .collect()
+    }
+    assert {k: (n, round(v, 6)) for k, (n, v) in partial.items()} == {
+        k: (n, round(v, 6)) for k, (n, v) in expect_partial.items()
+    }
+
+    # same checkpoint, nothing new: no-op
+    run("ckpt1")
+    assert {
+        (r.hour_ts, r.event_type): (r.n, r.value_sum)
+        for r in read_rollup(spark, rollup).collect()
+    } == partial
+
+    # late data arrives (the remaining third); drain the same checkpoint
+    ev.filter(F.col("event_id") % 3 == 2).write.mode("append").parquet(str(src))
+    run("ckpt1")
+    final = {
+        (r.hour_ts, r.event_type): (r.n, round(r.value_sum, 6))
+        for r in read_rollup(spark, rollup).collect()
+    }
+    expect_full = {
+        (r.hour_ts, r.event_type): (r.n, round(r.value_sum, 6))
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .collect()
+    }
+    assert final == expect_full

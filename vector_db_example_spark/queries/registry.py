@@ -35,6 +35,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "text_bm25_search",
     "hybrid_weighted_search",
     "events_hypertable_rollup",
+    "stream_events_rollup_upsert",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -112,6 +113,10 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # hash-green r01+r02; events family anchored by funnel/range-join
         # + the NEW events_hypertable_rollup it makes room for
         "events_asof_click_purchase",
+        # hash-green r01+r02; lang-ID/quality semantics stay anchored by
+        # the curation pipeline's replayed stats — makes room for the NEW
+        # stream_events_rollup_upsert
+        "pipeline_balanced_lang_sample",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

@@ -270,3 +270,62 @@ def stream_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return run_to_memory(out, name="enrich_dim")
+
+
+@register(
+    "stream_events_rollup_upsert",
+    oracle="""
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS event_date,
+       strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+         AS hour_ts,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS value_sum,
+       round(min(value), 2) AS value_min,
+       round(max(value), 2) AS value_max
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("streaming", "events", "rollup", "hypertable"),
+)
+def stream_events_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the events table is replayed as
+    a THREE-batch stream (source split on event_id % 3, one file per
+    trigger — so hours genuinely span batches) through the merge-upsert
+    rollup sink (streaming/rollup.py), then the maintained layout is read
+    back. The oracle states the equivalent one-shot hourly aggregation —
+    if cross-batch partial merging dropped or double-counted anything,
+    counts and sums would differ."""
+    import tempfile
+
+    from ..sources.tables import load_table, restore_event_ts
+    from ..streaming.rollup import read_rollup, stream_rollup_maintenance
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_rollup_")
+    try:
+        src = f"{work}/src"
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).write.mode("append").parquet(src)
+        raw_schema = spark.read.parquet(src).schema
+        stream = restore_event_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_rollup_maintenance(
+            spark, stream, rollup_path=f"{work}/rollup", checkpoint_path=f"{work}/ckpt"
+        )
+        out = read_rollup(spark, f"{work}/rollup").select(
+            "event_date",
+            "hour_ts",
+            "event_type",
+            "n",
+            F.round("value_sum", 2).alias("value_sum"),
+            F.round("value_min", 2).alias("value_min"),
+            F.round("value_max", 2).alias("value_max"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

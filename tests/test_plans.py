@@ -252,3 +252,16 @@ def test_hypertable_report_prunes_both_layouts(spark):
     assert sum("event_date" in ln and not ln.strip().startswith("PartitionFilters: []") for ln in pf) >= 2, (
         f"expected date partition filters on rollup AND raw scans; got {pf}"
     )
+
+
+def test_inverted_bm25_prunes_posting_partitions(spark):
+    """The posting-list read must prune to the query terms' crc32
+    buckets at the source (PartitionFilters on `bucket`), never scan all
+    postings and filter afterwards."""
+    plan = _plan(QUERIES["text_bm25_inverted_topk"].fn(spark, SF_SMOKE))
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "bucket" in ln
+    ]
+    assert pf, f"no bucket partition filter in plan:\n{plan[:2000]}"

@@ -1,0 +1,144 @@
+"""Term-bucket-partitioned inverted index (posting lists) for lexical
+retrieval — the lexical twin of the IVF layout for dense vectors.
+
+Extension beyond the reference surface (the reference delegates lexical
+relevance to its vector store; Milvus 2.5-class engines ship exactly
+this: a tokenized inverted index scored with BM25). The scan-based
+scorer (operators/bm25.py) reads the whole corpus per query; at 100 TB
+the index inverts that: postings `(term, doc_id, tf)` are written
+partitioned by `bucket = crc32(term) % n_buckets`, so a query's reads
+are the partitions of ITS OWN terms — partition pruning at the parquet
+source (pinned in tests/test_plans.py), cost proportional to the query
+terms' posting lists, not the corpus.
+
+Alongside the postings the build stores the two scoring side-tables BM25
+needs: per-doc token lengths (`doclens/`, doc-partitioned like any other
+corpus table) and the 1-row corpus stats (`stats/`: N, total tokens).
+Per-term document frequencies are NOT stored — they are one tiny
+aggregate over the (already pruned) posting lists at query time, which
+keeps the index append-friendly: adding documents appends postings and
+doclen rows and rewrites one stats row, with no global recount.
+
+Determinism: `crc32` here is java.util.zip.CRC32 (Spark's `F.crc32`),
+the same polynomial as Python's `zlib.crc32` — the driver computes query
+buckets with zlib and they match the layout's partition values exactly.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import extract_tokens
+from ..operators.bm25 import bm25_score_expr
+
+
+@dataclass(frozen=True)
+class InvertedIndex:
+    path: str
+    n_buckets: int
+    id_col: str = "doc_id"
+
+    @property
+    def postings_path(self) -> str:
+        return f"{self.path}/postings"
+
+    @property
+    def doclens_path(self) -> str:
+        return f"{self.path}/doclens"
+
+    @property
+    def stats_path(self) -> str:
+        return f"{self.path}/stats"
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> InvertedIndex:
+    """One tokenize pass feeds all three outputs: bucketed postings
+    (one (term, doc) shuffle for the tf groupBy), per-doc lengths
+    (map-side `size()`), and the 1-row corpus stats."""
+    tok = docs.select(
+        id_col, F.explode(extract_tokens(F.col(text_col))).alias("term")
+    )
+    postings = (
+        tok.groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % n_buckets)
+    )
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    docs.select(
+        F.col(id_col), F.size(extract_tokens(F.col(text_col))).alias("__dl")
+    ).write.mode("overwrite").parquet(f"{path}/doclens")
+    docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.size(extract_tokens(F.col(text_col)))).cast("double").alias("__tot"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    return InvertedIndex(path=path, n_buckets=n_buckets, id_col=id_col)
+
+
+def bm25_search_inverted(
+    spark: SparkSession,
+    index: InvertedIndex,
+    query_terms: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` by BM25, reading ONLY the query terms' posting-list
+    partitions. Identical scores to the scan-based
+    ``operators.bm25.bm25_topk`` (shared score expression over the same
+    integer-exact inputs) — which is what lets the driver oracle state
+    exact parity with the full-scan SQL."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    id_col = index.id_col
+
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in terms})
+    posts = (
+        spark.read.parquet(index.postings_path)
+        .filter(F.col("bucket").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(terms))  # within-bucket residual filter
+    )
+
+    tf = posts.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+            .cast("double")
+            .alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    dfs = posts.groupBy().agg(
+        *[
+            F.count_distinct(F.when(F.col("term") == t, F.col(id_col)))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = spark.read.parquet(index.stats_path)
+
+    scored = (
+        tf.join(spark.read.parquet(index.doclens_path), id_col)
+        .crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(stats))
+    )
+    return (
+        scored.select(
+            F.col(id_col), F.round(bm25_score_expr(len(terms)), 6).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

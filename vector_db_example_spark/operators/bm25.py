@@ -103,13 +103,24 @@ def bm25_scores(
         .crossJoin(F.broadcast(totals))
     )
 
-    # Literal constants appear in the SAME literal form as in the oracle
-    # SQL (2.2 not K1+1.0, 0.25 not 1-B) so both engines round the same
-    # decimal text to the same double.
+    return scored.select(F.col(id_col), bm25_score_expr(len(terms)).alias("bm25"))
+
+
+def bm25_score_expr(n_terms: int):
+    """The BM25 score Column over the pivoted inputs ``__tf{i}``,
+    ``__df{i}`` (doubles of exact integers), ``__dl`` (int token count),
+    ``__n``/``__tot`` (double corpus stats) — shared by the scan-based
+    scorer above and the inverted-index scorer (index/inverted.py) so
+    both engines and both access paths produce bit-identical doubles.
+
+    Literal constants appear in the SAME literal form as in the oracle
+    SQL (2.2 not K1+1.0, 0.25 not 1-B) so both engines round the same
+    decimal text to the same double; the per-term contributions sum in
+    one fixed left-to-right order."""
     dl_d = F.col("__dl").cast("double")
     avgdl = F.col("__tot") / F.col("__n")
     contribs = []
-    for i in range(len(terms)):
+    for i in range(n_terms):
         tf_i, df_i = F.col(f"__tf{i}"), F.col(f"__df{i}")
         idf = F.log(
             F.lit(1.0) + (F.col("__n") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
@@ -121,8 +132,7 @@ def bm25_scores(
     score = contribs[0]
     for c in contribs[1:]:
         score = score + c
-
-    return scored.select(F.col(id_col), score.alias("bm25"))
+    return score
 
 
 def bm25_topk(

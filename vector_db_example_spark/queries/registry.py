@@ -36,6 +36,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "hybrid_weighted_search",
     "events_hypertable_rollup",
     "stream_events_rollup_upsert",
+    "text_bm25_inverted_topk",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -117,6 +118,10 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # the curation pipeline's replayed stats — makes room for the NEW
         # stream_events_rollup_upsert
         "pipeline_balanced_lang_sample",
+        # hash-green r01+r02; exact dedup is replayed as a stage inside
+        # pipeline_corpus_curation (stays) — makes room for the NEW
+        # text_bm25_inverted_topk
+        "dedup_exact_groups",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

@@ -600,3 +600,48 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+#: One inverted-index build per (sf_dir, n_buckets) per process.
+_INVERTED_CACHE: dict = {}
+
+
+def get_inverted_index(spark: SparkSession, sf_dir: str, n_buckets: int = 64):
+    import hashlib
+
+    from ..index.inverted import build_inverted_index
+
+    key = (sf_dir, n_buckets)
+    if key not in _INVERTED_CACHE:
+        tag = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:8]
+        docs = load_table(spark, sf_dir, "documents")
+        _INVERTED_CACHE[key] = build_inverted_index(
+            docs, path=f"/tmp/spark_graft_inverted_{tag}", n_buckets=n_buckets
+        )
+    return _INVERTED_CACHE[key]
+
+
+@register(
+    "text_bm25_inverted_topk",
+    oracle=f"""
+WITH {_bm25_oracle_ctes()}
+SELECT doc_id, round(bm25, 6) AS bm25
+FROM bm25_scored
+ORDER BY round(bm25, 6) DESC, doc_id ASC
+LIMIT 10
+""",
+    tags=("text", "bm25", "inverted-index", "layout"),
+)
+def text_bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 top-10 as text_bm25_search, answered from the
+    term-bucket-partitioned posting-list layout instead of a corpus
+    scan: the query's terms map to crc32 buckets driver-side, the
+    postings read prunes to those partitions, and scoring runs over
+    posting rows + the stored doclen/stats side-tables (shared score
+    expression — index/inverted.py). The oracle is the full-scan SQL:
+    exact parity is the correctness statement for the index, mirroring
+    vector_ivf_exact_parity for the dense layout."""
+    from ..index.inverted import bm25_search_inverted
+
+    idx = get_inverted_index(spark, sf_dir)
+    return bm25_search_inverted(spark, idx, _BM25_TERMS, k=10)

@@ -1,0 +1,67 @@
+"""Inverted-index layout: build/search parity is covered by the driver
+oracle (text_bm25_inverted_topk == full-scan SQL) and the plan test; here
+we pin the append path and the sparse scorer's semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from vector_db_example_spark.index.inverted import (
+    append_to_inverted_index,
+    bm25_search_inverted,
+    build_inverted_index,
+    sparse_dot_topk,
+)
+from vector_db_example_spark.sources.tables import load_table
+
+
+def test_append_equals_full_build(spark, tmp_path):
+    """Index built on 70% + append of 30% must score identically to an
+    index built on 100% (stats summed incrementally, dfs recomputed from
+    postings — nothing stored goes stale)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    part1 = docs.filter(F.col("doc_id") % 10 < 7)
+    part2 = docs.filter(F.col("doc_id") % 10 >= 7)
+
+    idx_incr = build_inverted_index(part1, str(tmp_path / "incr"), n_buckets=16)
+    append_to_inverted_index(idx_incr, part2)
+    idx_full = build_inverted_index(docs, str(tmp_path / "full"), n_buckets=16)
+
+    terms = ("vector", "stream", "window")
+    got = bm25_search_inverted(spark, idx_incr, terms, k=10).collect()
+    want = bm25_search_inverted(spark, idx_full, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sparse_dot_matches_brute_force(spark, tmp_path):
+    from vector_db_example_spark.functions.text import extract_tokens
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = build_inverted_index(docs, str(tmp_path / "idx"), n_buckets=16)
+    weights = {"vector": 1.5, "table": 0.5}
+    got = {
+        r.doc_id: r.sparse_score
+        for r in sparse_dot_topk(spark, idx, weights, k=5).collect()
+    }
+    toks = docs.select(
+        "doc_id", F.explode(extract_tokens(F.col("text"))).alias("term")
+    )
+    brute = (
+        toks.filter(F.col("term").isin(list(weights)))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.lit(1.5)
+                * F.sum(F.when(F.col("term") == "vector", 1).otherwise(0)).cast("double")
+                + F.lit(0.5)
+                * F.sum(F.when(F.col("term") == "table", 1).otherwise(0)).cast("double"),
+                6,
+            ).alias("sparse_score")
+        )
+        .orderBy(F.col("sparse_score").desc(), F.col("doc_id").asc())
+        .limit(5)
+        .collect()
+    )
+    assert got == {r.doc_id: r.sparse_score for r in brute}

@@ -379,3 +379,26 @@ def test_rollup_upsert_merges_across_batches_and_late_data(spark, tmp_path):
         .collect()
     }
     assert final == expect_full
+
+
+def test_hypertable_drop_chunks_retention(spark, tmp_path):
+    """drop_chunks removes whole day partitions below the cutoff from
+    both layouts and leaves survivors byte-identical (no rewrite)."""
+    from vector_db_example_spark.index.hypertable import (
+        build_hypertable,
+        drop_chunks,
+        hypertable_report,
+    )
+    from vector_db_example_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    ht = build_hypertable(ev, str(tmp_path / "ht"))
+    before = spark.read.parquet(ht.raw_path).count()
+    dropped = drop_chunks(spark, ht, older_than="2024-01-10")
+    assert dropped > 0
+    kept = spark.read.parquet(ht.raw_path)
+    assert kept.count() < before
+    assert kept.agg(F.min(F.to_date("event_date"))).collect()[0][0].isoformat() >= "2024-01-10"
+    # the report still runs over the retained window
+    rep = hypertable_report(spark, ht, tail_from="2024-01-25")
+    assert rep.agg(F.min("event_date")).collect()[0][0] >= "2024-01-10"

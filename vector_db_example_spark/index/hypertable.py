@@ -127,3 +127,28 @@ def hypertable_report(
         F.round("vmin", 2).alias("vmin"),
         F.round("vmax", 2).alias("vmax"),
     )
+
+
+def drop_chunks(spark: SparkSession, table: Hypertable, older_than: str) -> int:
+    """Retention: delete whole day-chunks (raw AND rollup) with
+    `event_date` before `older_than` (ISO date). Because the layout is
+    date-partitioned, retention is directory removal — no rewrite, no
+    scan of surviving data; at 100 TB this is O(days dropped), not
+    O(table). Returns the number of chunk directories removed.
+
+    Single-writer assumption as elsewhere; a transactional table format
+    would make the drop atomic against concurrent readers.
+    """
+    import datetime
+    import shutil
+    from pathlib import Path
+
+    cutoff = datetime.date.fromisoformat(older_than)
+    dropped = 0
+    for root in (table.raw_path, table.rollup_path):
+        for part in Path(root).glob("event_date=*"):
+            day = datetime.date.fromisoformat(part.name.split("=", 1)[1])
+            if day < cutoff:
+                shutil.rmtree(part)
+                dropped += 1
+    return dropped

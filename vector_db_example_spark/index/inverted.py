@@ -142,3 +142,87 @@ def bm25_search_inverted(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
+    """Append new documents to the layout without any global recount:
+    their postings append into the same bucket partitions, their lengths
+    append to `doclens/`, and the 1-row stats are replaced by the summed
+    row (old stats + the increment — both tiny driver-side reads). Terms
+    the corpus has never seen land in their crc32 bucket like any other;
+    document frequencies stay correct because they are computed from
+    postings at query time, never stored.
+
+    Same single-writer assumption as the IVF append path: concurrent
+    appends to one layout need a transactional table format underneath.
+    """
+    spark = docs.sparkSession
+    id_col, text_col = index.id_col, "text"
+    tok = docs.select(
+        id_col, F.explode(extract_tokens(F.col(text_col))).alias("term")
+    )
+    (
+        tok.groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % index.n_buckets)
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(index.postings_path)
+    )
+    docs.select(
+        F.col(id_col), F.size(extract_tokens(F.col(text_col))).alias("__dl")
+    ).write.mode("append").parquet(index.doclens_path)
+
+    old = spark.read.parquet(index.stats_path).collect()[0]
+    inc = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.size(extract_tokens(F.col(text_col)))).cast("double").alias("__tot"),
+    ).collect()[0]
+    spark.createDataFrame(
+        [(float(old["__n"]) + float(inc["__n"]),
+          float(old["__tot"]) + float(inc["__tot"]))],
+        "__n double, __tot double",
+    ).write.mode("overwrite").parquet(index.stats_path)
+
+
+def sparse_dot_topk(
+    spark: SparkSession,
+    index: InvertedIndex,
+    query_weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """Sparse-vector retrieval over the posting-list layout (the
+    SPLADE / Milvus sparse-embedding query shape): score(d) = Σ_t w_t ·
+    tf_td for the query's nonzero terms. Reads only the query terms'
+    bucket partitions; per-term products pivot into fixed columns and
+    sum in one deterministic order (doc-side tf is integer-exact, so the
+    double score is bit-reproducible for the oracle).
+
+    Returns (id, sparse_score) rounded to 6, score desc / id asc, top-k.
+    """
+    if not query_weights:
+        raise ValueError("query_weights must be non-empty")
+    terms = list(query_weights)
+    id_col = index.id_col
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in terms})
+    posts = (
+        spark.read.parquet(index.postings_path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = posts.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+            .cast("double")
+            .alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.lit(float(query_weights[terms[0]])) * F.col("__tf0")
+    for i, t in enumerate(terms[1:], start=1):
+        score = score + F.lit(float(query_weights[t])) * F.col(f"__tf{i}")
+    return (
+        tf.select(F.col(id_col), F.round(score, 6).alias("sparse_score"))
+        .orderBy(F.col("sparse_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -37,6 +37,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "events_hypertable_rollup",
     "stream_events_rollup_upsert",
     "text_bm25_inverted_topk",
+    "text_sparse_weighted_topk",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -122,6 +123,10 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # pipeline_corpus_curation (stays) — makes room for the NEW
         # text_bm25_inverted_topk
         "dedup_exact_groups",
+        # hash-green r01+r02; corpus term-stats family now anchored by
+        # the BM25/sparse entries + text_tokenize_topk (stays) — makes
+        # room for the NEW text_sparse_weighted_topk
+        "text_tfidf_top_terms",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

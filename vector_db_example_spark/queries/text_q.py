@@ -645,3 +645,41 @@ def text_bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = get_inverted_index(spark, sf_dir)
     return bm25_search_inverted(spark, idx, _BM25_TERMS, k=10)
+
+
+#: Dyadic query weights (exactly representable doubles), so every
+#: product with an integer tf — and their fixed-order sum — is EXACT.
+_SPARSE_WEIGHTS = {"vector": 1.5, "spark": 0.75, "stream": 1.25}
+
+
+@register(
+    "text_sparse_weighted_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END)::DOUBLE AS tf0,
+         sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END)::DOUBLE AS tf1,
+         sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END)::DOUBLE AS tf2
+  FROM tok WHERE term IN ('vector', 'spark', 'stream') GROUP BY doc_id
+)
+SELECT doc_id, round(1.5 * tf0 + 0.75 * tf1 + 1.25 * tf2, 6) AS sparse_score
+FROM tf
+ORDER BY sparse_score DESC, doc_id ASC
+LIMIT 10
+""",
+    tags=("text", "sparse", "inverted-index", "search"),
+)
+def text_sparse_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector retrieval (the SPLADE / Milvus sparse-embedding
+    query shape) over the posting-list layout: score = Σ w_t · tf_td for
+    the query's nonzero terms, reading only those terms' crc32 bucket
+    partitions. Dyadic weights × integer tf keep the double score exact,
+    so the full-scan SQL oracle is hash-exact against the index path."""
+    from ..index.inverted import sparse_dot_topk
+
+    idx = get_inverted_index(spark, sf_dir)
+    return sparse_dot_topk(spark, idx, _SPARSE_WEIGHTS, k=10)

@@ -65,3 +65,24 @@ def test_sparse_dot_matches_brute_force(spark, tmp_path):
         .collect()
     )
     assert got == {r.doc_id: r.sparse_score for r in brute}
+
+
+def test_compact_preserves_scores(spark, tmp_path):
+    """Build + append + compact must score identically to the
+    pre-compaction layout (and to a clean full build)."""
+    from vector_db_example_spark.index.inverted import compact_inverted_index
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = build_inverted_index(
+        docs.filter(F.col("doc_id") % 2 == 0), str(tmp_path / "idx"), n_buckets=16
+    )
+    append_to_inverted_index(idx, docs.filter(F.col("doc_id") % 2 == 1))
+    compacted = compact_inverted_index(spark, idx, str(tmp_path / "compacted"))
+
+    terms = ("vector", "stream", "window")
+    before = bm25_search_inverted(spark, idx, terms, k=10).collect()
+    after = bm25_search_inverted(spark, compacted, terms, k=10).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    # compaction really merged: one row per (term, doc)
+    posts = spark.read.parquet(compacted.postings_path)
+    assert posts.count() == posts.select("term", "doc_id").distinct().count()

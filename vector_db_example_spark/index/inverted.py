@@ -226,3 +226,36 @@ def sparse_dot_topk(
         .orderBy(F.col("sparse_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def compact_inverted_index(
+    spark: SparkSession, index: InvertedIndex, new_path: str
+) -> InvertedIndex:
+    """Offline compaction after many appends: re-read the current
+    postings/doclens/stats and write a fresh layout at ``new_path`` —
+    write-new-then-swap-pointer, same policy as the IVF compactor (never
+    rewrite a layout in place; readers of the old path stay consistent).
+    Merges a doc's postings split across append batches back into one
+    row per (term, doc) and collapses the per-bucket small files."""
+    posts = (
+        spark.read.parquet(index.postings_path)
+        .groupBy("term", index.id_col, "bucket")
+        .agg(F.sum("tf").alias("tf"))
+        .select("term", index.id_col, "tf", "bucket")
+    )
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{new_path}/postings"
+    )
+    (
+        spark.read.parquet(index.doclens_path)
+        .groupBy(index.id_col)
+        .agg(F.sum("__dl").alias("__dl"))
+        .write.mode("overwrite")
+        .parquet(f"{new_path}/doclens")
+    )
+    spark.read.parquet(index.stats_path).write.mode("overwrite").parquet(
+        f"{new_path}/stats"
+    )
+    return InvertedIndex(
+        path=new_path, n_buckets=index.n_buckets, id_col=index.id_col
+    )

@@ -46,11 +46,22 @@ def main() -> None:
     # Index build is an ingest-time cost (the reference builds IVF at
     # collection creation, not per search) — time it as its own line so
     # the probe-search number measures search.
+    from vector_db_example_spark.index.ivf import build_ivf_index
     from vector_db_example_spark.queries.index_q import get_ivf_index
+    from vector_db_example_spark.sources.tables import load_table
 
+    build_samples = []
     t0 = time.perf_counter()
-    get_ivf_index(spark, SF_DIR, nlist=16)
-    timings["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+    get_ivf_index(spark, SF_DIR, nlist=16)  # the layout the search queries use
+    build_samples.append(time.perf_counter() - t0)
+    # min-of-2, like every other line: the first build is still charged
+    # ~2s of Python-worker/Arrow spin-up the warmup doesn't fully cover.
+    t0 = time.perf_counter()
+    build_ivf_index(
+        load_table(spark, SF_DIR, "embeddings"), "/tmp/bench_ivf_rebuild", nlist=16
+    )
+    build_samples.append(time.perf_counter() - t0)
+    timings["ivf_index_build"] = round(min(build_samples), 3)
 
     # min-of-2 per query: this box shows ±30% run-to-run spread on sub-3s
     # queries (r02's four >2x "regressions" were all machine noise that a

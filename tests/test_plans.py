@@ -265,3 +265,13 @@ def test_inverted_bm25_prunes_posting_partitions(spark):
         if "PartitionFilters" in ln and "bucket" in ln
     ]
     assert pf, f"no bucket partition filter in plan:\n{plan[:2000]}"
+
+
+def test_partition_key_search_prunes_tenant_partition(spark):
+    plan = _plan(QUERIES["vector_partition_key_search"].fn(spark, SF_SMOKE))
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "label" in ln
+    ]
+    assert pf, f"no label partition filter:\n{plan[:1500]}"

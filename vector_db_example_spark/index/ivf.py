@@ -200,11 +200,20 @@ def ivf_search(
     k: int = 5,
     nprobe: int = 20,
     score_threshold: float | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF search: partition-pruned scan of the nprobe nearest cells +
-    exact L2 top-k within them (the FLAT part of IVF_FLAT)."""
+    exact L2 top-k within them (the FLAT part of IVF_FLAT).
+
+    ``where`` is an optional metadata predicate (Milvus filtered-search
+    semantics: the filter applies BEFORE the top-k, so the result is the
+    k nearest rows *satisfying* it). It lands on the pruned scan, where
+    Catalyst pushes it into the parquet reader alongside the partition
+    filter — filtering never widens the scan."""
     probe = nearest_cells(index, query_vec, nprobe)
     corpus = spark.read.parquet(index.path).filter(F.col("cell_id").isin(probe))
+    if where is not None:
+        corpus = corpus.filter(where)
     return knn_exact(
         corpus,
         query_vec,

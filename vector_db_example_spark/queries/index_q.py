@@ -427,3 +427,37 @@ def vector_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = bq_search(emb, _query_vec(spark, sf_dir, 13), k=10, overfetch=5)
     return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "vector_ivf_filtered_parity",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+d AS (
+  SELECT e.vec_id, e.label, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (2, 5)
+)
+SELECT vec_id, label, round(dist, 6) AS distance
+FROM d ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "ivf", "index", "filtered"),
+)
+def vector_ivf_filtered_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus filtered-search semantics on the IVF layout: a metadata
+    predicate (label IN (2,5)) applies BEFORE the top-k, pushed into the
+    pruned parquet scan next to the partition filter. At nprobe=nlist the
+    probe is exhaustive, so the result provably equals brute force over
+    the filtered subset — which the oracle states directly."""
+    index = get_ivf_index(spark, sf_dir, nlist=16)
+    hits = ivf_search(
+        spark,
+        index,
+        _query_vec(spark, sf_dir, 11),
+        k=10,
+        nprobe=16,
+        where=F.col("label").isin(2, 5),
+    )
+    return hits.select(
+        "vec_id", "label", F.round("distance", 6).alias("distance")
+    )

@@ -38,6 +38,8 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "stream_events_rollup_upsert",
     "text_bm25_inverted_topk",
     "text_sparse_weighted_topk",
+    "vector_ivf_filtered_parity",
+    "vector_partition_key_search",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -127,6 +129,14 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # the BM25/sparse entries + text_tokenize_topk (stays) — makes
         # room for the NEW text_sparse_weighted_topk
         "text_tfidf_top_terms",
+        # hash-green r01+r02; P2's threshold semantics stay exercised by
+        # knn_exact's plan-tested filter and the IVF score_threshold path
+        # — makes room for the NEW vector_ivf_filtered_parity
+        "vector_knn_threshold",
+        # hash-green r01+r02; J2/W2 batch semantics anchored by
+        # vector_ivf_batch_topk (stays) and the multi-strategy replay —
+        # makes room for the NEW vector_partition_key_search
+        "vector_knn_batch",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

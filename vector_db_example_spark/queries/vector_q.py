@@ -632,3 +632,54 @@ FROM fused ORDER BY ws DESC, id ASC LIMIT 10
 
 
 _install_hybrid_weighted_oracle()
+
+
+#: One label-partitioned corpus layout per sf_dir per process.
+_PARTKEY_CACHE: dict[str, str] = {}
+
+
+def _get_partition_key_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Milvus partition-key tenancy as a Spark layout: the corpus
+    written `partitionBy(label)` so a tenant-scoped search reads ONLY
+    that tenant's partition directories (partition pruning — pinned in
+    tests/test_plans.py), not row-group-skipped full scans. At 100 TB
+    per-tenant isolation is a directory boundary, and tenant retention
+    is a directory drop (same property as hypertable chunks)."""
+    import hashlib
+
+    if sf_dir not in _PARTKEY_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"/tmp/spark_graft_partkey_{tag}"
+        load_table(spark, sf_dir, "embeddings").write.mode("overwrite").partitionBy(
+            "label"
+        ).parquet(path)
+        _PARTKEY_CACHE[sf_dir] = path
+    return _PARTKEY_CACHE[sf_dir]
+
+
+@register(
+    "vector_partition_key_search",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+d AS (
+  SELECT e.vec_id, e.label, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = 3
+)
+SELECT vec_id, label::INTEGER AS label, round(dist, 6) AS distance
+FROM d ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "partition-key", "tenancy", "layout"),
+)
+def vector_partition_key_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant-scoped exact search over the label-partitioned layout:
+    `label = 3` prunes to one partition directory before the top-k; the
+    oracle is brute force over that tenant's rows."""
+    path = _get_partition_key_layout(spark, sf_dir)
+    qv = _query_vecs(spark, sf_dir, [11])[11]
+    corpus = spark.read.parquet(path).filter(F.col("label") == 3)
+    return knn_exact(corpus, qv, k=10, score_threshold=None).select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.round("distance", 6).alias("distance"),
+    )

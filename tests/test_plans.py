@@ -275,3 +275,13 @@ def test_partition_key_search_prunes_tenant_partition(spark):
         if "PartitionFilters" in ln and "label" in ln
     ]
     assert pf, f"no label partition filter:\n{plan[:1500]}"
+
+
+def test_maxsim_broadcast_query_single_doc_shuffle(spark):
+    """Late interaction must broadcast the query vectors (never shuffle
+    the chunk-embedding side on the pair dimension) and reduce per-doc
+    maxima through a partial+final aggregation ending in TakeOrdered."""
+    plan = _plan(QUERIES["vector_late_interaction_topk"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]

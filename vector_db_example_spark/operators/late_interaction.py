@@ -1,0 +1,89 @@
+"""ColBERT-style late-interaction retrieval (MaxSim) over chunked docs.
+
+Extension beyond the reference surface: where single-vector search
+compresses a document to one embedding, late interaction keeps one
+vector per chunk and scores
+
+    maxsim(q, d) = Σ_i  max_j  ⟨q_i, d_j⟩
+
+(each query vector keeps its best-matching document chunk; the sum runs
+over the query's vectors). Here chunks are the repo's 16-token windows
+and vectors come from the deterministic hashing embedder, which is what
+makes the score SQL-oracle-able end to end — the real-model analog swaps
+the embedder UDF and nothing else.
+
+Scale shape: the chunk embeddings are corpus-sized but NEVER shuffled on
+the pair dimension — the query side is a tiny broadcast (one row per
+query vector), the per-pair dot is map-side, and the only shuffle is the
+groupBy(doc_id) that reduces each doc to its per-query-vector maxima
+(pivoted into fixed columns, so the final sum has one deterministic
+order; `max` itself is fold-order-free). Top-k is TakeOrderedAndProject.
+In production the chunk-embedding stage is materialized once as a layout
+(like `embeddings`), not recomputed per query; it is inlined here so the
+driver query is self-contained.
+
+Float discipline: dots are double folds over float32 components in index
+order (functions/vector.dot_product ≡ the oracle's list_transform/
+list_sum), maxima are order-free, and the per-query contributions sum
+left-to-right.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.embedding import hash_embed_one, hashing_embedder
+from ..functions.text import token_windows
+from ..functions.vector import dot_product
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    query_phrases: Sequence[str],
+    k: int = 10,
+    dim: int = 64,
+    window: int = 16,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` docs by MaxSim against ``query_phrases`` (one embedded
+    vector per phrase). Returns (id_col, maxsim) rounded to 6, score
+    desc / id asc."""
+    phrases = list(query_phrases)
+    if not phrases:
+        raise ValueError("query_phrases must be non-empty")
+    spark = docs.sparkSession
+    embed = hashing_embedder(dim)
+
+    wins = docs.select(
+        id_col,
+        F.posexplode(token_windows(F.col(text_col), window)).alias(
+            "win_idx", "wtext"
+        ),
+    )
+    wvec = wins.withColumn("wv", embed(F.col("wtext")))
+
+    qdf = spark.createDataFrame(
+        [(i, hash_embed_one(p, dim)) for i, p in enumerate(phrases)],
+        "qi int, qv array<float>",
+    )
+    dots = wvec.crossJoin(F.broadcast(qdf)).select(
+        id_col, "qi", dot_product("wv", "qv").alias("dot")
+    )
+    per_q = dots.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("qi") == i, F.col("dot"))).alias(f"__m{i}")
+            for i in range(len(phrases))
+        ]
+    )
+    score = F.col("__m0")
+    for i in range(1, len(phrases)):
+        score = score + F.col(f"__m{i}")
+    return (
+        per_q.select(F.col(id_col), F.round(score, 6).alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -325,3 +325,77 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=2048)
+
+
+_MAXSIM_PHRASES = ("vector join stream", "window agg merge", "hash filter scan")
+
+
+def _maxsim_oracle() -> str:
+    from .vector_q import _dot_sql
+
+    phrase_values = ", ".join(
+        f"({i}, '{p}')" for i, p in enumerate(_MAXSIM_PHRASES)
+    )
+    mx_cols = ",\n".join(
+        f"         max(CASE WHEN qi = {i} THEN dot END) AS m{i}"
+        for i in range(len(_MAXSIM_PHRASES))
+    )
+    score = " + ".join(f"m{i}" for i in range(len(_MAXSIM_PHRASES)))
+    return rf"""
+WITH w AS (
+  SELECT doc_id, array_to_string(toks[(i*16+1):(i*16+16)], ' ') AS wtext
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents) t
+  CROSS JOIN generate_series(0, 100000) AS g(i)
+  WHERE i <= greatest((len(toks) - 1) // 16, 0)
+),
+wp AS (SELECT doc_id, {_embed64_pairs_sql('wtext')} AS ps FROM w),
+wvec AS (SELECT doc_id, {_EMBED64_VEC_SQL} AS wv FROM wp),
+qp AS (SELECT qi, {_embed64_pairs_sql('qtext')} AS ps
+       FROM (VALUES {phrase_values}) AS q(qi, qtext)),
+qvec AS (SELECT qi, {_EMBED64_VEC_SQL} AS qv FROM qp),
+dots AS (
+  SELECT wvec.doc_id, qvec.qi,
+         {_dot_sql('wvec.wv', 'qvec.qv')} AS dot
+  FROM wvec CROSS JOIN qvec
+),
+mx AS (
+  SELECT doc_id,
+{mx_cols}
+  FROM dots GROUP BY doc_id
+)
+SELECT doc_id, round({score}, 6) AS maxsim
+FROM mx ORDER BY maxsim DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register(
+    "vector_late_interaction_topk",
+    oracle=None,  # installed below (needs the lazily-imported dot fragment)
+    tags=("vector", "late-interaction", "maxsim", "colbert"),
+)
+def vector_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim top-10: one hashing-embedder vector per
+    16-token window per document, a 3-phrase query kept as 3 separate
+    vectors, score = Σ_phrase max_window ⟨q, w⟩. The oracle replays the
+    window derivation, the md5 embedder (float32-exact), the dot folds
+    and the maxima in SQL — hash-exact end to end. See
+    operators/late_interaction.py for the broadcast/map-side/one-shuffle
+    scale shape."""
+    from ..operators.late_interaction import maxsim_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return maxsim_topk(docs, _MAXSIM_PHRASES, k=10)
+
+
+def _install_maxsim_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES
+
+    QUERIES["vector_late_interaction_topk"] = replace(
+        QUERIES["vector_late_interaction_topk"], oracle=_maxsim_oracle()
+    )
+
+
+_install_maxsim_oracle()

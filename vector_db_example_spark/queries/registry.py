@@ -40,6 +40,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "text_sparse_weighted_topk",
     "vector_ivf_filtered_parity",
     "vector_partition_key_search",
+    "vector_late_interaction_topk",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -137,6 +138,10 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # vector_ivf_batch_topk (stays) and the multi-strategy replay —
         # makes room for the NEW vector_partition_key_search
         "vector_knn_batch",
+        # hash-green r01+r02; the F1 clean regex + P4 min-length filter
+        # stay pinned by stream_ingest_documents' oracle (stays) — makes
+        # room for the NEW vector_late_interaction_topk
+        "text_clean_preprocess",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

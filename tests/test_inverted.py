@@ -86,3 +86,47 @@ def test_compact_preserves_scores(spark, tmp_path):
     # compaction really merged: one row per (term, doc)
     posts = spark.read.parquet(compacted.postings_path)
     assert posts.count() == posts.select("term", "doc_id").distinct().count()
+
+
+def test_stream_ingest_into_inverted_layout(spark, tmp_path):
+    """Documents streamed into an inverted layout must make it score
+    identically to a batch build over the union, and a replay on the
+    same checkpoint must be a no-op (markers)."""
+    from vector_db_example_spark.streaming.ingest import (
+        stream_ingest_documents_into_inverted,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # seed with the empty corpus shape: build on a 0-row slice is not
+    # meaningful, so seed with a fifth and stream the rest in
+    seed = docs.filter(F.col("doc_id") % 5 == 0)
+    rest_count = docs.count() - seed.count()
+    idx = build_inverted_index(seed, str(tmp_path / "idx"), n_buckets=16)
+
+    # stream the whole table; re-appending seed docs would corrupt tf —
+    # so filter inside the stream the same way the batch seed did
+    from vector_db_example_spark.streaming import ingest as ingest_mod
+
+    orig_reader = ingest_mod.read_documents_stream
+
+    def filtered_reader(spark_, sf_dir_):
+        return orig_reader(spark_, sf_dir_).filter(F.col("doc_id") % 5 != 0)
+
+    ingest_mod.read_documents_stream = filtered_reader
+    try:
+        n = stream_ingest_documents_into_inverted(
+            spark, SF_SMOKE, idx, checkpoint_path=str(tmp_path / "ckpt")
+        )
+        assert n == rest_count
+        n2 = stream_ingest_documents_into_inverted(
+            spark, SF_SMOKE, idx, checkpoint_path=str(tmp_path / "ckpt")
+        )
+        assert n2 == 0
+    finally:
+        ingest_mod.read_documents_stream = orig_reader
+
+    full = build_inverted_index(docs, str(tmp_path / "full"), n_buckets=16)
+    terms = ("vector", "stream", "window")
+    got = bm25_search_inverted(spark, idx, terms, k=10).collect()
+    want = bm25_search_inverted(spark, full, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -87,3 +87,72 @@ def maxsim_topk(
         .orderBy(F.col("maxsim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def build_chunk_embedding_layout(
+    docs: DataFrame,
+    path: str,
+    dim: int = 64,
+    window: int = 16,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Materialize the per-chunk embeddings once (the production shape:
+    embed at ingest, score many queries from the layout — the
+    multi-vector-per-entity collection a late-interaction deployment
+    stores). One corpus pass: window → embed → write."""
+    embed = hashing_embedder(dim)
+    (
+        docs.select(
+            id_col,
+            F.posexplode(token_windows(F.col(text_col), window)).alias(
+                "win_idx", "wtext"
+            ),
+        )
+        .withColumn("wv", embed(F.col("wtext")))
+        .drop("wtext")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def maxsim_topk_from_layout(
+    layout_path: str,
+    spark,
+    query_phrases: Sequence[str],
+    k: int = 10,
+    dim: int = 64,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MaxSim against a materialized chunk-embedding layout: identical
+    scores to `maxsim_topk` with zero per-query embedding work — the
+    scan reads (id, win_idx, wv) only."""
+    phrases = list(query_phrases)
+    if not phrases:
+        raise ValueError("query_phrases must be non-empty")
+    qdf = spark.createDataFrame(
+        [(i, hash_embed_one(p, dim)) for i, p in enumerate(phrases)],
+        "qi int, qv array<float>",
+    )
+    dots = (
+        spark.read.parquet(layout_path)
+        .crossJoin(F.broadcast(qdf))
+        .select(id_col, "qi", dot_product("wv", "qv").alias("dot"))
+    )
+    per_q = dots.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("qi") == i, F.col("dot"))).alias(f"__m{i}")
+            for i in range(len(phrases))
+        ]
+    )
+    score = F.col("__m0")
+    for i in range(1, len(phrases)):
+        score = score + F.col(f"__m{i}")
+    return (
+        per_q.select(F.col(id_col), F.round(score, 6).alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

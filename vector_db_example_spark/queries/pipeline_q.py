@@ -399,3 +399,49 @@ def _install_maxsim_oracle() -> None:
 
 
 _install_maxsim_oracle()
+
+
+#: One chunk-embedding layout per sf_dir per process.
+_CHUNK_LAYOUT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "vector_late_interaction_layout_topk",
+    oracle=None,  # installed below — same oracle as the inline MaxSim query
+    tags=("vector", "late-interaction", "maxsim", "layout"),
+)
+def vector_late_interaction_layout_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MaxSim served from the MATERIALIZED chunk-embedding layout
+    (embed-at-ingest, the production late-interaction shape): identical
+    scores to vector_late_interaction_topk — stated by sharing its
+    oracle verbatim — with the per-query cost reduced to one layout scan
+    + broadcast dots."""
+    from ..operators.late_interaction import (
+        build_chunk_embedding_layout,
+        maxsim_topk_from_layout,
+    )
+
+    if sf_dir not in _CHUNK_LAYOUT_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        _CHUNK_LAYOUT_CACHE[sf_dir] = build_chunk_embedding_layout(
+            load_table(spark, sf_dir, "documents"),
+            f"/tmp/spark_graft_chunks_{tag}",
+        )
+    return maxsim_topk_from_layout(
+        _CHUNK_LAYOUT_CACHE[sf_dir], spark, _MAXSIM_PHRASES, k=10
+    )
+
+
+def _install_maxsim_layout_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES
+
+    QUERIES["vector_late_interaction_layout_topk"] = replace(
+        QUERIES["vector_late_interaction_layout_topk"], oracle=_maxsim_oracle()
+    )
+
+
+_install_maxsim_layout_oracle()

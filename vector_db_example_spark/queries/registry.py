@@ -145,6 +145,9 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",
+        # identical oracle/result to vector_late_interaction_topk (kept in
+        # the surface) — the layout-served variant, locally parity-checked
+        "vector_late_interaction_layout_topk",
         # grouping-set breadth beyond the reference: both remain plan-
         # tested (single-scan Expand) + locally oracle-checked; tpch_q1
         # anchors the relational-agg family in the surface

@@ -159,3 +159,54 @@ def stream_ingest_embeddings_into_ivf(
     )
     q.awaitTermination()
     return appended["n"]
+
+
+def stream_ingest_documents_into_inverted(
+    spark: SparkSession,
+    sf_dir: str,
+    index,
+    checkpoint_path: str,
+) -> int:
+    """Continuous LEXICAL indexing: each micro-batch of documents appends
+    its postings into the term-bucket layout, its lengths into doclens,
+    and bumps the 1-row stats (index/inverted.append_to_inverted_index) —
+    so new documents become BM25-searchable at the next query with
+    correct bucket pruning and correct corpus statistics, no rebuild.
+    Document frequencies are computed from postings at query time, so
+    nothing stored goes stale as batches land.
+
+    Delivery: at-least-once foreachBatch guarded by per-checkpoint commit
+    markers (the IVF sink's recipe — a replayed committed batch is a
+    no-op; offline compact_inverted_index clears any crash-window
+    duplicates). Returns the number of documents indexed this run."""
+    import hashlib
+    import os
+
+    from ..index.inverted import append_to_inverted_index
+
+    ckpt_token = hashlib.sha256(
+        os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:16]
+    marker_dir = os.path.join(index.path, "_committed_batches", ckpt_token)
+    os.makedirs(marker_dir, exist_ok=True)
+    indexed = {"n": 0}
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        n = batch.count()
+        if n:
+            append_to_inverted_index(index, batch)
+        indexed["n"] += n
+        open(marker, "w").close()
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return indexed["n"]

@@ -326,3 +326,54 @@ def synth_ppm_images(docs: DataFrame) -> DataFrame:
         .select("doc_id")
         .mapInPandas(build, "doc_id long, media_type string, payload binary")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-shaped feature extraction: treat the payload as unsigned-8-bit PCM
+# samples and compute waveform statistics per item. The container ships no
+# audio codecs, but PCM interpretation IS the decoded form — so unlike the
+# stubbed compressed-codec paths this executes real signal math (numpy over
+# Arrow batches), deterministically. Every statistic is built from integer
+# sums (|x|<=128, squares <=16384, totals < 2^40 — exactly representable in
+# doubles regardless of summation order), which is what lets the DuckDB
+# oracle replay it bit-exactly from the ASCII payload bytes.
+# ---------------------------------------------------------------------------
+
+WAVEFORM_SCHEMA = (
+    "doc_id long, n_samples long, rms double, peak long, zero_crossings long"
+)
+
+
+def extract_waveform_features(media: DataFrame) -> DataFrame:
+    """Per-item waveform stats over u8 PCM samples centered at 128:
+    sample count, RMS, peak magnitude, and sign-change count (a
+    zero-crossing rate numerator). mapInPandas: one numpy pass per Arrow
+    batch, no per-row Python."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_samples": [],
+                "rms": [],
+                "peak": [],
+                "zero_crossings": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                xs = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64) - 128
+                n = int(xs.size)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                if n:
+                    out["rms"].append(float(np.sqrt(float((xs * xs).sum()) / n)))
+                    out["peak"].append(int(np.abs(xs).max()))
+                    out["zero_crossings"].append(int(((xs[:-1] * xs[1:]) < 0).sum()))
+                else:
+                    out["rms"].append(0.0)
+                    out["peak"].append(0)
+                    out["zero_crossings"].append(0)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(compute, WAVEFORM_SCHEMA)

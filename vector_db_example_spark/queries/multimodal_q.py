@@ -16,6 +16,7 @@ from ..operators.multimodal import (
     attach_media,
     decode_images,
     extract_byte_histogram,
+    extract_waveform_features,
     resize_images,
     sample_frames,
     synth_ppm_images,
@@ -186,4 +187,42 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type", F.posexplode("features").alias("bin", "mass")
     ).groupBy("media_type", "bin").agg(
         F.round(F.avg("mass"), 6).alias("avg_mass")
+    )
+
+
+@register(
+    "multimodal_audio_waveform_stats",
+    # ASCII corpus ⇒ byte == ord(char) (same contract the byte-histogram
+    # oracle states); all sums are integer-exact, so RMS is bit-exact.
+    oracle="""
+WITH xs AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), ch -> ord(ch) - 128) AS x
+  FROM documents
+  WHERE doc_id % 3 = 1
+)
+SELECT doc_id,
+       len(x)::BIGINT AS n_samples,
+       round(sqrt(list_sum(list_transform(x, v -> (v * v)::DOUBLE)) / len(x)), 6)
+         AS rms,
+       list_max(list_transform(x, v -> abs(v)))::BIGINT AS peak,
+       len(list_filter(range(1, len(x)), i -> x[i] * x[i + 1] < 0))::BIGINT
+         AS zero_crossings
+FROM xs
+""",
+    tags=("multimodal", "audio", "waveform", "mapInPandas"),
+)
+def multimodal_audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform feature extraction for the audio items (payload as u8
+    PCM): sample count, RMS about the 128 midline, peak magnitude,
+    sign-change count. The media-type filter prunes BEFORE the decode
+    UDF, so only audio payloads are ever read."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_waveform_features(media.filter(F.col("media_type") == "audio"))
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        "zero_crossings",
     )

@@ -41,6 +41,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "vector_ivf_filtered_parity",
     "vector_partition_key_search",
     "vector_late_interaction_topk",
+    "multimodal_audio_waveform_stats",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -142,6 +143,10 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # stay pinned by stream_ingest_documents' oracle (stays) — makes
         # room for the NEW vector_late_interaction_topk
         "text_clean_preprocess",
+        # hash-green r01+r02; the MinHash stage stays exercised by the
+        # surfaced pipeline_corpus_curation + dedup_duplicate_clusters —
+        # makes room for the NEW multimodal_audio_waveform_stats
+        "dedup_minhash_lsh",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

@@ -583,3 +583,53 @@ def test_split_hot_cells_repairs_skew(spark, tmp_path):
     # and a pruned probe still finds the hot-cluster row itself
     hits = ivf_search(spark, index2, qv, k=1, nprobe=1).collect()
     assert hits[0].vec_id == 777 and hits[0].distance == 0.0
+
+
+def test_ivf_delete_rewrites_only_affected_cells(spark, tmp_path):
+    """Delete-by-id must remove exactly the victims, keep every other
+    row, leave unaffected cell partitions' files untouched, and keep
+    pruned search correct afterwards."""
+    import os
+
+    from vector_db_example_spark.index.ivf import (
+        build_ivf_index,
+        ivf_delete,
+        ivf_search,
+    )
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = build_ivf_index(emb, path=str(tmp_path / "ivf"), nlist=8)
+    total = emb.count()
+
+    victims = [7, 11, 123]
+    layout = spark.read.parquet(index.path)
+    victim_cells = {
+        int(r["cell_id"])
+        for r in layout.filter(F.col("vec_id").isin(victims))
+        .select("cell_id")
+        .distinct()
+        .collect()
+    }
+    untouched_cell = next(
+        c
+        for c in range(8)
+        if c not in victim_cells
+        and os.path.isdir(tmp_path / "ivf" / f"cell_id={c}")
+    )
+    before_files = sorted(os.listdir(tmp_path / "ivf" / f"cell_id={untouched_cell}"))
+
+    n = ivf_delete(spark, index, victims)
+    assert n == len(victims)
+    after = spark.read.parquet(index.path)
+    assert after.count() == total - len(victims)
+    assert after.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert (
+        sorted(os.listdir(tmp_path / "ivf" / f"cell_id={untouched_cell}"))
+        == before_files
+    )
+
+    # deleted vector no longer findable; its exact twin search still works
+    qv = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    hits = ivf_search(spark, index, qv, k=3, nprobe=8).collect()
+    assert all(h["vec_id"] != 7 for h in hits)

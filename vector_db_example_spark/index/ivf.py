@@ -454,3 +454,49 @@ def ivf_search_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", index.id_col, "distance", "score", "rank")
     )
+
+
+def ivf_delete(spark: SparkSession, index: IVFIndex, ids) -> int:
+    """Delete rows by id from the layout (Milvus delete-by-pk semantics,
+    served eagerly): locate the cells holding the ids (one pruned-column
+    scan), rewrite ONLY those cell partitions without the victims
+    (dynamic partition overwrite), leave every other partition's files
+    untouched. Cost is O(rows in affected cells) — for a k-id delete
+    that is k cells' worth of data, not the corpus.
+
+    Returns the number of rows deleted. A deletion-vector design (write
+    tombstones, apply at read, fold in at compaction) would make deletes
+    O(k) at the price of a read-side anti-join; eager rewrite keeps every
+    search plan unchanged, which is the right trade for rare deletes.
+    Single-writer assumption as elsewhere.
+    """
+    ids = [int(i) for i in ids]
+    if not ids:
+        return 0
+    id_col = index.id_col
+    layout = spark.read.parquet(index.path)
+    victims = layout.filter(F.col(id_col).isin(ids)).select(id_col, "cell_id")
+    cells = sorted({int(r["cell_id"]) for r in victims.select("cell_id").distinct().collect()})
+    if not cells:
+        return 0
+    affected = layout.filter(F.col("cell_id").isin(cells))  # partition pruning
+    n_before = affected.count()
+    survivors = affected.filter(~F.col(id_col).isin(ids)).localCheckpoint(eager=True)
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell_id")
+        .parquet(index.path)
+    )
+    # a cell emptied entirely writes no partition back — remove its dir so
+    # the dangling directory doesn't linger (readers would see it as empty)
+    import shutil
+    from pathlib import Path
+
+    remaining = {
+        int(r["cell_id"])
+        for r in survivors.select("cell_id").distinct().collect()
+    }
+    for cell in set(cells) - remaining:
+        shutil.rmtree(Path(index.path) / f"cell_id={cell}", ignore_errors=True)
+    return n_before - survivors.count()

@@ -130,3 +130,39 @@ def test_stream_ingest_into_inverted_layout(spark, tmp_path):
     got = bm25_search_inverted(spark, idx, terms, k=10).collect()
     want = bm25_search_inverted(spark, full, terms, k=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_tombstone_delete_then_compact(spark, tmp_path):
+    """Deletion vectors: after delete_from_inverted_index, searches must
+    score EXACTLY like an index never containing the victims (stats
+    decremented, postings anti-joined); compaction folds tombstones in
+    and preserves scores with the tombstone table gone."""
+    from vector_db_example_spark.index.inverted import (
+        compact_inverted_index,
+        delete_from_inverted_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = build_inverted_index(docs, str(tmp_path / "idx"), n_buckets=16)
+    victims = [3, 77, 200]
+    n = delete_from_inverted_index(idx, victims)
+    assert n == len(victims)
+    assert delete_from_inverted_index(idx, [999999]) == 0  # unknown id
+
+    ref = build_inverted_index(
+        docs.filter(~F.col("doc_id").isin(victims)), str(tmp_path / "ref"), n_buckets=16
+    )
+    terms = ("vector", "stream", "window")
+    got = bm25_search_inverted(spark, idx, terms, k=10).collect()
+    want = bm25_search_inverted(spark, ref, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    compacted = compact_inverted_index(spark, idx, str(tmp_path / "compact"))
+    import os
+
+    assert not os.path.exists(f"{compacted.path}/tombstones")
+    after = bm25_search_inverted(spark, compacted, terms, k=10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in want]
+    # victims truly gone from the compacted postings
+    posts = spark.read.parquet(compacted.postings_path)
+    assert posts.filter(F.col("doc_id").isin(victims)).count() == 0

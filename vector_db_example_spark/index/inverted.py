@@ -106,10 +106,11 @@ def bm25_search_inverted(
     id_col = index.id_col
 
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in terms})
-    posts = (
+    posts = _live(
+        index,
         spark.read.parquet(index.postings_path)
         .filter(F.col("bucket").isin(buckets))  # partition pruning
-        .filter(F.col("term").isin(terms))  # within-bucket residual filter
+        .filter(F.col("term").isin(terms)),  # within-bucket residual filter
     )
 
     tf = posts.groupBy(id_col).agg(
@@ -205,10 +206,11 @@ def sparse_dot_topk(
     terms = list(query_weights)
     id_col = index.id_col
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in terms})
-    posts = (
+    posts = _live(
+        index,
         spark.read.parquet(index.postings_path)
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
+        .filter(F.col("term").isin(terms)),
     )
     tf = posts.groupBy(id_col).agg(
         *[
@@ -236,9 +238,11 @@ def compact_inverted_index(
     write-new-then-swap-pointer, same policy as the IVF compactor (never
     rewrite a layout in place; readers of the old path stay consistent).
     Merges a doc's postings split across append batches back into one
-    row per (term, doc) and collapses the per-bucket small files."""
+    row per (term, doc), FOLDS DELETION VECTORS IN (tombstoned docs are
+    dropped for real; the fresh layout starts with no tombstones), and
+    collapses the per-bucket small files."""
     posts = (
-        spark.read.parquet(index.postings_path)
+        _live(index, spark.read.parquet(index.postings_path))
         .groupBy("term", index.id_col, "bucket")
         .agg(F.sum("tf").alias("tf"))
         .select("term", index.id_col, "tf", "bucket")
@@ -247,7 +251,7 @@ def compact_inverted_index(
         f"{new_path}/postings"
     )
     (
-        spark.read.parquet(index.doclens_path)
+        _live(index, spark.read.parquet(index.doclens_path))
         .groupBy(index.id_col)
         .agg(F.sum("__dl").alias("__dl"))
         .write.mode("overwrite")
@@ -259,3 +263,51 @@ def compact_inverted_index(
     return InvertedIndex(
         path=new_path, n_buckets=index.n_buckets, id_col=index.id_col
     )
+
+
+def delete_from_inverted_index(index: InvertedIndex, ids) -> int:
+    """Delete documents by id — the DELETION-VECTOR design (contrast
+    with ivf_delete's eager partition rewrite): a doc's postings spread
+    across ~every term bucket, so an eager rewrite would be O(layout).
+    Instead the ids append to a tiny tombstone table; searches anti-join
+    it (broadcast — tombstones are small between compactions); and
+    ``compact_inverted_index`` folds tombstones in for real, restoring
+    zero read-side cost. The stats row is decremented eagerly (it is one
+    row) so BM25's N/avgdl stay correct while tombstones exist.
+
+    Returns the number of ids newly tombstoned."""
+    ids = [int(i) for i in ids]
+    if not ids:
+        return 0
+    spark = SparkSession.getActiveSession()
+    doclens = spark.read.parquet(index.doclens_path)
+    victims = doclens.filter(F.col(index.id_col).isin(ids))
+    stats_delta = victims.select(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.coalesce(F.sum("__dl"), F.lit(0)).cast("double").alias("__tot"),
+    ).collect()[0]
+    if stats_delta["__n"] == 0:
+        return 0
+    victims.select(index.id_col).write.mode("append").parquet(
+        f"{index.path}/tombstones"
+    )
+    old = spark.read.parquet(index.stats_path).collect()[0]
+    spark.createDataFrame(
+        [(float(old["__n"]) - float(stats_delta["__n"]),
+          float(old["__tot"]) - float(stats_delta["__tot"]))],
+        "__n double, __tot double",
+    ).write.mode("overwrite").parquet(index.stats_path)
+    return int(stats_delta["__n"])
+
+
+def _live(index: InvertedIndex, df: DataFrame) -> DataFrame:
+    """Apply deletion vectors: broadcast anti-join against the tombstone
+    table (absent ⇒ no-op)."""
+    from pyspark.sql.utils import AnalysisException
+
+    spark = df.sparkSession
+    try:
+        tombs = spark.read.parquet(f"{index.path}/tombstones")
+    except AnalysisException:  # no deletes yet
+        return df
+    return df.join(F.broadcast(tombs), index.id_col, "left_anti")

@@ -285,3 +285,13 @@ def test_maxsim_broadcast_query_single_doc_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+
+def test_sparse_weighted_prunes_posting_partitions(spark):
+    plan = _plan(QUERIES["text_sparse_weighted_topk"].fn(spark, SF_SMOKE))
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "bucket" in ln
+    ]
+    assert pf, f"no bucket partition filter in plan:\n{plan[:1500]}"

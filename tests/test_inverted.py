@@ -166,3 +166,31 @@ def test_tombstone_delete_then_compact(spark, tmp_path):
     # victims truly gone from the compacted postings
     posts = spark.read.parquet(compacted.postings_path)
     assert posts.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_batch_bm25_equals_per_query(spark, tmp_path):
+    """The amortized batch search must return EXACTLY each query's
+    single-path result (same scores, same top-k, same tiebreaks)."""
+    from vector_db_example_spark.index.inverted import bm25_search_inverted_batch
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = build_inverted_index(docs, str(tmp_path / "idx"), n_buckets=16)
+    queries = {
+        0: ("vector", "stream", "window"),
+        1: ("hash", "join", "merge"),
+        2: ("spark", "table"),
+    }
+    batch = bm25_search_inverted_batch(spark, idx, queries, k=10).collect()
+    got = {
+        qid: [(r.doc_id, r.bm25) for r in sorted(
+            (x for x in batch if x.query_id == qid),
+            key=lambda x: (-x.bm25, x.doc_id),
+        )]
+        for qid in queries
+    }
+    for qid, terms in queries.items():
+        want = [
+            (r.doc_id, r.bm25)
+            for r in bm25_search_inverted(spark, idx, terms, k=10).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverged"

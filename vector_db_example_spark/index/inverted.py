@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import extract_tokens
-from ..operators.bm25 import bm25_score_expr
+from ..operators.bm25 import bm25_score_expr, bm25_score_expr_for
 
 
 @dataclass(frozen=True)
@@ -311,3 +311,91 @@ def _live(index: InvertedIndex, df: DataFrame) -> DataFrame:
     except AnalysisException:  # no deletes yet
         return df
     return df.join(F.broadcast(tombs), index.id_col, "left_anti")
+
+
+def bm25_search_inverted_batch(
+    spark: SparkSession,
+    index: InvertedIndex,
+    queries: dict[int, Sequence[str]],
+    k: int = 10,
+) -> DataFrame:
+    """N lexical queries against the layout in ONE scan — the lexical
+    twin of the IVF batch search's amortized-scan pattern: the postings
+    read prunes to the UNION of every query's term buckets, ONE
+    groupBy(doc) pivots every distinct term's tf into its own column,
+    each query's score is its own fixed-order expression over its terms'
+    columns (bit-exact, same discipline as the single-query path), and a
+    per-query rank window takes top-k. Scan + doc-shuffle cost is paid
+    once for the whole batch.
+
+    Returns (query_id, id_col, bm25) with per-query rank ≤ k.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qterms = {qid: list(dict.fromkeys(ts)) for qid, ts in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    tcol = {t: i for i, t in enumerate(all_terms)}
+    id_col = index.id_col
+
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in all_terms}
+    )
+    posts = _live(
+        index,
+        spark.read.parquet(index.postings_path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms)),
+    )
+    tf = posts.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+            .cast("double")
+            .alias(f"__tf{tcol[t]}")
+            for t in all_terms
+        ]
+    )
+    dfs = posts.groupBy().agg(
+        *[
+            F.count_distinct(F.when(F.col("term") == t, F.col(id_col)))
+            .cast("double")
+            .alias(f"__df{tcol[t]}")
+            for t in all_terms
+        ]
+    )
+    base = (
+        tf.join(spark.read.parquet(index.doclens_path), id_col)
+        .crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(spark.read.parquet(index.stats_path)))
+    )
+    scored = base.select(
+        F.col(id_col),
+        *[
+            bm25_score_expr_for(
+                [f"__tf{tcol[t]}" for t in ts],
+                [f"__df{tcol[t]}" for t in ts],
+            ).alias(f"__s{qid}")
+            for qid, ts in qterms.items()
+        ],
+    )
+    stack_args = ", ".join(f"{int(qid)}, __s{qid}" for qid in qterms)
+    long = scored.select(
+        F.col(id_col),
+        F.expr(f"stack({len(qterms)}, {stack_args}) AS (query_id, __raw)"),
+    )
+    # a doc with NO terms of a given query scores exactly 0 there (and a
+    # doc with >=1 scores strictly positive — Lucene idf > 0): filter the
+    # RAW score so each query's result holds exactly the docs containing
+    # at least one of ITS terms, matching the single-query path
+    long = long.filter(F.col("__raw") > 0).withColumn(
+        "bm25", F.round(F.col("__raw"), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        long.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "bm25")
+    )

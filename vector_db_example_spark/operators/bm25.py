@@ -111,17 +111,25 @@ def bm25_score_expr(n_terms: int):
     ``__df{i}`` (doubles of exact integers), ``__dl`` (int token count),
     ``__n``/``__tot`` (double corpus stats) — shared by the scan-based
     scorer above and the inverted-index scorer (index/inverted.py) so
-    both engines and both access paths produce bit-identical doubles.
+    both engines and both access paths produce bit-identical doubles."""
+    return bm25_score_expr_for(
+        [f"__tf{i}" for i in range(n_terms)],
+        [f"__df{i}" for i in range(n_terms)],
+    )
 
-    Literal constants appear in the SAME literal form as in the oracle
-    SQL (2.2 not K1+1.0, 0.25 not 1-B) so both engines round the same
-    decimal text to the same double; the per-term contributions sum in
-    one fixed left-to-right order."""
+
+def bm25_score_expr_for(tf_cols: Sequence[str], df_cols: Sequence[str]):
+    """BM25 score from explicitly-named tf/df column pairs (the batched
+    scorer pivots MANY queries' terms side by side, so names can't be
+    positional). Literal constants appear in the SAME literal form as in
+    the oracle SQL (2.2 not K1+1.0, 0.25 not 1-B) so both engines round
+    the same decimal text to the same double; the per-term contributions
+    sum in one fixed left-to-right order."""
     dl_d = F.col("__dl").cast("double")
     avgdl = F.col("__tot") / F.col("__n")
     contribs = []
-    for i in range(n_terms):
-        tf_i, df_i = F.col(f"__tf{i}"), F.col(f"__df{i}")
+    for tf_c, df_c in zip(tf_cols, df_cols):
+        tf_i, df_i = F.col(tf_c), F.col(df_c)
         idf = F.log(
             F.lit(1.0) + (F.col("__n") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
         )

@@ -42,6 +42,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "vector_partition_key_search",
     "vector_late_interaction_topk",
     "multimodal_audio_waveform_stats",
+    "text_bm25_batch_topk",
     "vector_bq_hamming_topk",
     "vector_truncated_rerank",
     "vector_filtered_knn",
@@ -147,6 +148,11 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # surfaced pipeline_corpus_curation + dedup_duplicate_clusters —
         # makes room for the NEW multimodal_audio_waveform_stats
         "dedup_minhash_lsh",
+        # hash-green r01+r02; F2 tokenization is pinned by every BM25
+        # oracle, W3 keyword ranking by pipeline_multi_strategy, and the
+        # broadcast-anti-join shape by dedup_decontaminate (all stay) —
+        # makes room for the NEW text_bm25_batch_topk
+        "text_tokenize_topk",
         # --- end round-3 rotation ---
         # identical oracle/result to window_top_orders_salted (kept)
         "window_top_orders_per_customer",

@@ -683,3 +683,36 @@ def text_sparse_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = get_inverted_index(spark, sf_dir)
     return sparse_dot_topk(spark, idx, _SPARSE_WEIGHTS, k=10)
+
+
+_BM25_BATCH = {
+    0: ("vector", "stream", "window"),
+    1: ("hash", "join", "merge"),
+    2: ("spark", "table"),
+}
+
+
+@register(
+    "text_bm25_batch_topk",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT {qid} AS query_id, doc_id, bm25 FROM (
+WITH {_bm25_oracle_ctes(terms)}
+SELECT doc_id, round(bm25, 6) AS bm25
+FROM bm25_scored
+ORDER BY round(bm25, 6) DESC, doc_id ASC
+LIMIT 10)"""
+        for qid, terms in _BM25_BATCH.items()
+    ),
+    tags=("text", "bm25", "batch", "inverted-index"),
+)
+def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three lexical queries answered in ONE postings scan (the lexical
+    twin of vector_ivf_batch_topk's amortized-scan MPP pattern): union
+    bucket pruning, one doc-keyed pivot of every distinct term, per-query
+    fixed-order score expressions, per-query rank window. The oracle is
+    the UNION ALL of the three single-query full-scan SQLs — the batch
+    path must reproduce each exactly."""
+    from ..index.inverted import bm25_search_inverted_batch
+
+    idx = get_inverted_index(spark, sf_dir)
+    return bm25_search_inverted_batch(spark, idx, _BM25_BATCH, k=10)

@@ -106,6 +106,16 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def overlap_coefficient(a: Column, b: Column) -> Column:
+    """Overlap (Szymkiewicz-Simpson) coefficient over two
+    *distinct-element* arrays: |A∩B| / min(|A|, |B|) — the containment of
+    the smaller set in the larger. Near 1.0 when one document is an
+    EXCERPT of another, a case Jaccard under-scores (a 100-token quote
+    inside a 10k-token doc has Jaccard ≈ 0.01 but containment 1.0)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / F.least(F.size(a).cast("double"), F.size(b).cast("double"))
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -459,4 +469,28 @@ def connected_components_star(
     parents = cur.select(F.col("u").alias("id"), F.col("v").alias("comp"))
     return nodes.join(parents, "id", "left").select(
         "id", F.coalesce("comp", "id").alias("comp")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact all-pairs overlap-coefficient >= threshold (broadcast
+    baseline — O(n²), the excerpt-detection twin of ngram_jaccard_pairs;
+    at scale the candidate pairs come from the MinHash/LSH path and only
+    the containment VERIFY step uses this formula)."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn("containment", overlap_coefficient(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("a_id", "b_id", "containment")
     )

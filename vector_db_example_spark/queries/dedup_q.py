@@ -510,3 +510,37 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size"),
         F.max("id").alias("max_member"),
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS sh
+  FROM documents WHERE doc_id < 150
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+           / least(len(a.sh), len(b.sh)) AS c
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, round(c, 6) AS containment FROM p WHERE c >= 0.97
+""",
+    tags=("dedup", "containment", "excerpt"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set overlap-coefficient pairs >= 0.97 — the
+    excerpt-duplication detector Jaccard under-scores (containment of
+    the smaller doc in the larger). All-pairs oracle baseline, same
+    quarantine as dedup_ngram_jaccard; the scale path is MinHash
+    candidates + containment verify."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = ngram_containment_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_k=1, threshold=0.97
+    )
+    return pairs.select(
+        "a_id", "b_id", F.round("containment", 6).alias("containment")
+    )

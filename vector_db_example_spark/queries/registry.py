@@ -102,6 +102,9 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # O(n²) all-pairs oracle baseline; MinHash/SimHash/exact anchor
         # the dedup family in the surface
         "dedup_ngram_jaccard",
+        # same O(n²) quarantine as ngram_jaccard (its excerpt-detection
+        # twin) — locally parity-checked
+        "dedup_ngram_containment",
         # per-group standardization extra; vector agg family anchored by
         # the knn/grouping/range entries
         "vector_group_standardize",

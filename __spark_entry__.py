@@ -41,9 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered and capped (see ``registry.driver_queries``): the driver's
     CORRECTNESS run stops after ~50 entries, so never-driver-verified
     queries come first and entries hash-green in two prior rounds are
-    trimmed (rotation policy documented in the registry). The full
-    93-query registry stays oracle-checked locally by
-    ``tests/test_oracle_parity.py``.
+    trimmed (rotation policy documented in the registry). Every
+    registered query — surfaced or not — stays oracle-checked locally by
+    ``tests/test_oracle_parity.py``, which iterates the registry itself,
+    so no count is repeated here to drift.
     """
     return {name: q.fn for name, q in driver_queries().items()}
 

@@ -148,6 +148,10 @@ def test_tombstone_delete_then_compact(spark, tmp_path):
     n = delete_from_inverted_index(idx, victims)
     assert n == len(victims)
     assert delete_from_inverted_index(idx, [999999]) == 0  # unknown id
+    # idempotent: re-deleting already-tombstoned ids is a no-op (no
+    # duplicate tombstones, no second stats decrement)
+    assert delete_from_inverted_index(idx, victims) == 0
+    assert delete_from_inverted_index(idx, [3, 999999]) == 0
 
     ref = build_inverted_index(
         docs.filter(~F.col("doc_id").isin(victims)), str(tmp_path / "ref"), n_buckets=16
@@ -166,6 +170,58 @@ def test_tombstone_delete_then_compact(spark, tmp_path):
     # victims truly gone from the compacted postings
     posts = spark.read.parquet(compacted.postings_path)
     assert posts.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_compact_clears_replayed_append(spark, tmp_path):
+    """At-least-once crash window: an append replayed in full (postings +
+    doclens + stats all doubled) must be healed by compaction — scores
+    equal a clean build, stats recomputed from the deduped doclens."""
+    from vector_db_example_spark.index.inverted import compact_inverted_index
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = build_inverted_index(base, str(tmp_path / "idx"), n_buckets=16)
+    append_to_inverted_index(idx, batch)
+    append_to_inverted_index(idx, batch)  # simulated replay of the same batch
+
+    compacted = compact_inverted_index(spark, idx, str(tmp_path / "compact"))
+    clean = build_inverted_index(docs, str(tmp_path / "clean"), n_buckets=16)
+    terms = ("vector", "stream", "window")
+    got = bm25_search_inverted(spark, compacted, terms, k=10).collect()
+    want = bm25_search_inverted(spark, clean, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # stats row healed to the clean build's values exactly
+    g = spark.read.parquet(compacted.stats_path).collect()[0]
+    w = spark.read.parquet(clean.stats_path).collect()[0]
+    assert (g["__n"], g["__tot"]) == (w["__n"], w["__tot"])
+
+
+def test_append_uses_persisted_text_col(spark, tmp_path):
+    """An index built on a custom text column must append/compact/search
+    against that SAME column (text_col persisted on the handle)."""
+    from vector_db_example_spark.index.inverted import compact_inverted_index
+
+    docs = load_table(spark, SF_SMOKE, "documents").withColumnRenamed(
+        "text", "body"
+    )
+    part1 = docs.filter(F.col("doc_id") % 2 == 0)
+    part2 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = build_inverted_index(
+        part1, str(tmp_path / "idx"), n_buckets=16, text_col="body"
+    )
+    assert idx.text_col == "body"
+    append_to_inverted_index(idx, part2)  # would fail if it assumed "text"
+    compacted = compact_inverted_index(spark, idx, str(tmp_path / "compact"))
+    assert compacted.text_col == "body"
+
+    full = build_inverted_index(
+        docs, str(tmp_path / "full"), n_buckets=16, text_col="body"
+    )
+    terms = ("vector", "stream", "window")
+    got = bm25_search_inverted(spark, compacted, terms, k=10).collect()
+    want = bm25_search_inverted(spark, full, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
 def test_batch_bm25_equals_per_query(spark, tmp_path):

@@ -41,6 +41,11 @@ class InvertedIndex:
     path: str
     n_buckets: int
     id_col: str = "doc_id"
+    #: Name of the document text column — persisted on the handle so the
+    #: append/compact/streaming-ingest paths tokenize the SAME column the
+    #: index was built on (an index built on a custom column must not
+    #: silently fall back to "text").
+    text_col: str = "text"
 
     @property
     def postings_path(self) -> str:
@@ -86,7 +91,9 @@ def build_inverted_index(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(F.size(extract_tokens(F.col(text_col)))).cast("double").alias("__tot"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
-    return InvertedIndex(path=path, n_buckets=n_buckets, id_col=id_col)
+    return InvertedIndex(
+        path=path, n_buckets=n_buckets, id_col=id_col, text_col=text_col
+    )
 
 
 def bm25_search_inverted(
@@ -158,7 +165,7 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
     appends to one layout need a transactional table format underneath.
     """
     spark = docs.sparkSession
-    id_col, text_col = index.id_col, "text"
+    id_col, text_col = index.id_col, index.text_col
     tok = docs.select(
         id_col, F.explode(extract_tokens(F.col(text_col))).alias("term")
     )
@@ -237,31 +244,51 @@ def compact_inverted_index(
     postings/doclens/stats and write a fresh layout at ``new_path`` —
     write-new-then-swap-pointer, same policy as the IVF compactor (never
     rewrite a layout in place; readers of the old path stay consistent).
-    Merges a doc's postings split across append batches back into one
-    row per (term, doc), FOLDS DELETION VECTORS IN (tombstoned docs are
-    dropped for real; the fresh layout starts with no tombstones), and
-    collapses the per-bucket small files."""
+    FOLDS DELETION VECTORS IN (tombstoned docs are dropped for real; the
+    fresh layout starts with no tombstones), collapses the per-bucket
+    small files, and CLEARS AT-LEAST-ONCE REPLAY DUPLICATES: a crash in
+    the streaming sink's append→marker window can replay a whole append,
+    laying down byte-identical (term, doc, tf) posting rows and (doc,
+    __dl) doclen rows a second time (and double-bumping the stats row).
+    The append path only ever writes a doc's postings whole — the engine
+    has no doc-update op (re-adding an id means delete → compact →
+    append) — so a repeated (term, doc) row IS a replay of the same
+    indexing event: compaction keeps max(tf) per (term, doc) and
+    max(__dl) per doc (identical rows, so max == the true value) and
+    RECOMPUTES the stats row from the deduplicated doclens instead of
+    copying the possibly double-bumped one. After compaction, BM25
+    scores are exactly those of a clean build on the live docs."""
     posts = (
         _live(index, spark.read.parquet(index.postings_path))
         .groupBy("term", index.id_col, "bucket")
-        .agg(F.sum("tf").alias("tf"))
+        .agg(F.max("tf").alias("tf"))
         .select("term", index.id_col, "tf", "bucket")
     )
     posts.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{new_path}/postings"
     )
-    (
+    doclens = (
         _live(index, spark.read.parquet(index.doclens_path))
         .groupBy(index.id_col)
-        .agg(F.sum("__dl").alias("__dl"))
-        .write.mode("overwrite")
-        .parquet(f"{new_path}/doclens")
+        .agg(F.max("__dl").alias("__dl"))
     )
-    spark.read.parquet(index.stats_path).write.mode("overwrite").parquet(
-        f"{new_path}/stats"
+    doclens.write.mode("overwrite").parquet(f"{new_path}/doclens")
+    # stats from the deduped doclens (integer-exact counts cast to double,
+    # same math as the build path) — heals any replayed stats bumps
+    (
+        spark.read.parquet(f"{new_path}/doclens")
+        .select(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.coalesce(F.sum("__dl"), F.lit(0)).cast("double").alias("__tot"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{new_path}/stats")
     )
     return InvertedIndex(
-        path=new_path, n_buckets=index.n_buckets, id_col=index.id_col
+        path=new_path,
+        n_buckets=index.n_buckets,
+        id_col=index.id_col,
+        text_col=index.text_col,
     )
 
 
@@ -275,12 +302,16 @@ def delete_from_inverted_index(index: InvertedIndex, ids) -> int:
     zero read-side cost. The stats row is decremented eagerly (it is one
     row) so BM25's N/avgdl stay correct while tombstones exist.
 
+    Idempotent: victims are resolved through the LIVE view (anti-joined
+    against existing tombstones), so re-deleting an already-deleted id is
+    a no-op — no duplicate tombstone row, no second stats decrement.
+
     Returns the number of ids newly tombstoned."""
     ids = [int(i) for i in ids]
     if not ids:
         return 0
     spark = SparkSession.getActiveSession()
-    doclens = spark.read.parquet(index.doclens_path)
+    doclens = _live(index, spark.read.parquet(index.doclens_path))
     victims = doclens.filter(F.col(index.id_col).isin(ids))
     stats_delta = victims.select(
         F.count(F.lit(1)).cast("double").alias("__n"),

@@ -177,8 +177,12 @@ def stream_ingest_documents_into_inverted(
 
     Delivery: at-least-once foreachBatch guarded by per-checkpoint commit
     markers (the IVF sink's recipe — a replayed committed batch is a
-    no-op; offline compact_inverted_index clears any crash-window
-    duplicates). Returns the number of documents indexed this run."""
+    no-op). A crash inside the append→marker window can replay an
+    uncommitted batch, duplicating its posting/doclen rows and
+    double-bumping stats; offline compact_inverted_index clears exactly
+    that (max per (term, doc) / per doc over the byte-identical replayed
+    rows, stats recomputed from the deduped doclens). Returns the number
+    of documents indexed this run."""
     import hashlib
     import os
 

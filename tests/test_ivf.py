@@ -633,3 +633,50 @@ def test_ivf_delete_rewrites_only_affected_cells(spark, tmp_path):
     qv = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
     hits = ivf_search(spark, index, qv, k=3, nprobe=8).collect()
     assert all(h["vec_id"] != 7 for h in hits)
+
+
+def test_ivf_delete_large_batch_broadcast_path(spark, tmp_path):
+    """A delete batch above _DELETE_ISIN_MAX must take the broadcast
+    semi/anti-join path (no giant IN literal in the plan) and still
+    yield exact search parity with a brute-force scan of the survivors."""
+    from vector_db_example_spark.index.ivf import (
+        _DELETE_ISIN_MAX,
+        build_ivf_index,
+        ivf_delete,
+        ivf_search,
+    )
+    from vector_db_example_spark.operators.knn import knn_exact
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = build_ivf_index(emb, path=str(tmp_path / "ivf"), nlist=8)
+    total = emb.count()
+
+    # 10^5 ids: every even id in [0, 2e5) — far above the isin cutoff;
+    # most are absent from the corpus, which the path must tolerate
+    ids = list(range(0, 200_000, 2))
+    assert len(ids) > _DELETE_ISIN_MAX
+    expected_victims = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 200_000)
+    ).count()
+    assert expected_victims > 0
+
+    n = ivf_delete(spark, index, ids)
+    assert n == expected_victims
+    after = spark.read.parquet(index.path)
+    assert after.count() == total - expected_victims
+    assert after.filter(F.col("vec_id") % 2 == 0).count() == 0
+
+    # unchanged search parity: nprobe=nlist over the post-delete layout
+    # == brute force over the surviving rows
+    qv = emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"]
+    survivors = emb.filter(F.col("vec_id") % 2 != 0)
+    want = [
+        (r.vec_id, round(r.distance, 9))
+        for r in knn_exact(survivors, qv, k=10, score_threshold=None).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.distance, 9))
+        for r in ivf_search(spark, index, qv, k=10, nprobe=8).collect()
+    ]
+    assert got == want

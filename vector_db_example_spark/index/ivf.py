@@ -325,6 +325,11 @@ def compact_ivf_index(
 #: without renumbering live cells' partition directories.
 _DEAD_CENTROID_COORD = 1.0e30
 
+#: Above this many delete ids, ``ivf_delete`` switches from inlined
+#: ``isin`` literals to a broadcast ids DataFrame (semi/anti joins) so
+#: the plan size stays O(1) in the batch size.
+_DELETE_ISIN_MAX = 10_000
+
 
 def split_hot_cells(
     spark: SparkSession,
@@ -469,19 +474,38 @@ def ivf_delete(spark: SparkSession, index: IVFIndex, ids) -> int:
     O(k) at the price of a read-side anti-join; eager rewrite keeps every
     search plan unchanged, which is the right trade for rare deletes.
     Single-writer assumption as elsewhere.
+
+    Two id-matching strategies by batch size: a small batch inlines the
+    ids as an ``isin`` literal (cheapest plan, no extra exchange); a
+    batch above ``_DELETE_ISIN_MAX`` would put a million-literal IN
+    expression in the plan twice, so instead the ids become a broadcast
+    DataFrame — victims via a semi join, survivors via a left-anti join —
+    keeping the plan O(1) in the id count.
     """
     ids = [int(i) for i in ids]
     if not ids:
         return 0
     id_col = index.id_col
     layout = spark.read.parquet(index.path)
-    victims = layout.filter(F.col(id_col).isin(ids)).select(id_col, "cell_id")
+    if len(ids) <= _DELETE_ISIN_MAX:
+        victims = layout.filter(F.col(id_col).isin(ids)).select(id_col, "cell_id")
+        survivor_filter = lambda df: df.filter(~F.col(id_col).isin(ids))  # noqa: E731
+    else:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} long"
+        ).coalesce(1)
+        victims = layout.join(F.broadcast(ids_df), id_col, "semi").select(
+            id_col, "cell_id"
+        )
+        survivor_filter = lambda df: df.join(  # noqa: E731
+            F.broadcast(ids_df), id_col, "left_anti"
+        )
     cells = sorted({int(r["cell_id"]) for r in victims.select("cell_id").distinct().collect()})
     if not cells:
         return 0
     affected = layout.filter(F.col("cell_id").isin(cells))  # partition pruning
     n_before = affected.count()
-    survivors = affected.filter(~F.col(id_col).isin(ids)).localCheckpoint(eager=True)
+    survivors = survivor_filter(affected).localCheckpoint(eager=True)
     (
         survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

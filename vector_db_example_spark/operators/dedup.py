@@ -322,9 +322,12 @@ def connected_components(
     in O(diameter) rounds. Duplicate clusters have tiny diameters (near-
     dup relations are locally dense), so the loop exits after 2-3 rounds
     in practice, and ``max_iter`` bounds the adversarial case. Each
-    round is one shuffle of the (symmetrized) edge list plus a
-    convergence count; labels are re-materialized per round
-    (localCheckpoint) so lineage stays flat. At extreme scale use
+    round is one shuffle of the (symmetrized) edge list; labels are
+    re-materialized per round (localCheckpoint) so lineage stays flat.
+    Convergence is detected by a label-set signature (count + bit_xor of
+    xxhash64(id, comp) — the star variant's trick): one tiny agg over
+    the just-checkpointed labels instead of a join+count of new vs old,
+    saving a join job per round. At extreme scale use
     ``connected_components_star`` (same contract, O(log n) rounds
     regardless of diameter).
     """
@@ -338,33 +341,36 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(id, comp))").alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    prev_sig = _sig(labels)
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["dst"] == labels["id"]).select(
             F.col("src").alias("id"), F.col("comp")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        sig = _sig(labels)
+        if sig == prev_sig:
             break
+        prev_sig = sig
     else:
         # max_iter exhausted with labels still moving: clusters whose
         # diameter exceeds max_iter would be returned split. Loudly fail
         # rather than hand back wrong clusters with no signal.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or switch "
-            "to the large-star/small-star variant for high-diameter graphs"
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter or switch to the large-star/small-star "
+            "variant for high-diameter graphs"
         )
     return labels
 

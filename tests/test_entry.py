@@ -42,9 +42,20 @@ def test_driver_surface_capped_and_critical_first():
     # test_oracle_parity) — they are trimmed, not deleted
     assert DRIVER_EXCLUDED <= set(QUERIES)
     assert not (DRIVER_EXCLUDED & set(qs))
-    sketches = {"agg_approx_distinct_sketch", "events_approx_quantiles"}
+    approx_by_design = {
+        # sketches: dedicated error-bound tests (tests/test_bucketing.py)
+        "agg_approx_distinct_sketch",
+        "events_approx_quantiles",
+        # pruned-probe ANN runs: recall bounds in tests/test_ivf.py /
+        # test_lsh.py, and their exact-parity twins
+        # (vector_ivf_exact_parity, vector_lsh_exact_parity,
+        # vector_bucketed_pairs_exact) hash-pin the same machinery
+        "vector_ivf_probe_topk",
+        "vector_ann_lsh_topk",
+        "vector_ivf_bucketed_pairs",
+    }
     for name in DRIVER_EXCLUDED:
         # every excluded query keeps a local oracle-parity check, except
-        # the sketches whose checks are dedicated error-bound tests
-        if name not in sketches:
+        # the approximate-by-design runs with dedicated bound tests
+        if name not in approx_by_design:
             assert QUERIES[name].oracle is not None, name

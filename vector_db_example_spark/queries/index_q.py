@@ -18,7 +18,7 @@ from ..index.ivf import (
 )
 from ..sources.tables import load_table
 from .registry import register
-from .vector_q import _l2_sql, _query_vec, _query_vecs
+from .vector_q import _dot_sql, _l2_sql, _query_vec, _query_vecs
 
 #: One index build per (sf_dir, nlist) per process — queries share it.
 _INDEX_CACHE: dict[tuple[str, int], IVFIndex] = {}
@@ -427,6 +427,84 @@ def vector_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = bq_search(emb, _query_vec(spark, sf_dir, 13), k=10, overfetch=5)
     return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "vector_lsh_exact_parity",
+    # probe_radius = n_planes probes every bucket within Hamming distance
+    # 8 of the query's bucket — i.e. ALL 2^8 buckets — so the layout
+    # search degenerates to exact cosine top-k and the oracle states
+    # brute force directly (the LSH twin of vector_ivf_exact_parity).
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 21),
+d AS (
+  SELECT e.vec_id, e.label,
+         1.0 - ({_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')}))) AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, label, round(dist, 6) + 0.0 AS distance
+FROM d ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "lsh", "ann", "index"),
+)
+def vector_lsh_exact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH layout invariant: probing at the full Hamming radius scans
+    every bucket partition, so the multiprobe machinery (driver-side
+    probe combinatorics → partition IN-filter → within-bucket cosine
+    rerank) must reproduce exact brute-force cosine top-k bit-for-bit —
+    which the DuckDB oracle states. This hash-pins the bucket assignment
+    (sign(v·h_i) pandas_udf at build == driver-side bucket_of at query),
+    the layout write, and the rerank in one driver verdict; the
+    production pruned-radius run keeps its recall bound in
+    tests/test_lsh.py."""
+    from ..index.lsh import lsh_layout_search
+
+    index = get_lsh_layout(spark, sf_dir, n_planes=8)
+    hits = lsh_layout_search(
+        spark, index, _query_vec(spark, sf_dir, 21), k=10,
+        probe_radius=index.n_planes,
+    )
+    # `+ 0.0` normalizes IEEE negative zero: the self-hit's cosine can
+    # land an ulp above 1.0, making round(1 - sim, 6) print as -0.0 in
+    # one engine and 0.0 in the other — same trick on the oracle side
+    return hits.select(
+        "vec_id",
+        "label",
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+    )
+
+
+@register(
+    "vector_bucketed_pairs_exact",
+    # nlist=1 puts the whole corpus in ONE cell, so per-cell pair
+    # generation degenerates to the exhaustive all-pairs join and the
+    # oracle can state the O(n²) baseline directly — hash-pinning the
+    # candidate-generation machinery that the production nlist=16 run
+    # (vector_ivf_bucketed_pairs) uses with pruned cells.
+    oracle=f"""
+WITH p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_l2_sql('a.embedding', 'b.embedding')} AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round(dist, 6) AS distance
+FROM p WHERE dist <= 1.25
+""",
+    tags=("vector", "ivf", "dedup"),
+)
+def vector_bucketed_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-pairs invariant: with nlist=1 every vector lands in the
+    same cell, so ivf_bucketed_pairs' within-cell generation must emit
+    EXACTLY the all-pairs similarity self-join — stated by the oracle.
+    One driver verdict proves the join/filter/distance plumbing; the
+    scale win (cells prune the pair space) is the nlist>1 run."""
+    index = get_ivf_index(spark, sf_dir, nlist=1)
+    pairs = ivf_bucketed_pairs(spark, index, max_distance=1.25)
+    return pairs.select(
+        "a_id", "b_id", F.round("distance", 6).alias("distance")
+    )
 
 
 @register(

@@ -25,56 +25,71 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
-#: Names the driver's per-round CORRECTNESS check never reached in round 1
-#: (it stops after ~50 entries, in ``queries()`` order). These must come
-#: FIRST in the driver-facing surface so they finally get hash verdicts.
+#: Names the driver's per-round CORRECTNESS check must reach (it stops
+#: after ~50 entries, in ``queries()`` order). Never-driver-verified
+#: entries come FIRST so they finally get hash verdicts.
 DRIVER_CRITICAL: tuple[str, ...] = (
-    # round-3 rotation: the six round-2 registry additions that never got
-    # a driver verdict (excluded then by the 50-entry cap), plus the new
-    # IVF_PQ stored-codes query — they lead so they verify this round
-    "text_bm25_search",
-    "hybrid_weighted_search",
+    # --- round-4 rotation ---
+    # new this round (zero driver rows): the exact-parity anchors that
+    # replace the three rows-only entries in the surface
+    "vector_lsh_exact_parity",
+    "vector_bucketed_pairs_exact",
+    "text_inverted_compaction_parity",
+    # registered but never surfaced (zero driver rows)
+    "dedup_ngram_containment",
+    "vector_late_interaction_layout_topk",
+    # r01-green-only backlog: one driver row three rounds ago — rotated
+    # back in for the second verdict the rotation policy requires
+    "agg_approx_distinct_sketch",
+    "agg_cube_orders",
+    "agg_distinct_counts",
+    "agg_rollup_order_status",
+    "events_approx_quantiles",
+    "events_json_props",
+    "events_range_join_clicks_before_purchase",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "events_type_stats",
+    "events_user_daily_pivot",
+    "join_semi_anti_customers",
+    "pipeline_ingest_jsonl",
+    "pipeline_train_test_split",
+    "setop_part_brands",
+    "text_bigram_top_counts",
+    "text_chunk_token_windows",
+    "text_stats_full",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "vector_centroid_norm",
+    "vector_range_self_join",
+    "window_running_revenue",
+    "window_top_orders_per_customer",
+    # r03-first-green: exactly one driver row — not excludable until two
     "events_hypertable_rollup",
-    "stream_events_rollup_upsert",
-    "text_bm25_inverted_topk",
-    "text_sparse_weighted_topk",
-    "vector_ivf_filtered_parity",
-    "vector_partition_key_search",
-    "vector_late_interaction_topk",
+    "hybrid_weighted_search",
     "multimodal_audio_waveform_stats",
-    "text_bm25_batch_topk",
-    "vector_bq_hamming_topk",
-    "vector_truncated_rerank",
-    "vector_filtered_knn",
-    "vector_search_pagination",
     "stream_events_enrich_dim",
+    "stream_events_rollup_upsert",
+    "text_bm25_batch_topk",
+    "text_bm25_inverted_topk",
+    "text_bm25_search",
     "text_repetition_filter",
+    "text_sparse_weighted_topk",
+    "vector_bq_hamming_topk",
+    "vector_filtered_knn",
+    "vector_ivf_filtered_parity",
     "vector_ivf_pq_topk",
+    "vector_late_interaction_topk",
+    "vector_partition_key_search",
+    "vector_search_pagination",
+    "vector_truncated_rerank",
+    # family anchors retained despite 2+ green rounds: the flagship
+    # pipeline (P3/P5/F3/F5/J3/U1/U2/W3), the catalog roundtrip
+    # (S5/S8/S9/A1 — the only catalog-family query), and the
+    # connected-components clusters query (dedup family anchor)
     "pipeline_multi_strategy",
-    "vector_ivf_exact_parity",
-    "vector_ivf_batch_topk",
-    "vector_ivf_probe_topk",
-    "vector_ann_lsh_topk",
-    "vector_ivf_bucketed_pairs",
-    "stream_events_tumbling_window",
-    "stream_events_sliding_window",
-    "stream_events_sessionization",
-    "stream_events_dedup",
-    "stream_ingest_documents",
-    "multimodal_metadata_stats",
-    "multimodal_frame_sample",
-    "multimodal_byte_histogram",
-    "multimodal_image_decode_roundtrip",
-    # round-2 additions — no verdict yet, so they lead with the others
+    "pipeline_catalog_roundtrip",
     "dedup_duplicate_clusters",
-    "pipeline_sequence_packing",
-    "stream_user_topk_state",
-    "vector_grouping_search",
-    "vector_range_search",
-    "vector_sq8_rerank_topk",
-    "text_pii_scrub",
-    "stream_events_interval_join",
-    "vector_pq_adc_topk",
 )
 
 #: Registry entries kept OUT of the driver-facing ``queries()`` surface so
@@ -87,129 +102,63 @@ DRIVER_CRITICAL: tuple[str, ...] = (
 #: tests/test_oracle_parity.py regardless of surface membership.
 DRIVER_EXCLUDED: frozenset[str] = frozenset(
     {
-        # --- rotated OUT in round 3 (hash-green in r01 AND r02; each
-        # family keeps a surface anchor) to make room for the six
-        # never-verified round-2 entries + the new IVF_PQ query ---
-        # cosine metric: anchored by vector_ann_lsh_topk's cosine rerank
-        # + the L2 knn family (exact_l2/threshold/batch all stay)
-        "vector_cosine_topk",
-        # F3 chunking: replayed inside pipeline_multi_strategy (flagship,
-        # stays); P5's min-length filter is pinned there too
-        "text_sentence_split",
-        # CDC compaction: the events family keeps asof/funnel/quantiles,
-        # and the max_by plan shape stays pinned in tests/test_plans.py
-        "events_latest_snapshot",
-        # O(n²) all-pairs oracle baseline; MinHash/SimHash/exact anchor
-        # the dedup family in the surface
-        "dedup_ngram_jaccard",
-        # same O(n²) quarantine as ngram_jaccard (its excerpt-detection
-        # twin) — locally parity-checked
-        "dedup_ngram_containment",
-        # per-group standardization extra; vector agg family anchored by
-        # the knn/grouping/range entries
-        "vector_group_standardize",
-        # batch sessionization: stream_events_sessionization (stays) runs
-        # the same session windows/oracle as a stateful streaming plan
-        "events_sessionization",
-        # embedding near-dup: scale twin vector_ivf_bucketed_pairs stays,
-        # and the curation pipeline's dedup stages stay hash-checked
-        "dedup_embedding_cosine",
-        # hash-green r01+r02; dedup family anchored by exact/minhash/
-        # clusters/decontaminate/curation — makes room for text_bm25_search
+        # --- excluded since round 3 (hash-green r01 AND r02; family
+        # anchors documented in the round-3 registry history) ---
+        "vector_cosine_topk",        # cosine anchored by lsh_exact_parity
+        "text_sentence_split",       # F3 replayed in pipeline_multi_strategy
+        "events_latest_snapshot",    # CDC max_by plan-pinned in test_plans
+        "dedup_ngram_jaccard",       # O(n²) baseline; containment twin now in
+        "vector_group_standardize",  # applyInPandas extra; knn family anchors
+        "events_sessionization",     # batch twin of stream_events_sessionization
+        "dedup_embedding_cosine",    # bucketed_pairs_exact is the surfaced twin
         "dedup_simhash",
-        # hash-green r01+r02; hybrid family anchored by the NEW
-        # hybrid_weighted_search (WeightedRanker semantics) it swaps for
-        "hybrid_rrf_search",
-        # hash-green r01+r02; events family anchored by funnel/range-join
-        # + the NEW events_hypertable_rollup it makes room for
-        "events_asof_click_purchase",
-        # hash-green r01+r02; lang-ID/quality semantics stay anchored by
-        # the curation pipeline's replayed stats — makes room for the NEW
-        # stream_events_rollup_upsert
+        "hybrid_rrf_search",         # hybrid_weighted_search anchors hybrids
+        "events_asof_click_purchase",  # range-join twin rotated in instead
         "pipeline_balanced_lang_sample",
-        # hash-green r01+r02; exact dedup is replayed as a stage inside
-        # pipeline_corpus_curation (stays) — makes room for the NEW
-        # text_bm25_inverted_topk
-        "dedup_exact_groups",
-        # hash-green r01+r02; corpus term-stats family now anchored by
-        # the BM25/sparse entries + text_tokenize_topk (stays) — makes
-        # room for the NEW text_sparse_weighted_topk
+        "dedup_exact_groups",        # replayed inside pipeline_corpus_curation
         "text_tfidf_top_terms",
-        # hash-green r01+r02; P2's threshold semantics stay exercised by
-        # knn_exact's plan-tested filter and the IVF score_threshold path
-        # — makes room for the NEW vector_ivf_filtered_parity
-        "vector_knn_threshold",
-        # hash-green r01+r02; J2/W2 batch semantics anchored by
-        # vector_ivf_batch_topk (stays) and the multi-strategy replay —
-        # makes room for the NEW vector_partition_key_search
-        "vector_knn_batch",
-        # hash-green r01+r02; the F1 clean regex + P4 min-length filter
-        # stay pinned by stream_ingest_documents' oracle (stays) — makes
-        # room for the NEW vector_late_interaction_topk
-        "text_clean_preprocess",
-        # hash-green r01+r02; the MinHash stage stays exercised by the
-        # surfaced pipeline_corpus_curation + dedup_duplicate_clusters —
-        # makes room for the NEW multimodal_audio_waveform_stats
+        "vector_knn_threshold",      # P2 pinned by knn_exact plan test
+        "vector_knn_batch",          # J2/W2 anchored by the batch BM25/IVF runs
+        "text_clean_preprocess",     # F1/P4 pinned by stream_ingest oracle
         "dedup_minhash_lsh",
-        # hash-green r01+r02; F2 tokenization is pinned by every BM25
-        # oracle, W3 keyword ranking by pipeline_multi_strategy, and the
-        # broadcast-anti-join shape by dedup_decontaminate (all stay) —
-        # makes room for the NEW text_bm25_batch_topk
-        "text_tokenize_topk",
-        # --- end round-3 rotation ---
-        # identical oracle/result to window_top_orders_salted (kept)
-        "window_top_orders_per_customer",
-        # identical oracle/result to vector_late_interaction_topk (kept in
-        # the surface) — the layout-served variant, locally parity-checked
-        "vector_late_interaction_layout_topk",
-        # grouping-set breadth beyond the reference: both remain plan-
-        # tested (single-scan Expand) + locally oracle-checked; tpch_q1
-        # anchors the relational-agg family in the surface
-        "agg_rollup_order_status",
-        "agg_cube_orders",
-        # sliding window (kept) generalizes tumbling; stream tumbling kept too
-        "events_tumbling_window",
-        # batch sliding window: stream_events_sliding_window (kept) runs
-        # the same windows/oracle as a stateful streaming plan
-        "events_sliding_window",
-        # conditional-agg pivot and JSON-props extraction: r01-green
-        # groupBy shapes; the events family keeps sessionization, asof,
-        # range join, funnel, CDC snapshot and quantiles in the surface
-        "events_user_daily_pivot",
-        "events_json_props",
-        # plain groupBy stats; JSON-props variant (kept) is the distinctive op
-        "events_type_stats",
-        # relational breadth beyond the reference; q1 stays as the anchor
-        # (q3/q5 keep their broadcast-join plan tests + local parity)
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
-        "setop_part_brands",
-        "join_semi_anti_customers",
-        "agg_distinct_counts",
-        "window_running_revenue",
-        # rows-only sketches: the driver check is existence-only; the
-        # rsd/epsilon error bounds live in tests/test_bucketing.py
-        "agg_approx_distinct_sketch",
-        "events_approx_quantiles",
-        # CSV ingest (kept) is the reference's actual source; JSONL is extra
-        "pipeline_ingest_jsonl",
-        # per-doc stats are replayed inside pipeline_corpus_curation (kept)
-        "text_stats_full",
-        # F3 chunking: sentence_split (kept) is the reference's actual op;
-        # token windows are the extra-reference variant
-        "text_chunk_token_windows",
-        # same match set as events_asof_click_purchase (kept); the
-        # bucketed range-join operator keeps its brute-force pytest
-        "events_range_join_clicks_before_purchase",
-        # unigram top-k (kept) covers the tokenize→explode→topk family
-        "text_bigram_top_counts",
-        # vector analytics extras; the knn family anchors the surface
-        "vector_centroid_norm",
-        # O(n²) similarity_self_join baseline; dedup_embedding_cosine
-        # (kept) drives the same operator with the same oracle pattern
-        "vector_range_self_join",
-        # sampling summary; balanced_lang_sample (kept) covers the family
-        "pipeline_train_test_split",
+        "text_tokenize_topk",        # F2 pinned by every BM25 oracle
+        # --- rotated OUT in round 4: hash-green in r02 AND r03 (the
+        # stream/multimodal/quantization/vector families keep anchors in
+        # the surface via their r03-first-green siblings) ---
+        "multimodal_byte_histogram",
+        "multimodal_frame_sample",
+        "multimodal_image_decode_roundtrip",
+        "multimodal_metadata_stats",   # audio_waveform_stats anchors family
+        "pipeline_sequence_packing",
+        "stream_events_dedup",
+        "stream_events_interval_join",
+        "stream_events_sessionization",
+        "stream_events_sliding_window",
+        "stream_events_tumbling_window",
+        "stream_ingest_documents",
+        "stream_user_topk_state",      # enrich_dim + rollup_upsert anchor
+        "text_pii_scrub",
+        "vector_grouping_search",
+        "vector_range_search",
+        "vector_sq8_rerank_topk",      # bq/ivf_pq/truncated anchor quantization
+        "vector_pq_adc_topk",
+        "vector_ivf_batch_topk",
+        "vector_ivf_exact_parity",     # ivf_filtered_parity states the same
+                                       # nprobe=nlist identity, and stays
+        # rows-only entries replaced by their new exact-parity twins
+        # (vector_lsh_exact_parity / vector_bucketed_pairs_exact), which
+        # hash-check the same machinery instead of counting rows
+        "vector_ivf_probe_topk",
+        "vector_ann_lsh_topk",
+        "vector_ivf_bucketed_pairs",
+        # --- rotated OUT in round 4: hash-green in THREE rounds ---
+        "dedup_decontaminate",
+        "events_conversion_funnel",
+        "pipeline_corpus_curation",
+        "pipeline_ingest_csv",         # S1-S4 pinned by its r01-r03 greens
+        "tpch_q1_pricing_summary",     # q3/q5 rotate in as relational anchors
+        "vector_knn_exact_l2",         # J1 still smoke-run every round: entry()
+        "window_top_orders_salted",    # per_customer twin rotates in
     }
 )
 

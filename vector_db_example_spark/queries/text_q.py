@@ -526,13 +526,19 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("vector", "stream", "window")
 
 
-def _bm25_oracle_ctes(terms: tuple[str, ...] = _BM25_TERMS) -> str:
+def _bm25_oracle_ctes(
+    terms: tuple[str, ...] = _BM25_TERMS, where: str = ""
+) -> str:
     """DuckDB CTE chain ending in `bm25_scored(doc_id, bm25)` (unrounded),
     mirroring operators/bm25.py expression-for-expression: integer-exact
     tf/df/dl/N inputs, identical literal constants (2.2 / 1.2 / 0.25 /
     0.75), and a fixed left-to-right per-term contribution sum — the
     invariants that make the double bit-exact across engines. Shared by
-    the text_bm25_search oracle and the weighted-hybrid oracle."""
+    the text_bm25_search oracle and the weighted-hybrid oracle.
+
+    ``where`` (e.g. ``"WHERE doc_id NOT IN (13, 259, 401)"``) restricts
+    the corpus in every CTE that reads it — the oracle shape for
+    maintenance queries whose index has deletions folded in."""
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     tf_cols = ",\n".join(
         f"         sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)::DOUBLE AS tf{i}"
@@ -549,7 +555,7 @@ def _bm25_oracle_ctes(terms: tuple[str, ...] = _BM25_TERMS) -> str:
     )
     return f"""tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
-  FROM documents
+  FROM documents {where}
 ),
 tf AS (
   SELECT doc_id,
@@ -563,12 +569,12 @@ dfs AS (
 ),
 dl AS (
   SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS dl
-  FROM documents
+  FROM documents {where}
 ),
 totals AS (
   SELECT count(*)::DOUBLE AS n,
          sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}')))::DOUBLE AS tot
-  FROM documents
+  FROM documents {where}
 ),
 bm25_scored AS (
   SELECT doc_id,
@@ -645,6 +651,60 @@ def text_bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = get_inverted_index(spark, sf_dir)
     return bm25_search_inverted(spark, idx, _BM25_TERMS, k=10)
+
+
+#: Deleted in the maintenance-parity query: ids that sit in the sf0.01
+#: BM25 top-10, so the deletion visibly changes the answer.
+_MAINT_VICTIMS = (13, 259, 401)
+
+
+@register(
+    "text_inverted_compaction_parity",
+    oracle=f"""
+WITH {_bm25_oracle_ctes(where=f"WHERE doc_id NOT IN {_MAINT_VICTIMS}")}
+SELECT doc_id, round(bm25, 6) AS bm25
+FROM bm25_scored
+ORDER BY round(bm25, 6) DESC, doc_id ASC
+LIMIT 10
+""",
+    tags=("text", "bm25", "inverted-index", "maintenance", "compaction"),
+)
+def text_inverted_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index's full MAINTENANCE lifecycle, hash-checked:
+    build on 70% of the corpus → append the rest → tombstone-delete three
+    docs that sit in the undeleted top-10 → offline compaction (merges
+    append batches, folds the deletion vectors in, recomputes stats) →
+    BM25 top-10 from the COMPACTED layout. The oracle is the clean
+    full-scan SQL over the corpus minus the victims: exact parity states
+    that after arbitrary append/delete/compact history the index answers
+    as if freshly built on the live documents — the invariant that makes
+    online maintenance safe at 100 TB (index/inverted.py's
+    write-new-then-swap compaction contract)."""
+    import hashlib
+    import shutil
+
+    from ..index.inverted import (
+        append_to_inverted_index,
+        bm25_search_inverted,
+        build_inverted_index,
+        compact_inverted_index,
+        delete_from_inverted_index,
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|maint".encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_invmaint_{tag}"
+    # fresh layout every run: the query IS the maintenance history, so
+    # stale tombstones/postings from a prior run must not leak in
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(
+        docs.filter(F.col("doc_id") % 10 < 7), f"{base}/idx", n_buckets=64
+    )
+    append_to_inverted_index(idx, docs.filter(F.col("doc_id") % 10 >= 7))
+    delete_from_inverted_index(idx, _MAINT_VICTIMS)
+    compacted = compact_inverted_index(spark, idx, f"{base}/compacted")
+    return bm25_search_inverted(spark, compacted, _BM25_TERMS, k=10)
 
 
 #: Dyadic query weights (exactly representable doubles), so every

@@ -344,6 +344,98 @@ def _live(index: InvertedIndex, df: DataFrame) -> DataFrame:
     return df.join(F.broadcast(tombs), index.id_col, "left_anti")
 
 
+def build_positional_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> InvertedIndex:
+    """Positional postings — the phrase-query extension of the term-bucket
+    layout (the Milvus 2.5 / Lucene ``match_phrase`` capability): one
+    tokenize pass stores each (term, doc) with its SORTED in-document
+    position list, partitioned by the same ``crc32(term) % n_buckets``
+    scheme, so a phrase query's reads prune to ITS terms' buckets exactly
+    like BM25's. Positions are indexes into the token sequence (after the
+    tokenizer's length filter), 0-based.
+
+    Returns an :class:`InvertedIndex` handle over the same layout shape;
+    the BM25 side-tables (doclens/stats) are not written — a deployment
+    wanting both scores and phrases builds both from the one tokenize
+    pass."""
+    tok = docs.select(
+        id_col, F.posexplode(extract_tokens(F.col(text_col))).alias("pos", "term")
+    )
+    (
+        tok.groupBy("term", id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % n_buckets)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    return InvertedIndex(
+        path=path, n_buckets=n_buckets, id_col=id_col, text_col=text_col
+    )
+
+
+def phrase_search_positional(
+    spark: SparkSession,
+    index: InvertedIndex,
+    phrase: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase top-``k`` from the positional layout: docs where the
+    tokens of ``phrase`` occur CONSECUTIVELY, ranked by occurrence count.
+
+    Plan shape: the scan prunes to the phrase terms' bucket partitions;
+    one groupBy(doc) pivots each term's position list into a map; the
+    match count is then pure array algebra — start positions =
+    positions(t₀) ∩ (positions(t₁) − 1) ∩ … ∩ (positions(tₙ₋₁) − (n−1)),
+    all JVM-side (no UDF). A doc missing any phrase term yields a null
+    intersection and drops out. Cost is the phrase terms' posting lists,
+    never the corpus — the property that makes phrase queries cheap at
+    100 TB.
+
+    Returns (id_col, phrase_matches) with matches > 0, ordered by count
+    desc / id asc, top-k."""
+    terms = [t for t in phrase]
+    if not terms:
+        raise ValueError("phrase must be non-empty")
+    id_col = index.id_col
+    uniq = list(dict.fromkeys(terms))
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in uniq})
+    posts = _live(
+        index,
+        spark.read.parquet(index.postings_path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(uniq)),
+    )
+    per_doc = posts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("__pos")
+    )
+
+    def _shift(offset: int):
+        # factory pins the offset — a bare 2-arg lambda would receive the
+        # array index as its second argument from F.transform
+        return lambda p: p - offset
+
+    starts = F.element_at(F.col("__pos"), terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        starts = F.array_intersect(
+            starts, F.transform(F.element_at(F.col("__pos"), t), _shift(i))
+        )
+    return (
+        per_doc.select(F.col(id_col), F.size(starts).alias("phrase_matches"))
+        .filter(F.col("phrase_matches") > 0)
+        .orderBy(F.col("phrase_matches").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def bm25_search_inverted_batch(
     spark: SparkSession,
     index: InvertedIndex,

@@ -500,3 +500,75 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= F.lit(threshold))
         .select("a_id", "b_id", "containment")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    sim_threshold: float,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then within each
+    cluster drop every item whose cosine similarity to a LOWER-id item
+    reaches ``sim_threshold`` (deterministic keep-first policy — the
+    paper keeps one representative per semantic near-dup group; keep-
+    first makes that choice reproducible and oracle-checkable).
+
+    Returns (id_col, cluster, kept) for EVERY corpus row — callers
+    filter ``kept`` to materialize the pruned corpus.
+
+    Plan shape: cluster assignment is an ``array_min`` over per-centroid
+    squared-L2 structs (struct ordering = argmin with ties to the
+    smallest centroid index) — pure JVM expressions, bit-reproducible
+    against the SQL oracle's window-rank form. Pairs are generated
+    per-cluster only (the bucketed-pairs discipline; never global
+    O(n²)); the dropped-id set is tiny and broadcast back.
+
+    At 100 TB the assignment runs once at layout-build time (this IS the
+    IVF cell assignment — index/ivf.py stores it as the partition
+    column), so semantic dedup is one per-cell pair pass over an
+    existing layout plus a broadcast anti-join; the expression-literal
+    centroid form here is the oracle-exact policy layer for a bounded
+    centroid count."""
+    from ..functions.vector import cosine_similarity, l2_distance_sq
+
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    structs = F.array(
+        *[
+            F.struct(
+                l2_distance_sq(
+                    F.col(vector_col), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    assigned = corpus.withColumn("cluster", F.array_min(structs)["c"])
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("a_id"),
+        F.col(vector_col).alias("a_vec"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("b_id"),
+        F.col(vector_col).alias("b_vec"),
+    )
+    dropped = (
+        a.join(b, ["cluster"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            cosine_similarity(F.col("a_vec"), F.col("b_vec"))
+            >= F.lit(float(sim_threshold))
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(F.broadcast(dropped), id_col, "left").select(
+        id_col, "cluster", F.col("__dropped").isNull().alias("kept")
+    )

@@ -544,3 +544,70 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "a_id", "b_id", F.round("containment", 6).alias("containment")
     )
+
+
+#: Deterministic semantic-dedup centroid sample (same convention as the
+#: PQ codebook: a fixed arithmetic id ladder — k-means init without the
+#: Lloyd step, because iterated means are not bit-reproducible across
+#: engines). 8 centroids, ids present at every test SF.
+_SEM_CENTROID_IDS = tuple(7 + 15 * k for k in range(8))
+
+_SEM_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_SEM_L2SQ = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+)
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
+  FROM embeddings WHERE vec_id IN {_SEM_CENTROID_IDS}
+),
+d AS (
+  SELECT e.vec_id, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_SEM_L2SQ.format(a='e.embedding', b='c.cv')}, c.cidx
+         ) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+a AS (SELECT vec_id, cidx AS cluster FROM d WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT y.vec_id AS b_id
+  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE {_SEM_DOT.format(a='ex.embedding', b='ey.embedding')}
+        / (sqrt({_SEM_DOT.format(a='ex.embedding', b='ex.embedding')})
+           * sqrt({_SEM_DOT.format(a='ey.embedding', b='ey.embedding')}))
+        >= 0.4
+)
+SELECT a.vec_id, a.cluster::INTEGER AS cluster,
+       a.vec_id NOT IN (SELECT b_id FROM dropped) AS kept
+FROM a
+""",
+    tags=("dedup", "semantic", "embedding", "semdedup"),
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning over the embeddings table: assign
+    every vector to its nearest of 8 deterministic centroids, then drop
+    any vector whose within-cluster cosine similarity to a lower-id
+    vector reaches 0.4 (keep-first). Fully closed-form, so clustering,
+    per-cluster pair generation, AND the keep policy are all hash-checked
+    — the training-data-curation twin of vector_ivf_bucketed_pairs
+    (operators/dedup.py::semantic_dedup for the plan shape and the
+    100 TB note: in production the cluster id IS the IVF layout's
+    partition column)."""
+    from ..operators.dedup import semantic_dedup
+    from .vector_q import _query_vecs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = _query_vecs(spark, sf_dir, _SEM_CENTROID_IDS)
+    centroids = [vecs[i] for i in sorted(_SEM_CENTROID_IDS)]
+    return semantic_dedup(emb, centroids, sim_threshold=0.4)

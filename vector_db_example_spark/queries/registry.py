@@ -31,10 +31,13 @@ QUERIES: dict[str, Query] = {}
 DRIVER_CRITICAL: tuple[str, ...] = (
     # --- round-4 rotation ---
     # new this round (zero driver rows): the exact-parity anchors that
-    # replace the three rows-only entries in the surface
+    # replace the three rows-only entries in the surface, plus the
+    # positional-phrase and semantic-dedup operators
     "vector_lsh_exact_parity",
     "vector_bucketed_pairs_exact",
     "text_inverted_compaction_parity",
+    "text_phrase_search",
+    "dedup_semantic_prune",
     # registered but never surfaced (zero driver rows)
     "dedup_ngram_containment",
     "vector_late_interaction_layout_topk",
@@ -83,13 +86,9 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "vector_partition_key_search",
     "vector_search_pagination",
     "vector_truncated_rerank",
-    # family anchors retained despite 2+ green rounds: the flagship
-    # pipeline (P3/P5/F3/F5/J3/U1/U2/W3), the catalog roundtrip
-    # (S5/S8/S9/A1 — the only catalog-family query), and the
-    # connected-components clusters query (dedup family anchor)
+    # family anchor retained despite 2+ green rounds: the flagship
+    # pipeline (P3/P5/F3/F5/J3/U1/U2/W3)
     "pipeline_multi_strategy",
-    "pipeline_catalog_roundtrip",
-    "dedup_duplicate_clusters",
 )
 
 #: Registry entries kept OUT of the driver-facing ``queries()`` surface so
@@ -151,8 +150,16 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "vector_ivf_probe_topk",
         "vector_ann_lsh_topk",
         "vector_ivf_bucketed_pairs",
+        # 2-green (r02+r03); dedup family anchored this round by
+        # dedup_semantic_prune + dedup_ngram_containment (its CC operator
+        # keeps the operator-level tests in tests/test_operators.py)
+        "dedup_duplicate_clusters",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
+        # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage
+        # citation rests on those three verdicts — yields its slot to the
+        # new zero-row phrase/semantic queries
+        "pipeline_catalog_roundtrip",
         "events_conversion_funnel",
         "pipeline_corpus_curation",
         "pipeline_ingest_csv",         # S1-S4 pinned by its r01-r03 greens

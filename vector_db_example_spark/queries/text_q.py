@@ -707,6 +707,56 @@ def text_inverted_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFra
     return bm25_search_inverted(spark, compacted, _BM25_TERMS, k=10)
 
 
+#: One positional-index build per sf_dir per process.
+_POSITIONAL_CACHE: dict = {}
+
+_PHRASE = ("table", "hash")
+
+
+@register(
+    "text_phrase_search",
+    # closed-form oracle: phrase occurrences = sliding-window equality
+    # over the SAME token sequence (integer counts — no float subtlety)
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '{{TOKEN_PATTERN}}') AS ts FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(ts) - {len(_PHRASE) - 1} + 1),
+             i -> {" AND ".join(f"ts[i+{j}] = '{t}'" for j, t in enumerate(_PHRASE))}
+         ))::INTEGER AS phrase_matches
+  FROM tok
+)
+SELECT doc_id, phrase_matches FROM m WHERE phrase_matches > 0
+ORDER BY phrase_matches DESC, doc_id ASC LIMIT 10
+""".replace("{TOKEN_PATTERN}", TOKEN_PATTERN),
+    tags=("text", "phrase", "inverted-index", "positional"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search (the Milvus 2.5 / Lucene ``match_phrase``
+    capability) from the POSITIONAL posting-list layout: docs where
+    'table hash' occur consecutively, top-10 by occurrence count. The
+    layout read prunes to the two terms' crc32 buckets; the consecutive
+    test is position-list intersection — pure JVM array algebra over
+    posting rows, never a corpus scan (index/inverted.py
+    phrase_search_positional). The oracle recomputes occurrences as a
+    sliding-window equality over the raw token sequence — exact parity
+    proves positions, bucketing, and the intersection algebra end to
+    end."""
+    import hashlib
+
+    from ..index.inverted import build_positional_index, phrase_search_positional
+
+    if sf_dir not in _POSITIONAL_CACHE:
+        tag = hashlib.md5(f"{sf_dir}|pos".encode()).hexdigest()[:8]
+        docs = load_table(spark, sf_dir, "documents")
+        _POSITIONAL_CACHE[sf_dir] = build_positional_index(
+            docs, path=f"/tmp/spark_graft_positional_{tag}", n_buckets=64
+        )
+    return phrase_search_positional(spark, _POSITIONAL_CACHE[sf_dir], _PHRASE, k=10)
+
+
 #: Dyadic query weights (exactly representable doubles), so every
 #: product with an integer tf — and their fixed-order sum — is EXACT.
 _SPARSE_WEIGHTS = {"vector": 1.5, "spark": 0.75, "stream": 1.25}

@@ -295,3 +295,26 @@ def test_sparse_weighted_prunes_posting_partitions(spark):
         if "PartitionFilters" in ln and "bucket" in ln
     ]
     assert pf, f"no bucket partition filter in plan:\n{plan[:1500]}"
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    """The bucketed orders/lineitem layouts must satisfy the join's
+    hash-distribution requirement from METADATA: with broadcast disabled
+    (the 100 TB fact-fact regime), the equi-join compiles to a
+    SortMergeJoin with ZERO Exchange — neither side is shuffled."""
+    from vector_db_example_spark.queries.relational_q import (
+        get_bucketed_order_tables,
+    )
+
+    t_orders, t_lineitem = get_bucketed_order_tables(spark, SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(t_orders)
+        li = spark.table(t_lineitem)
+        joined = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        plan = _plan(joined, execute=True)
+        assert "SortMergeJoin" in plan, plan[:1200]
+        assert "Exchange" not in plan, plan[:1200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -38,6 +38,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "text_inverted_compaction_parity",
     "text_phrase_search",
     "dedup_semantic_prune",
+    "join_bucketed_colocated",
     # registered but never surfaced (zero driver rows)
     "dedup_ngram_containment",
     "vector_late_interaction_layout_topk",
@@ -64,7 +65,6 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "vector_centroid_norm",
-    "vector_range_self_join",
     "window_running_revenue",
     "window_top_orders_per_customer",
     # r03-first-green: exactly one driver row — not excludable until two
@@ -154,6 +154,11 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # dedup_semantic_prune + dedup_ngram_containment (its CC operator
         # keeps the operator-level tests in tests/test_operators.py)
         "dedup_duplicate_clusters",
+        # 1-green (r01): O(n²) baseline whose strictly-stronger twin
+        # vector_bucketed_pairs_exact (all-pairs over the FULL corpus via
+        # nlist=1, same oracle pattern) is surfaced — yields its slot to
+        # the zero-row join_bucketed_colocated per the zero-row-first rule
+        "vector_range_self_join",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

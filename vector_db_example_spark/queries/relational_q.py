@@ -392,3 +392,86 @@ def setop_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("big_only").alias("grp"), "p_brand"
     )
     return both.unionByName(only)
+
+
+#: Bucketed-table pairs per sf_dir per process (table names in the
+#: session catalog; data lands in spark.sql.warehouse.dir).
+_BUCKETED_CACHE: dict = {}
+
+
+def get_bucketed_order_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + lineitem written as BUCKETED tables (8 buckets on the
+    join key, sorted within buckets): Spark's bucket metadata then proves
+    both sides share a hash distribution, so an equi-join needs NO
+    exchange — at 100 TB this is the difference between shuffling the
+    fact tables on every join and shuffling them once at layout time
+    (the same pay-at-write/save-at-read contract as the IVF/LSH/term
+    layouts, applied to relational co-location; plan-pinned in
+    tests/test_plans.py)."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if sf_dir not in _BUCKETED_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        names = (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}")
+        # a prior process may have left the managed-table directories in
+        # the warehouse while THIS process's in-memory catalog has no
+        # such tables — saveAsTable then refuses (LOCATION_ALREADY_EXISTS),
+        # so clear any unregistered leftover location first
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        for name in names:
+            if not spark.catalog.tableExists(name):
+                shutil.rmtree(
+                    os.path.join(warehouse.path, name), ignore_errors=True
+                )
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(names[0])
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(names[1])
+        )
+        _BUCKETED_CACHE[sf_dir] = names
+    return _BUCKETED_CACHE[sf_dir]
+
+
+@register(
+    "join_bucketed_colocated",
+    # integer-exact aggregates only (count; sum of integer-valued
+    # l_quantity doubles), so summation order cannot perturb the hash
+    oracle="""
+SELECT o.o_orderstatus, count(*)::BIGINT AS n_items,
+       sum(l.l_quantity)::DOUBLE AS sum_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+    tags=("relational", "join", "bucketing", "layout"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-fact join via bucketed layouts. In the 100 TB
+    regime — both sides over the broadcast threshold, which the plan
+    test forces with autoBroadcastJoinThreshold=-1 — the join runs as a
+    SortMergeJoin with ZERO Exchange: the bucket metadata satisfies the
+    hash-distribution requirement on both sides, so neither fact table
+    is ever shuffled. At toy SF Catalyst rightly broadcasts the small
+    side instead; either way the oracle states plain join semantics —
+    the layout changes the PLAN, never the answer."""
+    t_orders, t_lineitem = get_bucketed_order_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )

@@ -87,7 +87,14 @@ def load_knowledge_csv(
             F.length("content") >= min_content_length
         )
     # The reference falls back to examples when the CSV has no usable rows.
-    if out.limit(1).count() == 0:
+    # Materialize before the emptiness probe so the clean+filter pipeline
+    # runs ONCE: the probe reads the snapshot, and so does every
+    # downstream consumer (previously the probe was its own throwaway
+    # limit(1) job through the full pipeline). Knowledge-base CSVs are
+    # small by contract (the reference's are KB-sized), so snapshotting
+    # them in executor storage is the right trade.
+    out = out.localCheckpoint(eager=True)
+    if not out.head(1):
         return example_data(spark)
     return out
 

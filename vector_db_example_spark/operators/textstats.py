@@ -95,3 +95,83 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality_score", quality_score(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained bigram LM
+    (the KenLM-shaped filter of CCNet/Gopher-era pipelines, closed-form):
+    add-one-smoothed bigram probabilities P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V)
+    trained on the WHOLE corpus in one pass, then each document scored by
+    its average token-transition log-probability. Low scores flag
+    improbable token streams (boilerplate, garbled extraction, wrong-
+    language residue).
+
+    Returns (id_col, n_bigrams, avg_logp) for every doc with ≥2 tokens;
+    ``avg_logp`` is UNROUNDED (callers round at the edge).
+
+    Determinism: counts and V are integer-exact; each doc's per-position
+    log terms are summed in POSITION order via a sorted-struct fold
+    (collect_list order is nondeterministic under shuffle — sorting by
+    position pins the float fold so the oracle hash-matches); `ln`
+    bit-parity with DuckDB is already proven by every BM25 oracle.
+
+    Scale shape: one tokenize pass; the bigram/context count tables are
+    vocabulary-sized (tiny vs corpus) and BROADCAST back — the corpus is
+    never shuffled; per-doc reassembly shuffles one (pos, logp) row per
+    token, the same cost class as any tokenize-explode aggregation.
+    """
+    toks = extract_tokens(F.col(text_col))
+    bigram_structs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    rows = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(bigram_structs).alias("bg"))
+        .select(
+            id_col,
+            F.col("bg.pos").alias("pos"),
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+    )
+    bg_counts = rows.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c_bg")
+    )
+    ctx_counts = rows.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("c_ctx")
+    )
+    vocab = docs.select(
+        F.explode(extract_tokens(F.col(text_col))).alias("t")
+    ).agg(F.count_distinct("t").cast("double").alias("v"))
+
+    scored = (
+        rows.join(F.broadcast(bg_counts), ["w1", "w2"])
+        .join(F.broadcast(ctx_counts), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("c_bg") + F.lit(1.0)) / (F.col("c_ctx") + F.col("v"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["logp"],
+        ).alias("sum_logp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        (F.col("sum_logp") / F.col("n_bigrams").cast("double")).alias("avg_logp"),
+    )

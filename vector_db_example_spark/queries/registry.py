@@ -39,6 +39,7 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "text_phrase_search",
     "dedup_semantic_prune",
     "join_bucketed_colocated",
+    "text_bigram_lm_quality",
     # registered but never surfaced (zero driver rows)
     "dedup_ngram_containment",
     "vector_late_interaction_layout_topk",
@@ -59,7 +60,6 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "pipeline_ingest_jsonl",
     "pipeline_train_test_split",
     "setop_part_brands",
-    "text_bigram_top_counts",
     "text_chunk_token_windows",
     "text_stats_full",
     "tpch_q3_shipping_priority",
@@ -159,6 +159,10 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # nlist=1, same oracle pattern) is surfaced — yields its slot to
         # the zero-row join_bucketed_colocated per the zero-row-first rule
         "vector_range_self_join",
+        # 1-green (r01): its bigram explode/count machinery is strictly
+        # subsumed by the surfaced text_bigram_lm_quality (which trains
+        # the LM from those same counts) — zero-row-first rule again
+        "text_bigram_top_counts",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

@@ -826,3 +826,57 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = get_inverted_index(spark, sf_dir)
     return bm25_search_inverted_batch(spark, idx, _BM25_BATCH, k=10)
+
+
+@register(
+    "text_bigram_lm_quality",
+    # full closed-form mirror of operators/textstats.bigram_lm_scores:
+    # integer-exact counts, ln parity (proven by the BM25 oracles), and
+    # the per-doc float fold pinned to POSITION order on both engines
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '{{TOKEN_PATTERN}}') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                i -> {{'pos': i, 'w1': ts[i], 'w2': ts[i+1]}})) AS s
+  FROM tok WHERE len(ts) >= 2
+),
+r AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2 FROM bg),
+bgc AS (SELECT w1, w2, count(*)::DOUBLE AS c_bg FROM r GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*)::DOUBLE AS c_ctx FROM r GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT t)::DOUBLE AS v
+  FROM (SELECT unnest(regexp_extract_all(text, '{{TOKEN_PATTERN}}')) AS t
+        FROM documents)
+),
+s AS (
+  SELECT r.doc_id, r.pos,
+         ln((bgc.c_bg + 1.0) / (ctx.c_ctx + v.v)) AS logp
+  FROM r JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+),
+d AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         list_sum(list(logp ORDER BY pos)) AS sum_logp
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(sum_logp / n_bigrams, 6) AS avg_logp
+FROM d
+""".replace("{TOKEN_PATTERN}", TOKEN_PATTERN),
+    tags=("text", "quality", "lm", "perplexity"),
+)
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scores from a corpus-trained add-one
+    bigram LM (the CCNet/KenLM-shaped filter): every doc's average
+    token-transition log-probability, hash-exact end to end — counts,
+    smoothing, and the position-ordered float fold all mirrored in SQL
+    (operators/textstats.py::bigram_lm_scores for the broadcast-counts
+    scale shape)."""
+    from ..operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_lm_scores(docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    )

@@ -122,7 +122,14 @@ def bigram_lm_scores(
     never shuffled; per-doc reassembly shuffles one (pos, logp) row per
     token, the same cost class as any tokenize-explode aggregation.
     """
-    toks = extract_tokens(F.col(text_col))
+    # materialize the token array ONCE per row: the lambda below indexes
+    # it ~2 positions per element, and a bare extract_tokens subtree
+    # inside the lambda re-runs the regex per element_at — O(tokens)
+    # regex evaluations per doc (measured 10x slower)
+    toks = F.col("__toks")
+    tokenized = docs.select(
+        F.col(id_col), extract_tokens(F.col(text_col)).alias("__toks")
+    )
     bigram_structs = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.struct(
@@ -132,7 +139,7 @@ def bigram_lm_scores(
         ),
     )
     rows = (
-        docs.filter(F.size(toks) >= 2)
+        tokenized.filter(F.size(toks) >= 2)
         .select(F.col(id_col), F.explode(bigram_structs).alias("bg"))
         .select(
             id_col,

@@ -64,13 +64,25 @@ def split_sentences(text: Column | str) -> Column:
 def token_windows(text: Column | str, window: int = 16) -> Column:
     """Fixed-size token-window chunking (array<string> of space-joined
     windows) — the LLM-pipeline chunker for punctuation-free corpora.
-    Pure higher-order expressions: split → sequence → slice."""
-    toks = F.split(F.trim(_c(text)), r"\s+")
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest((n - 1) / window, F.lit(0)).cast("int"))
-    return F.transform(
-        starts,
-        lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+    Pure higher-order expressions: split → sequence → slice. The token
+    array is bound through a one-element outer transform so the
+    per-window lambda indexes a lambda VARIABLE, not the split subtree —
+    lambdas don't CSE outer expressions, and the naive form re-splits
+    the text once per window (see operators/dedup.shingles and
+    SCALING.md for the measured rule)."""
+
+    def per_toks(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(
+            F.lit(0), F.greatest((n - 1) / window, F.lit(0)).cast("int")
+        )
+        return F.transform(
+            starts,
+            lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.trim(_c(text)), r"\s+")), per_toks), 1
     )
 
 

@@ -249,18 +249,27 @@ def refine_pq_codebook(
     ksub = len(codebook)
     cb = [list(cw) for cw in codebook]
     for _ in range(iters):
+        # bind the (expensive) pq_codes expression through a one-element
+        # outer transform: lambdas don't CSE outer subtrees, so
+        # referencing `codes` directly from the per-subspace lambda would
+        # re-run the full encode m times per row (the shingles/bigram
+        # lesson — SCALING.md)
         codes = pq_codes(F.col(vector_col), cb, m)
-        parts = F.inline(
-            F.transform(
+
+        def per_codes(cs):
+            return F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda j: F.struct(
                     j.alias("j"),
-                    F.element_at(codes, j + 1).alias("code"),
+                    F.element_at(cs, j + 1).alias("code"),
                     F.slice(
                         F.col(vector_col).cast("array<double>"), j * dsub + 1, dsub
                     ).alias("sub"),
                 ),
             )
+
+        parts = F.inline(
+            F.element_at(F.transform(F.array(codes), per_codes), 1)
         )
         rows = (
             corpus.select(parts)

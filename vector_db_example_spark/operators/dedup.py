@@ -33,13 +33,22 @@ def _ws_tokens(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct space-joined token k-grams (array<string>). Documents with
-    fewer than k tokens yield their full token string as one shingle."""
-    toks = _ws_tokens(text)
-    n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+    fewer than k tokens yield their full token string as one shingle.
+
+    The token array is BOUND via a single-element outer transform before
+    the per-start lambda indexes it: higher-order functions do not
+    subexpression-eliminate across the lambda boundary, so referencing
+    the raw split subtree from inside the lambda re-tokenizes the text
+    once per shingle — O(tokens²) per doc (measured 11x slower at sf1.0;
+    SCALING.md records the rule)."""
+
+    def per_toks(toks: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        )
+
+    return F.element_at(F.transform(F.array(_ws_tokens(text)), per_toks), 1)
 
 
 def exact_dedup(

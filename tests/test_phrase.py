@@ -1,0 +1,79 @@
+"""Positional-index phrase search: the driver oracle pins one 2-term
+phrase (text_phrase_search); here the operator is checked against a
+brute-force sliding-window count for harder shapes — repeated terms
+(one term filling two phrase slots), 3-term phrases, single-term
+degenerate, and no-match phrases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from vector_db_example_spark.functions.text import extract_tokens
+from vector_db_example_spark.index.inverted import (
+    build_positional_index,
+    phrase_search_positional,
+)
+from vector_db_example_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def positional(spark, tmp_path_factory):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path_factory.mktemp("pos") / "idx")
+    return build_positional_index(docs, path, n_buckets=16)
+
+
+def _brute_counts(spark, phrase):
+    """Sliding-window occurrence count straight off the token arrays."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = len(phrase)
+    toks = F.col("__toks")
+    tokenized = docs.select(
+        "doc_id", extract_tokens(F.col("text")).alias("__toks")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            F.lit(True),
+            lambda acc, j: acc
+            & (
+                F.element_at(toks, (i + j).cast("int"))
+                == F.element_at(F.array(*[F.lit(t) for t in phrase]), (j + 1).cast("int"))
+            ),
+        ),
+    )
+    return {
+        r["doc_id"]: r["n"]
+        for r in tokenized.select(
+            "doc_id", F.size(starts).alias("n")
+        ).collect()
+        if r["n"] > 0
+    }
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        ("table", "hash"),
+        ("table", "table"),          # repeated term: one posting list, two slots
+        ("value", "table", "part"),  # 3-term
+        ("vector",),                 # degenerate single term == tf ranking
+        ("zzzznotaword", "table"),   # no match: empty result
+    ],
+)
+def test_phrase_matches_brute_force(spark, positional, phrase):
+    want = _brute_counts(spark, phrase)
+    got_rows = phrase_search_positional(
+        spark, positional, phrase, k=10_000
+    ).collect()
+    got = {r["doc_id"]: r["phrase_matches"] for r in got_rows}
+    assert got == want, f"phrase {phrase}: {len(got)} vs {len(want)} docs"
+
+
+def test_phrase_empty_raises(spark, positional):
+    with pytest.raises(ValueError):
+        phrase_search_positional(spark, positional, [], k=10)

@@ -77,3 +77,23 @@ def test_phrase_matches_brute_force(spark, positional, phrase):
 def test_phrase_empty_raises(spark, positional):
     with pytest.raises(ValueError):
         phrase_search_positional(spark, positional, [], k=10)
+
+
+def test_positional_append_equals_full_build(spark, tmp_path):
+    """70% build + 30% append must answer phrase queries identically to
+    a full build (positions are per-doc, so appends can't go stale)."""
+    from vector_db_example_spark.index.inverted import (
+        append_to_positional_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    part1 = docs.filter(F.col("doc_id") % 10 < 7)
+    part2 = docs.filter(F.col("doc_id") % 10 >= 7)
+    idx = build_positional_index(part1, str(tmp_path / "incr"), n_buckets=16)
+    append_to_positional_index(idx, part2)
+    full = build_positional_index(docs, str(tmp_path / "full"), n_buckets=16)
+
+    for phrase in [("table", "hash"), ("value", "table", "part")]:
+        got = phrase_search_positional(spark, idx, phrase, k=10_000).collect()
+        want = phrase_search_positional(spark, full, phrase, k=10_000).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -380,6 +380,29 @@ def build_positional_index(
     )
 
 
+def append_to_positional_index(index: InvertedIndex, docs: DataFrame) -> None:
+    """Append documents to the positional layout with no rebuild: their
+    (term, doc, positions) rows land in the same crc32 bucket partitions,
+    so the next phrase query's bucket pruning sees them immediately.
+    There are no side-tables to maintain (phrase matching needs no corpus
+    statistics), which makes the positional layout append-only-trivial;
+    deletes ride the shared tombstone mechanism (``_live`` is applied by
+    ``phrase_search_positional``). Same single-writer assumption as every
+    layout append here."""
+    id_col, text_col = index.id_col, index.text_col
+    tok = docs.select(
+        id_col, F.posexplode(extract_tokens(F.col(text_col))).alias("pos", "term")
+    )
+    (
+        tok.groupBy("term", id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % index.n_buckets)
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(index.postings_path)
+    )
+
+
 def phrase_search_positional(
     spark: SparkSession,
     index: InvertedIndex,

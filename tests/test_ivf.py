@@ -680,3 +680,59 @@ def test_ivf_delete_large_batch_broadcast_path(spark, tmp_path):
         for r in ivf_search(spark, index, qv, k=10, nprobe=8).collect()
     ]
     assert got == want
+
+
+def test_ivf_delete_lazy_tombstones(spark, tmp_path):
+    """Deletion vectors on the IVF layout: after ivf_delete_lazy the
+    victims vanish from searches and bucketed pairs (broadcast anti-join
+    at read), re-deletes are no-ops, compaction folds the tombstones in
+    for real, and a tombstone-free index keeps its join-free scan plan."""
+    from vector_db_example_spark.index.ivf import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_delete_lazy,
+        ivf_search,
+    )
+    from vector_db_example_spark.operators.knn import knn_exact
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = build_ivf_index(emb, path=str(tmp_path / "ivf"), nlist=8)
+
+    # no tombstones yet: the search plan must stay join-free
+    plan = (
+        ivf_search(spark, index, _qvec(spark, 11), k=5, nprobe=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+
+    victims = [7, 11, 123]
+    assert ivf_delete_lazy(spark, index, victims) == len(victims)
+    assert ivf_delete_lazy(spark, index, victims) == 0        # idempotent
+    assert ivf_delete_lazy(spark, index, [999999]) == 0       # unknown id
+
+    qv = _qvec(spark, 7)
+    survivors = emb.filter(~F.col("vec_id").isin(victims))
+    want = [
+        (r.vec_id, round(r.distance, 9))
+        for r in knn_exact(survivors, qv, k=10, score_threshold=None).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.distance, 9))
+        for r in ivf_search(spark, index, qv, k=10, nprobe=8).collect()
+    ]
+    assert got == want
+
+    # compaction folds the deletion vectors in: same answers, no
+    # tombstone sibling, physical rows gone
+    import os
+
+    compacted = compact_ivf_index(spark, index, str(tmp_path / "compact"))
+    assert not os.path.isdir(f"{compacted.path}_tombstones")
+    layout = spark.read.parquet(compacted.path)
+    assert layout.filter(F.col("vec_id").isin(victims)).count() == 0
+    got2 = [
+        (r.vec_id, round(r.distance, 9))
+        for r in ivf_search(spark, compacted, qv, k=10, nprobe=8).collect()
+    ]
+    assert got2 == want

@@ -184,6 +184,59 @@ def build_ivf_index(
     return index
 
 
+def _tombstone_path(index: IVFIndex) -> str:
+    """Sibling directory, NOT a subdirectory: the layout root holds the
+    ``cell_id=`` partition dirs, and Spark's partition discovery would
+    read a stray ``tombstones/`` subdir as (schema-less) data."""
+    return f"{index.path}_tombstones"
+
+
+def _ivf_live(index: IVFIndex, df: DataFrame) -> DataFrame:
+    """Apply deletion vectors: broadcast anti-join against the tombstone
+    sibling table (absent ⇒ identity — the plan is unchanged until the
+    first lazy delete, checked in tests/test_plans.py)."""
+    tomb = _tombstone_path(index)
+    if not os.path.isdir(tomb):
+        return df
+    spark = df.sparkSession
+    return df.join(
+        F.broadcast(spark.read.parquet(tomb)), index.id_col, "left_anti"
+    )
+
+
+def ivf_delete_lazy(spark: SparkSession, index: IVFIndex, ids) -> int:
+    """Delete-by-id as DELETION VECTORS — the O(k) alternative to
+    ``ivf_delete``'s eager per-cell rewrite (same design as the inverted
+    index's tombstones, index/inverted.py): victim ids append to a tiny
+    sibling table; every search/pair/compaction read anti-joins it
+    (broadcast — tombstones are small between compactions); and
+    ``compact_ivf_index`` folds the tombstones in for real, restoring
+    zero read-side cost. Use this when deletes are frequent relative to
+    compactions; use the eager path when they are rare and you want the
+    search plan permanently join-free.
+
+    Idempotent: victims resolve through the LIVE view, so re-deleting a
+    tombstoned id is a no-op. Returns the number of ids newly
+    tombstoned."""
+    ids = [int(i) for i in ids]
+    if not ids:
+        return 0
+    id_col = index.id_col
+    layout = _ivf_live(index, spark.read.parquet(index.path).select(id_col))
+    if len(ids) <= _DELETE_ISIN_MAX:
+        victims = layout.filter(F.col(id_col).isin(ids))
+    else:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} long"
+        ).coalesce(1)
+        victims = layout.join(F.broadcast(ids_df), id_col, "semi")
+    victims = victims.distinct().localCheckpoint(eager=True)
+    n = victims.count()
+    if n:
+        victims.write.mode("append").parquet(_tombstone_path(index))
+    return n
+
+
 def nearest_cells(index: IVFIndex, query_vec, nprobe: int) -> list[int]:
     """Driver-side probe-list computation (nlist × dim is a few KB —
     SURVEY.md §4: no custom Catalyst rule needed, just an IN-filter)."""
@@ -211,7 +264,9 @@ def ivf_search(
     Catalyst pushes it into the parquet reader alongside the partition
     filter — filtering never widens the scan."""
     probe = nearest_cells(index, query_vec, nprobe)
-    corpus = spark.read.parquet(index.path).filter(F.col("cell_id").isin(probe))
+    corpus = _ivf_live(
+        index, spark.read.parquet(index.path).filter(F.col("cell_id").isin(probe))
+    )
     if where is not None:
         corpus = corpus.filter(where)
     return knn_exact(
@@ -264,7 +319,7 @@ def ivf_bucketed_pairs(
     verified with exact L2."""
     from ..functions.vector import l2_distance
 
-    base = spark.read.parquet(index.path)
+    base = _ivf_live(index, spark.read.parquet(index.path))
     a = base.select(
         F.col("cell_id"),
         F.col(index.id_col).alias("a_id"),
@@ -307,8 +362,10 @@ def compact_ivf_index(
     (including appended rows) and write a fresh layout at ``new_path`` —
     write-new-then-swap-pointer, never rewrite a layout in place (readers
     of the old path stay consistent; the Milvus data-node indexing analog,
-    doc/milvus介绍.md:27)."""
-    corpus = spark.read.parquet(index.path).drop("cell_id")
+    doc/milvus介绍.md:27). FOLDS DELETION VECTORS IN: lazily-deleted rows
+    (``ivf_delete_lazy``) are dropped for real, and the fresh layout
+    starts with no tombstone sibling."""
+    corpus = _ivf_live(index, spark.read.parquet(index.path)).drop("cell_id")
     return build_ivf_index(
         corpus,
         path=new_path,
@@ -486,7 +543,10 @@ def ivf_delete(spark: SparkSession, index: IVFIndex, ids) -> int:
     if not ids:
         return 0
     id_col = index.id_col
-    layout = spark.read.parquet(index.path)
+    # victims resolve through the LIVE view so the count excludes rows a
+    # prior ivf_delete_lazy already tombstoned (the rewrite may carry
+    # such rows physically; they stay hidden until compaction)
+    layout = _ivf_live(index, spark.read.parquet(index.path))
     if len(ids) <= _DELETE_ISIN_MAX:
         victims = layout.filter(F.col(id_col).isin(ids)).select(id_col, "cell_id")
         survivor_filter = lambda df: df.filter(~F.col(id_col).isin(ids))  # noqa: E731

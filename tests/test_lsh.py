@@ -181,3 +181,60 @@ def test_lsh_append_immediately_searchable(spark, emb, tmp_path):
     qv = emb.filter(F.col("vec_id") == 400).collect()[0]["embedding"]
     hits = lsh_layout_search(spark, index, qv, k=1, probe_radius=0).collect()
     assert hits[0]["vec_id"] == 400 and round(hits[0]["distance"], 9) == 0.0
+
+
+def test_lsh_delete_rewrites_only_affected_buckets(spark, tmp_path):
+    """Delete-by-id on the LSH layout: victims gone from full-radius
+    (exact) search, every other row kept, unaffected bucket partitions'
+    files untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_db_example_spark.index.lsh import (
+        build_lsh_layout,
+        lsh_delete,
+        lsh_layout_search,
+    )
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = build_lsh_layout(
+        emb, path=str(tmp_path / "lsh"), dim=64, n_planes=6
+    )
+    total = emb.count()
+
+    victims = [7, 42, 123]
+    layout = spark.read.parquet(index.path)
+    victim_buckets = {
+        int(r["bucket"])
+        for r in layout.filter(F.col("vec_id").isin(victims))
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    untouched = next(
+        b
+        for b in range(2**6)
+        if b not in victim_buckets
+        and os.path.isdir(tmp_path / "lsh" / f"bucket={b}")
+    )
+    before_files = sorted(os.listdir(tmp_path / "lsh" / f"bucket={untouched}"))
+
+    n = lsh_delete(spark, index, victims)
+    assert n == len(victims)
+    assert lsh_delete(spark, index, [999999]) == 0
+    after = spark.read.parquet(index.path)
+    assert after.count() == total - len(victims)
+    assert after.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert (
+        sorted(os.listdir(tmp_path / "lsh" / f"bucket={untouched}"))
+        == before_files
+    )
+
+    # full-radius search (== exact cosine) no longer returns a victim
+    qv = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    hits = lsh_layout_search(
+        spark, index, qv, k=5, probe_radius=index.n_planes
+    ).collect()
+    assert all(h["vec_id"] != 7 for h in hits)

@@ -233,3 +233,47 @@ def lsh_layout_search(
         score_threshold=None,
         id_col=index.id_col,
     )
+
+
+def lsh_delete(spark: SparkSession, index: LSHIndex, ids) -> int:
+    """Delete rows by id from the bucket-partitioned layout — the LSH
+    twin of ``ivf_delete``'s eager per-partition rewrite (a vector lives
+    in exactly ONE bucket directory, so a k-id delete rewrites only the
+    affected buckets and every other partition's files stay untouched).
+    Search plans stay join-free afterwards; for frequent deletes prefer
+    the deletion-vector pattern (index/ivf.py::ivf_delete_lazy) ported
+    onto a read-side ``_live`` wrapper. Single-writer assumption as
+    every layout mutation here.
+
+    Returns the number of rows deleted."""
+    import shutil
+    from pathlib import Path
+
+    ids = [int(i) for i in ids]
+    if not ids:
+        return 0
+    id_col = index.id_col
+    layout = spark.read.parquet(index.path)
+    victims = layout.filter(F.col(id_col).isin(ids)).select(id_col, "bucket")
+    buckets = sorted(
+        {int(r["bucket"]) for r in victims.select("bucket").distinct().collect()}
+    )
+    if not buckets:
+        return 0
+    affected = layout.filter(F.col("bucket").isin(buckets))  # partition pruning
+    n_before = affected.count()
+    survivors = (
+        affected.filter(~F.col(id_col).isin(ids)).localCheckpoint(eager=True)
+    )
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(index.path)
+    )
+    remaining = {
+        int(r["bucket"]) for r in survivors.select("bucket").distinct().collect()
+    }
+    for bucket in set(buckets) - remaining:
+        shutil.rmtree(Path(index.path) / f"bucket={bucket}", ignore_errors=True)
+    return n_before - survivors.count()

@@ -313,3 +313,48 @@ def test_connected_components_star_matches_min_label(spark):
     labels = {r.id: r.comp for r in connected_components_star(cdf).collect()}
     assert set(labels) == set(range(301))
     assert set(labels.values()) == {0}
+
+
+def test_corpus_line_dedup_keeps_global_first(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_example_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y"),   # lines: "a..h", "x y"
+            (2, "a b c d e f g h"),       # duplicate of doc 1's first line
+            (3, "x y"),                   # duplicate of doc 1's second line
+            (4, "p q"),                   # unique
+        ],
+        "doc_id bigint, text string",
+    )
+    out = corpus_line_dedup(docs, tokens_per_line=8).collect()
+    survivors = {(r.doc_id, r.line_no, r.line) for r in out}
+    # one survivor per distinct line, and it is the (id, line_no)-first one
+    assert survivors == {
+        (1, 0, "a b c d e f g h"),
+        (1, 1, "x y"),
+        (4, 0, "p q"),
+    }
+
+
+def test_dup_span_stats_fraction_bounds(spark):
+    from vector_db_example_spark.operators.dedup import dup_span_stats
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                     # duplicated verbatim by doc 2
+            (2, base),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13"),  # unique
+            (4, "s1 s2 s3"),               # too short: no 13-token window
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in dup_span_stats(docs, n=13).collect()}
+    assert set(rows) == {1, 2, 3}  # doc 4 has no full window
+    assert rows[1].n_spans == 2 and rows[1].dup_spans == 2
+    assert rows[1].dup_frac == 1.0 and rows[2].dup_frac == 1.0
+    assert rows[3].n_spans == 1 and rows[3].dup_spans == 0
+    assert rows[3].dup_frac == 0.0

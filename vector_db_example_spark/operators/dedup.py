@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import token_windows
+
 
 def _ws_tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
@@ -580,4 +582,94 @@ def semantic_dedup(
     )
     return assigned.join(F.broadcast(dropped), id_col, "left").select(
         id_col, "cluster", F.col("__dropped").isNull().alias("kept")
+    )
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    tokens_per_line: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style GLOBAL duplicate-line removal: split every document into
+    fixed token-window "lines" and keep only the globally-first
+    occurrence of each distinct line — first by document id, then by
+    position within the document (C4 deduplicated its corpus at the
+    line/span level across ALL documents, not per-document; the
+    reference has only the per-result content[:50] dedup,
+    src/app.py:291-299 — this is the corpus-curation generalization).
+
+    Returns surviving ``(id, line_no, line, n_lines)`` rows; callers
+    aggregate kept/total per document or reassemble the cleaned text
+    with ``array_join(collect_list(...))`` ordered by ``line_no``.
+
+    Scale: ONE shuffle, keyed by the line text (short fixed-token
+    strings). The window's per-key ordering is (id, line_no) — global
+    first-occurrence is deterministic under any partitioning, unlike
+    ``dropDuplicates`` whose survivor is arbitrary. At 100 TB the same
+    plan holds: duplicate-line groups are naturally small (heavy hitters
+    like boilerplate headers are the point of the operator), and a
+    pathological single-line skew is exactly the salting case
+    operators/skew.py handles."""
+    lines = docs.select(
+        id_col,
+        F.posexplode(token_windows(F.col(text_col), tokens_per_line)).alias(
+            "line_no", "line"
+        ),
+    )
+    w = Window.partitionBy("line").orderBy(
+        F.col(id_col).asc(), F.col("line_no").asc()
+    )
+    return (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate n-gram SPAN statistics (the detection half of exact
+    substring deduplication, Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — their dedup unit is the
+    50-token span; 13 is the classic contamination n-gram size): every
+    OVERLAPPING n-token window of every document, counted globally; a
+    span position is "duplicated" if its text occurs more than once in
+    the corpus (cross-document boilerplate or within-document
+    repetition). Returns per-document ``(id, n_spans, dup_spans,
+    dup_frac)`` for documents with at least one full window.
+
+    Scale: one narrow map producing (id, span) rows, one shuffle keyed
+    by span for the global count (window aggregate), one per-doc
+    aggregate. No pairwise joins anywhere — the global-count formulation
+    is what makes exact substring-level dedup tractable at 100 TB where
+    pairwise comparison is not."""
+    toks = _ws_tokens(F.col(text_col))
+
+    def per_toks(t: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        return F.transform(starts, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+    spans = docs.filter(F.size(toks) >= n).select(
+        id_col,
+        F.explode(
+            F.element_at(F.transform(F.array(toks), per_toks), 1)
+        ).alias("span"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    return (
+        spans.withColumn("__c", cnt)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__c") > 1).cast("bigint")).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_spans").cast("double") / F.col("n_spans"), 6),
+        )
     )

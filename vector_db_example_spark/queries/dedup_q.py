@@ -611,3 +611,73 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _query_vecs(spark, sf_dir, _SEM_CENTROID_IDS)
     centroids = [vecs[i] for i in sorted(_SEM_CENTROID_IDS)]
     return semantic_dedup(emb, centroids, sim_threshold=0.4)
+
+
+@register(
+    "dedup_line_first_occurrence",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+l AS (
+  SELECT doc_id, i::INTEGER AS line_no,
+         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+  FROM t CROSS JOIN generate_series(0, 100000) AS g(i)
+  WHERE i <= greatest((len(toks) - 1) // 8, 0)
+),
+k AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM l
+)
+SELECT doc_id, line_no, line FROM k WHERE rn = 1
+""",
+    tags=("dedup", "c4", "line-level", "training-data"),
+)
+def dedup_line_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global line dedup: 8-token "lines", keep only the
+    globally-first occurrence of each distinct line (by doc id, then
+    position) — the surviving cleaned corpus. The keep-first policy is
+    itself hash-checked: the window's deterministic (id, line_no) order
+    is what distinguishes this from ``dropDuplicates``' arbitrary
+    survivor (operators/dedup.py::corpus_line_dedup for the one-shuffle
+    scale shape)."""
+    from ..operators.dedup import corpus_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_line_dedup(docs, tokens_per_line=8)
+
+
+@register(
+    "dedup_dup_span_fraction",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, array_to_string(toks[i:(i+12)], ' ') AS span
+  FROM t CROSS JOIN generate_series(1, 100000) AS g(i)
+  WHERE len(toks) >= 13 AND i <= len(toks) - 12
+),
+c AS (
+  SELECT doc_id, span, count(*) OVER (PARTITION BY span) AS cnt FROM s
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
+       round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_frac
+FROM c GROUP BY doc_id
+""",
+    tags=("dedup", "exact-substring", "ngram-span", "training-data"),
+)
+def dedup_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication statistics (Lee et al. 2022):
+    per document, the fraction of overlapping 13-token spans whose text
+    occurs more than once in the whole corpus. The global span count is
+    one window aggregate — no pairwise join — which is the formulation
+    that keeps exact span-level dedup tractable at 100 TB
+    (operators/dedup.py::dup_span_stats)."""
+    from ..operators.dedup import dup_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_stats(docs, n=13)

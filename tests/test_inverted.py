@@ -250,3 +250,41 @@ def test_batch_bm25_equals_per_query(spark, tmp_path):
             for r in bm25_search_inverted(spark, idx, terms, k=10).collect()
         ]
         assert got[qid] == want, f"query {qid} diverged"
+
+
+def test_merge_segments_equals_full_build(spark, tmp_path):
+    """Three disjoint segments with different bucket counts, one carrying
+    a replayed append (duplicate posting/doclen rows + double-bumped
+    stats) and one a tombstoned doc: the merge must score exactly like a
+    fresh build on the union of live docs — replay healed, tombstones
+    folded, buckets recomputed for the output layout."""
+    from vector_db_example_spark.index.inverted import (
+        delete_from_inverted_index,
+        merge_inverted_indexes,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    segs = []
+    for i, nb in enumerate((16, 8, 4)):
+        segs.append(
+            build_inverted_index(
+                docs.filter(F.col("doc_id") % 3 == i),
+                str(tmp_path / f"seg{i}"),
+                n_buckets=nb,
+            )
+        )
+    # replay: re-append a slice of segment 0's own docs (crash-window shape)
+    replay = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 30))
+    append_to_inverted_index(segs[0], replay)
+    # tombstone one live doc in segment 1
+    victim = docs.filter(F.col("doc_id") % 3 == 1).select(F.min("doc_id")).collect()[0][0]
+    delete_from_inverted_index(segs[1], [victim])
+
+    merged = merge_inverted_indexes(spark, segs, str(tmp_path / "merged"), n_buckets=16)
+    fresh = build_inverted_index(
+        docs.filter(F.col("doc_id") != victim), str(tmp_path / "fresh"), n_buckets=16
+    )
+    terms = ("vector", "stream", "window")
+    got = bm25_search_inverted(spark, merged, terms, k=10).collect()
+    want = bm25_search_inverted(spark, fresh, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

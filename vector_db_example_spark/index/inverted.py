@@ -545,3 +545,84 @@ def bm25_search_inverted_batch(
         .filter(F.col("rk") <= k)
         .select("query_id", id_col, "bm25")
     )
+
+
+def merge_inverted_indexes(
+    spark: SparkSession,
+    segments: Sequence[InvertedIndex],
+    new_path: str,
+    n_buckets: int | None = None,
+) -> InvertedIndex:
+    """Merge independently built index SEGMENTS into one layout — the
+    LSM-style maintenance step for segmented ingest at 100 TB, where
+    each arrival window (a day of crawl, a shard of a backfill) is
+    indexed as its own segment in parallel and merged off the hot path.
+
+    Contract: segment document sets are DISJOINT (the engine has no
+    doc-update op, and an id lives in exactly one segment — same
+    single-owner rule as the IVF layout). Each segment's deletion
+    vectors are folded in on read, so the merged layout starts
+    tombstone-free; per-segment replay duplicates collapse under the
+    same max(tf)/max(__dl) rule as compaction; and the stats row is
+    recomputed from the merged doclens. The result is bit-identical to
+    a fresh build over the union of the segments' live documents
+    (hash-checked by the text_inverted_merge_parity driver query).
+
+    One shuffle over the unioned postings (the term-bucket groupBy,
+    which also re-buckets when segments disagree on ``n_buckets`` or a
+    different output ``n_buckets`` is requested), one over doclens.
+    Write-new-then-swap like compaction: readers of the source segments
+    stay consistent; the caller swaps the serving pointer.
+    """
+    if not segments:
+        raise ValueError("segments must be non-empty")
+    first = segments[0]
+    for seg in segments[1:]:
+        if seg.id_col != first.id_col or seg.text_col != first.text_col:
+            raise ValueError(
+                "segments disagree on id_col/text_col — merging indexes built "
+                "over different document shapes is a rebuild, not a merge"
+            )
+    out_buckets = int(n_buckets or first.n_buckets)
+    id_col = first.id_col
+
+    posts = None
+    for seg in segments:
+        p = _live(seg, spark.read.parquet(seg.postings_path)).select(
+            "term", id_col, "tf"
+        )
+        posts = p if posts is None else posts.unionByName(p)
+    (
+        posts.groupBy("term", id_col)
+        .agg(F.max("tf").alias("tf"))
+        .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % out_buckets)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{new_path}/postings")
+    )
+
+    lens = None
+    for seg in segments:
+        d = _live(seg, spark.read.parquet(seg.doclens_path))
+        lens = d if lens is None else lens.unionByName(d)
+    (
+        lens.groupBy(id_col)
+        .agg(F.max("__dl").alias("__dl"))
+        .write.mode("overwrite")
+        .parquet(f"{new_path}/doclens")
+    )
+    (
+        spark.read.parquet(f"{new_path}/doclens")
+        .select(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.coalesce(F.sum("__dl"), F.lit(0)).cast("double").alias("__tot"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{new_path}/stats")
+    )
+    return InvertedIndex(
+        path=new_path,
+        n_buckets=out_buckets,
+        id_col=id_col,
+        text_col=first.text_col,
+    )

@@ -519,3 +519,35 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..index.hypertable import hypertable_report
 
     return hypertable_report(spark, ht, tail_from="2024-01-25")
+
+
+@register(
+    "events_exact_quantiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.95) AS p95
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "quantiles", "aggregation"),
+)
+def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type quantiles — the hash-checkable anchor for the
+    quantile family whose scale path is the rows-only
+    ``events_approx_quantiles`` (approx_percentile/KLL sketch, merge-
+    able, one pass): both engines implement type-7 linear interpolation
+    (pos = p·(n-1), lower + frac·(upper-lower)) over sorted doubles, so
+    the values are bit-identical with NO rounding. Exact percentile
+    requires a per-group sort — fine for bounded group cardinality like
+    event types, and exactly the cost the sketch family exists to avoid
+    on unbounded groups at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.percentile("value", 0.95).alias("p95"),
+    )

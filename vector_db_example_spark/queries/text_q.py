@@ -880,3 +880,53 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
     )
+
+
+@register(
+    "text_inverted_merge_parity",
+    oracle=f"""
+WITH {{ctes}}
+SELECT doc_id, round(bm25, 6) AS bm25
+FROM bm25_scored
+ORDER BY round(bm25, 6) DESC, doc_id ASC
+LIMIT 10
+""".format(ctes=_bm25_oracle_ctes(where="WHERE doc_id <> 259")),
+    tags=("text", "bm25", "inverted-index", "maintenance", "segment-merge"),
+)
+def text_inverted_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM-style SEGMENT MERGE, hash-checked: the corpus is indexed as
+    three independent segments (disjoint thirds, deliberately built with
+    DIFFERENT bucket counts: 64/32/16), one segment takes a
+    tombstone-delete of doc 259 (a doc in the undeleted top-10, so the
+    delete visibly changes the answer), then the segments merge into one
+    64-bucket layout. BM25 top-10 from the merged layout must equal the
+    clean full-scan SQL over the live corpus — the invariant that lets
+    segmented parallel ingest + off-path merging serve exact answers at
+    100 TB (index/inverted.py::merge_inverted_indexes: re-bucketing,
+    tombstone folding and stats recompute are all under test here)."""
+    import hashlib
+    import shutil
+
+    from ..index.inverted import (
+        build_inverted_index,
+        bm25_search_inverted,
+        delete_from_inverted_index,
+        merge_inverted_indexes,
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|segmerge".encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_invmerge_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = []
+    for i, nb in enumerate((64, 32, 16)):
+        segs.append(
+            build_inverted_index(
+                docs.filter(F.col("doc_id") % 3 == i), f"{base}/seg{i}", n_buckets=nb
+            )
+        )
+    # doc 259 ≡ 1 (mod 3) lives in segment 1; delete it there
+    delete_from_inverted_index(segs[1], [259])
+    merged = merge_inverted_indexes(spark, segs, f"{base}/merged", n_buckets=64)
+    return bm25_search_inverted(spark, merged, _BM25_TERMS, k=10)

@@ -358,3 +358,32 @@ def test_dup_span_stats_fraction_bounds(spark):
     assert rows[1].dup_frac == 1.0 and rows[2].dup_frac == 1.0
     assert rows[3].n_spans == 1 and rows[3].dup_spans == 0
     assert rows[3].dup_frac == 0.0
+
+
+def test_knn_batch_arrow_equals_expr_both_metrics(spark):
+    """The Arrow distance kernel must be BIT-identical to the Catalyst
+    zip_with/aggregate expression for l2 and cosine (same left-to-right
+    fold over dimensions) — ranks, distances and payload columns all
+    equal, including per-query metadata ride-through."""
+    from vector_db_example_spark.operators.knn import knn_batch
+    from vector_db_example_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            (F.col("vec_id") * 10).alias("tag"),  # metadata ride-through
+        )
+    )
+    for metric in ("l2", "cosine"):
+        a = knn_batch(emb, queries, k=5, metric=metric, impl="expr")
+        b = knn_batch(emb, queries, k=5, metric=metric, impl="arrow")
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns)
+        ra = sorted(tuple(r) for r in a.select(*cols).collect())
+        rb = sorted(tuple(r) for r in b.select(*cols).collect())
+        assert ra == rb, f"metric={metric}"

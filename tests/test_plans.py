@@ -123,14 +123,16 @@ def test_no_python_in_relational_paths(spark, name):
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_ivf_batch_prunes_and_broadcasts(spark):
-    """Batched IVF: one partition-pruned scan (union of probe cells) +
-    broadcast of the tiny (query, cell) pair table and query vectors —
-    no shuffle of the corpus whatsoever."""
+def test_ivf_batch_prunes_and_stays_narrow(spark):
+    """Batched IVF: one partition-pruned scan (union of probe cells)
+    feeding the Arrow distance kernel (probe map + query matrix ride the
+    UDF closure — no join at all on the corpus side), then only the
+    narrow (query_id, id, distance) rows reach the rank window. The
+    corpus is never hash-shuffled."""
     plan = _plan(QUERIES["vector_ivf_batch_topk"].fn(spark, SF_SMOKE), execute=True)
     scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scans and any("cell_id" in ln for ln in scans)
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
     corpus_shuffles = [
         ln for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln and "query_id" not in ln
@@ -318,3 +320,19 @@ def test_bucketed_join_needs_no_exchange(spark):
         assert "Exchange" not in plan, plan[:1200]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_line_dedup_single_exchange(spark):
+    """Corpus-global line dedup is ONE shuffle (the line-keyed window);
+    no second Exchange sneaks in between explode and survivor filter."""
+    plan = _plan(QUERIES["dedup_line_first_occurrence"].fn(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_dup_span_two_exchanges_no_join(spark):
+    """Span stats = global count window (shuffle on span) + per-doc agg
+    (shuffle on doc) — exactly two Exchanges and NO join anywhere: the
+    window-count formulation must not degenerate into a self-join."""
+    plan = _plan(QUERIES["dedup_dup_span_fraction"].fn(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan

@@ -487,27 +487,68 @@ def ivf_search_batch(
     (SURVEY.md §4) instead of N sequential searches."""
     from pyspark.sql import Window
 
-    from ..functions.vector import l2_distance, score_from_distance
+    from ..functions.vector import score_from_distance
 
     probe_rows = []
-    qvec_rows = []
+    qid_list: list[int] = []
+    qvec_list: list[np.ndarray] = []
     for qid, vec in queries:
-        qvec_rows.append((qid, [float(x) for x in vec]))
+        qid_list.append(int(qid))
+        qvec_list.append(np.asarray([float(x) for x in vec], dtype=np.float64))
         for cell in nearest_cells(index, vec, nprobe):
             probe_rows.append((qid, cell))
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell_id int")
-    qvecs = spark.createDataFrame(qvec_rows, "query_id long, query_vec array<float>")
     all_cells = sorted({c for _, c in probe_rows})
+    # cell → positions of the queries probing it (tiny; rides the UDF
+    # closure like the centroid matrix does in cell_assigner)
+    qpos = {q: i for i, q in enumerate(qid_list)}
+    cell_queries: dict[int, list[int]] = {}
+    for qid, cell in probe_rows:
+        cell_queries.setdefault(int(cell), []).append(qpos[qid])
+    Q = np.vstack(qvec_list)
+    dim = Q.shape[1]
+    qids_arr = np.asarray(qid_list, dtype=np.int64)
 
+    id_col, vector_col = index.id_col, index.vector_col
     corpus = spark.read.parquet(index.path).filter(F.col("cell_id").isin(all_cells))
-    cand = (
-        corpus.join(F.broadcast(probes), "cell_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .withColumn(
-            "distance", l2_distance(F.col(index.vector_col), F.col("query_vec"))
-        )
-        .withColumn("score", score_from_distance("distance"))
-    )
+
+    # Distance block as an Arrow kernel (NOT a zip_with expression —
+    # higher-order lambdas are interpreted per element; SCALING.md
+    # round-4 rule). Left-to-right fold over dimensions keeps the double
+    # bit-identical to the expression form, so the exact-parity oracles
+    # (nprobe=nlist ⇒ exact) stay hash-green.
+    def _distances(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell_id"].to_numpy()
+            for cell in np.unique(cells):
+                qi = cell_queries.get(int(cell))
+                if not qi:
+                    continue
+                mask = cells == cell
+                Xc = X[mask]
+                Qc = Q[qi]
+                acc = np.zeros((Xc.shape[0], Qc.shape[0]))
+                for j in range(dim):
+                    diff = Xc[:, j][:, None] - Qc[:, j][None, :]
+                    acc += diff * diff
+                D = np.sqrt(acc)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(qids_arr[qi], Xc.shape[0]),
+                        id_col: ids[mask].repeat(len(qi)),
+                        "distance": D.ravel(),
+                    }
+                )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    cand = corpus.select("cell_id", id_col, vector_col).mapInPandas(
+        _distances, f"query_id long, `{id_col}` {id_type}, distance double"
+    ).withColumn("score", score_from_distance("distance"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col(index.id_col).asc()
     )

@@ -89,26 +89,156 @@ def knn_batch(
     score_threshold: float | None = None,
     metric: str = "l2",
     id_col: str = "vec_id",
+    impl: str = "arrow",
+    with_payload: bool = True,
 ) -> DataFrame:
     """Per-query top-k for a (small) DataFrame of query vectors.
 
     ``queries`` must have ``query_id_col`` and ``query_vector_col``; any
-    OTHER query columns ride along through the broadcast and appear in
-    the output (so callers with per-query metadata — priority, fetch
-    size, labels — never need a second join against the query table,
-    which would broadcast it twice); their names must not collide with
-    corpus columns. The query side is broadcast → a
-    single corpus scan computes all distances; ``row_number`` over
-    (query, distance) keeps k per query.
+    OTHER query columns ride along and appear in the output (so callers
+    with per-query metadata — priority, fetch size, labels — never need
+    a second join against the query table); their names must not collide
+    with corpus columns. One corpus scan computes all distances;
+    ``row_number`` over (query, distance) keeps k per query.
+
+    ``impl="arrow"`` (default) computes the n×q distance block as an
+    Arrow-batched numpy kernel inside ``mapInPandas``: higher-order
+    Catalyst lambdas (zip_with/aggregate) are INTERPRETED, not
+    codegen'd, so the expression form pays per-element object overhead
+    × n × q — measured 3-4× slower than the Arrow kernel at 50k×12
+    (SCALING.md). The kernel folds dimensions left-to-right in float64
+    exactly like the expression (one vectorized op per dimension), so
+    distances are BIT-IDENTICAL and every oracle stays hash-exact. Only
+    (id, vector) crosses the Python boundary; payload columns are
+    joined back for the ≤ q·k winners only, so the top-k shuffle and
+    sort carry narrow rows no matter how wide the corpus is.
+    ``impl="expr"`` keeps the pure-Catalyst broadcast-crossJoin form
+    (zero Python — the right choice for tiny corpora or UDF-free
+    environments: the Arrow path carries ~1 s of fixed cost — query
+    collect, Python workers, payload join — that only amortizes once
+    the corpus×queries product is large; SCALING.md has the crossover
+    measurements).
+
+    ``with_payload=False`` returns ids/distances/ranks only (plus query
+    metadata) — the two-phase retrieval shape: at 100 TB you fetch
+    winning documents by key afterwards instead of dragging payload
+    columns through the search.
     """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if impl == "expr":
+        return _knn_batch_expr(
+            corpus, queries, k, vector_col, query_vector_col, query_id_col,
+            score_threshold, metric, id_col, with_payload,
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, query_vector_col).collect()
+    if not qrows:  # empty query set: empty result, same schema either way
+        return _knn_batch_expr(
+            corpus, queries, k, vector_col, query_vector_col, query_id_col,
+            score_threshold, metric, id_col, with_payload,
+        )
+    qids = np.asarray([r[0] for r in qrows])  # emitted directly per row
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    nq, dim = Q.shape
+    # query-side norms for cosine, dimension-ordered fold (matches l2_norm)
+    qn = np.zeros(nq)
+    for j in range(dim):
+        qn += Q[:, j] * Q[:, j]
+    qnorm = np.sqrt(qn)
+    is_l2 = metric == "l2"
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{query_id_col}` {qid_type}, `{id_col}` {id_type}, distance double"
+    )
+
+    def _distances(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            n = X.shape[0]
+            if is_l2:
+                acc = np.zeros((n, nq))
+                for j in range(dim):  # left-to-right over dims == zip_with fold
+                    diff = X[:, j][:, None] - Q[:, j][None, :]
+                    acc += diff * diff
+                D = np.sqrt(acc)
+            else:
+                dot = np.zeros((n, nq))
+                xn = np.zeros(n)
+                for j in range(dim):
+                    dot += X[:, j][:, None] * Q[:, j][None, :]
+                    xn += X[:, j] * X[:, j]
+                D = 1.0 - dot / (np.sqrt(xn)[:, None] * qnorm[None, :])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(qids, n),
+                    id_col: pdf[id_col].to_numpy().repeat(nq),
+                    "distance": D.ravel(),
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vector_col)
+        .mapInPandas(_distances, out_schema)
+        .withColumn("score", score_from_distance("distance"))
+    )
+    meta = queries.drop(query_vector_col)
+    if set(meta.columns) != {query_id_col}:
+        scored = scored.join(F.broadcast(meta), query_id_col)
+    if score_threshold is not None:
+        scored = scored.filter(F.col("score") >= F.lit(score_threshold))
+    order = [F.col("distance").asc(), F.col(id_col).asc()]
+    # two-phase top-k: partition-local k first, so the per-query sort
+    # never sees more than (#partitions × k) rows per query
+    w1 = Window.partitionBy(query_id_col, "__pid").orderBy(*order)
+    cand = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__pid", "__r1")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    top = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if not with_payload:
+        # ids-only results — the two-phase retrieval shape (fetch
+        # payload later by key); also skips a corpus scan for callers
+        # that never read the document columns
+        return top
+    # payload join-back: winners are ≤ q·k rows — join them (broadcast,
+    # tiny) against the corpus instead of shuffling payload columns for
+    # every (row, query) candidate
+    return F.broadcast(top).join(corpus, id_col)
+
+
+def _knn_batch_expr(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vector_col: str,
+    query_vector_col: str,
+    query_id_col: str,
+    score_threshold: float | None,
+    metric: str,
+    id_col: str,
+    with_payload: bool = True,
+) -> DataFrame:
     q = F.broadcast(queries)
     joined = corpus.crossJoin(q)
     if metric == "l2":
         dist = l2_distance(F.col(vector_col), F.col(query_vector_col))
-    elif metric == "cosine":
-        dist = F.lit(1.0) - cosine_similarity(F.col(vector_col), F.col(query_vector_col))
     else:
-        raise ValueError(f"unknown metric {metric!r}")
+        dist = F.lit(1.0) - cosine_similarity(F.col(vector_col), F.col(query_vector_col))
     scored = (
         joined.withColumn("distance", dist)
         .withColumn("score", score_from_distance("distance"))
@@ -119,10 +249,13 @@ def knn_batch(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("distance").asc(), F.col(id_col).asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
+    if not with_payload:
+        payload = [c for c in corpus.columns if c != id_col]
+        out = out.drop(*payload)
+    return out
 
 
 def similarity_self_join(

@@ -108,9 +108,11 @@ FROM d WHERE rank <= 5
 )
 def vector_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF search, nprobe=nlist (exact identity): three queries
-    share ONE pruned scan (probe union + broadcast pair table + per-query
-    rank window) — the amortized production shape. With nprobe=nlist it
-    must equal the brute-force per-query top-k, which the oracle states."""
+    share ONE pruned scan feeding the Arrow distance kernel (probe map
+    and query matrix in the UDF closure; dimension-ordered fold, so the
+    doubles match the SQL bit-for-bit), then a per-query rank window —
+    the amortized production shape. With nprobe=nlist it must equal the
+    brute-force per-query top-k, which the oracle states."""
     index = get_ivf_index(spark, sf_dir, nlist=16)
     qids = (3, 11, 23)
     vecs = _query_vecs(spark, sf_dir, qids)  # one collect, not three

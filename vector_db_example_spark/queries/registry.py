@@ -163,6 +163,15 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # subsumed by the surfaced text_bigram_lm_quality (which trains
         # the LM from those same counts) — zero-row-first rule again
         "text_bigram_top_counts",
+        # --- registered mid-round-4, AFTER the round-4 surface was
+        # rotated and full: held out so the surface stays within the
+        # driver's ~50-entry window; zero-row, so they go to the FRONT
+        # of DRIVER_CRITICAL at the round-5 rotation. All four are
+        # oracle-green locally (tests/test_oracle_parity.py) ---
+        "dedup_line_first_occurrence",
+        "dedup_dup_span_fraction",
+        "text_inverted_merge_parity",
+        "events_exact_quantiles",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

@@ -137,7 +137,7 @@ def vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    hits = knn_batch(emb, queries, k=3)
+    hits = knn_batch(emb, queries, k=3, with_payload=False)
     return hits.select(
         "query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank"
     )

@@ -387,3 +387,59 @@ def test_knn_batch_arrow_equals_expr_both_metrics(spark):
         ra = sorted(tuple(r) for r in a.select(*cols).collect())
         rb = sorted(tuple(r) for r in b.select(*cols).collect())
         assert ra == rb, f"metric={metric}"
+
+
+def test_bpe_train_classic_example():
+    """The BPE paper's worked example: {'low':5, 'lower':2, 'newest':6,
+    'widest':3}. First merges must pair the most frequent adjacent
+    symbols: ('e','s') count 9, then ('es','t') 9, then ('est','</w>')
+    9, then ('l','o') 7, ('lo','w') 7 — the canonical sequence."""
+    from vector_db_example_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        num_merges=5,
+    )
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+
+def test_bpe_encode_roundtrip_and_determinism(spark):
+    """Encoding the training corpus must (a) concatenate back to the
+    original words (merges never cross `</w>`), and (b) be identical
+    whether segmented by the greedy encoder or by replaying training —
+    plus the Spark query's merge table must be reproducible."""
+    from vector_db_example_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_encoder,
+        bpe_segment_word,
+        bpe_train,
+        word_frequencies,
+    )
+    from vector_db_example_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    freqs = [(r["word"], r["freq"]) for r in word_frequencies(docs).collect()]
+    merges = bpe_train(sorted(freqs), num_merges=30)
+    assert merges == bpe_train(sorted(freqs), num_merges=30)  # deterministic
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for word, _ in freqs[:50]:
+        seg = bpe_segment_word(word, ranks)
+        assert "".join(seg) == word + END_OF_WORD  # lossless
+
+    enc = bpe_encoder(merges)
+    row = (
+        docs.limit(5)
+        .select("doc_id", enc(F.col("text")).alias("toks"), "text")
+        .collect()
+    )
+    for r in row:
+        joined = "".join(r["toks"]).replace(END_OF_WORD, " ").strip()
+        assert joined == " ".join(str(r["text"]).split())

@@ -551,3 +551,49 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.75).alias("p75"),
         F.percentile("value", 0.95).alias("p95"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH u AS (
+  SELECT user_id, min(ts::DATE) AS cohort_date,
+         list(DISTINCT ts::DATE) AS days
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+       (d - cohort_date)::INTEGER AS day_offset,
+       count(DISTINCT user_id)::BIGINT AS active_users
+FROM u CROSS JOIN unnest(days) AS t(d)
+GROUP BY 1, 2
+""",
+    tags=("events", "retention", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-activity
+    day, counted on each later active day as an offset from their cohort.
+    Shaped for scale as TWO shuffles and NO join: one user-keyed groupBy
+    computes the cohort date AND the distinct active-day set together
+    (collect_set is bounded by the calendar, not the event count), then
+    the exploded (cohort, offset) pairs aggregate. The obvious
+    first-activity-table-joined-back-to-events form would shuffle the
+    raw event log twice and join it — strictly worse at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(
+            F.min("d").alias("cohort_date"),
+            F.collect_set("d").alias("days"),
+        )
+    )
+    return (
+        per_user.select(
+            "user_id", "cohort_date", F.explode("days").alias("d")
+        )
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

@@ -172,6 +172,8 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "dedup_dup_span_fraction",
         "text_inverted_merge_parity",
         "events_exact_quantiles",
+        "events_retention_cohorts",
+        "text_bpe_vocab_merges",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

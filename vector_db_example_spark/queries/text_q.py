@@ -930,3 +930,31 @@ def text_inverted_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_from_inverted_index(segs[1], [259])
     merged = merge_inverted_indexes(spark, segs, f"{base}/merged", n_buckets=64)
     return bm25_search_inverted(spark, merged, _BM25_TERMS, k=10)
+
+
+@register(
+    "text_bpe_vocab_merges",
+    # A sequential merge loop (merge i+1 counts pairs that only exist
+    # after merge i) has no SQL encoding — rows-only for the driver;
+    # tests/test_operators.py pins the paper's classic example and the
+    # roundtrip/determinism invariants.
+    oracle=None,
+    tags=("text", "bpe", "tokenizer", "training-data"),
+)
+def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training over the corpus: ONE Spark pass reduces
+    the documents to a word-frequency table (the only corpus-scale
+    stage), then the classic Sennrich merge loop runs driver-side over
+    that vocabulary-sized dict (operators/bpe.py — the same two-tier
+    shape HuggingFace/SentencePiece trainers use). Returns the ordered
+    merge table (rank, left, right) — deterministic: frequency desc,
+    lexicographic tiebreak."""
+    from ..operators.bpe import bpe_train, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = [(r["word"], r["freq"]) for r in word_frequencies(docs).collect()]
+    merges = bpe_train(sorted(freqs), num_merges=50)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )

@@ -116,3 +116,49 @@ def test_jaccard_threshold_monotone(spark, rows, radius):
     hi = {(r.a_id, r.b_id) for r in hi_pairs}
     assert hi <= lo
     assert all(r.jaccard >= radius - 1e-9 for r in hi_pairs)
+
+
+@PROP
+@given(rows=st.lists(texts, min_size=1, max_size=10))
+def test_corpus_line_dedup_idempotent_and_distinct(spark, rows):
+    """Survivor lines are globally distinct, and re-running line dedup on
+    the reassembled survivor corpus changes nothing (idempotence)."""
+    from vector_db_example_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+    out = corpus_line_dedup(docs, tokens_per_line=4)
+    lines = [r["line"] for r in out.collect()]
+    assert len(lines) == len(set(lines))  # globally distinct
+
+    rebuilt = (
+        out.groupBy("doc_id")
+        .agg(F.array_join(F.sort_array(F.collect_list(F.struct("line_no", "line"))).getField("line"), " ").alias("text"))
+    )
+    again = corpus_line_dedup(rebuilt, tokens_per_line=4)
+    a = sorted((r["doc_id"], r["line"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["line"]) for r in again.collect())
+    assert a == b
+
+
+@PROP
+@given(rows=st.lists(texts, min_size=1, max_size=8))
+def test_dup_span_fraction_bounds_and_symmetry(spark, rows):
+    """0 ≤ dup_frac ≤ 1; duplicating the whole corpus drives every doc's
+    dup_frac to exactly 1.0 (each span now occurs at least twice)."""
+    from vector_db_example_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+    base = dup_span_stats(docs, n=3).collect()
+    for r in base:
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert r["dup_spans"] <= r["n_spans"]
+
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    for r in dup_span_stats(doubled, n=3).collect():
+        assert r["dup_frac"] == 1.0

@@ -226,3 +226,59 @@ def multimodal_audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFra
         "peak",
         "zero_crossings",
     )
+
+
+@register(
+    "multimodal_image_feature_knn",
+    # ASCII corpus ⇒ byte == ord(char), so the SQL histogram equals the
+    # numpy one bit-for-bit (incl. each mass's float32 rounding), and the
+    # L2 fold is the shared element-ordered double sum.
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, string_split(text, '') AS cs
+  FROM documents WHERE doc_id % 3 = 0
+),
+feat AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           b -> (len(list_filter(cs, ch -> ord(ch) // 16 = b))::DOUBLE
+                   / len(cs))::FLOAT) AS fv
+  FROM chars
+),
+q AS (SELECT fv AS qv FROM feat WHERE doc_id = 0),
+d AS (
+  SELECT f.doc_id,
+         sqrt(list_sum(list_transform(range(1, 17),
+           i -> (f.fv[i]::DOUBLE - q.qv[i]::DOUBLE)
+              * (f.fv[i]::DOUBLE - q.qv[i]::DOUBLE)))) AS dist
+  FROM feat f CROSS JOIN q
+)
+SELECT doc_id, round(dist, 6) AS distance
+FROM d ORDER BY dist ASC, doc_id ASC LIMIT 10
+""",
+    tags=("multimodal", "features", "knn", "cross-modal"),
+)
+def multimodal_image_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image similarity search over EXTRACTED features — the multimodal
+    retrieval composition: decode-stand-in feature vectors (16-bin byte
+    histogram, Arrow-batched) feed the exact k-NN operator, media-type
+    filter pruning non-images BEFORE the feature UDF. This is the
+    pipeline shape of real image dedup/search (CLIP embedding → ANN); at
+    100 TB the feature pass is materialized once as a layout (like
+    `embeddings`) and served by the IVF/LSH machinery — inlined here so
+    the driver query is self-contained."""
+    from ..operators.knn import knn_exact
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    imgs = media.filter(F.col("media_type") == "image")
+    feats = extract_byte_histogram(imgs, n_bins=16).select("doc_id", "features")
+    qv = feats.filter(F.col("doc_id") == 0).collect()[0]["features"]
+    hits = knn_exact(
+        feats,
+        [float(x) for x in qv],
+        k=10,
+        vector_col="features",
+        id_col="doc_id",
+        score_threshold=None,
+    )
+    return hits.select("doc_id", F.round("distance", 6).alias("distance"))

@@ -174,6 +174,7 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "events_exact_quantiles",
         "events_retention_cohorts",
         "text_bpe_vocab_merges",
+        "multimodal_image_feature_knn",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

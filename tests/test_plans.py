@@ -322,17 +322,26 @@ def test_bucketed_join_needs_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_line_dedup_single_exchange(spark):
-    """Corpus-global line dedup is ONE shuffle (the line-keyed window);
-    no second Exchange sneaks in between explode and survivor filter."""
+def test_line_dedup_single_exchange_partial_agg(spark):
+    """Corpus-global line dedup is ONE shuffle (line-keyed) and the
+    keep-first min-struct aggregate does a map-side partial combine —
+    each partition ships ≤1 candidate per distinct line, so a
+    boilerplate heavy-hitter line can never pile its occurrences into
+    one reducer (the skew story a window row_number cannot offer)."""
     plan = _plan(QUERIES["dedup_line_first_occurrence"].fn(spark, SF_SMOKE))
     assert plan.count("Exchange") == 1, plan
+    # struct-min compiles to SortAggregate; the partial_min before the
+    # Exchange is the map-side combine that defeats heavy-hitter skew
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
 
 
-def test_dup_span_two_exchanges_no_join(spark):
-    """Span stats = global count window (shuffle on span) + per-doc agg
-    (shuffle on doc) — exactly two Exchanges and NO join anywhere: the
-    window-count formulation must not degenerate into a self-join."""
+def test_dup_span_collapsed_no_join(spark):
+    """Span stats: occurrences collapse to (doc, span, count) with a
+    partial-combining aggregate BEFORE the corpus-count window, and no
+    join anywhere — three Exchanges total ((doc,span) agg, span window,
+    doc agg), each carrying collapsed rows."""
     plan = _plan(QUERIES["dedup_dup_span_fraction"].fn(spark, SF_SMOKE))
-    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Exchange") == 3, plan
     assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -604,26 +604,32 @@ def corpus_line_dedup(
     with ``array_join(collect_list(...))`` ordered by ``line_no``.
 
     Scale: ONE shuffle, keyed by the line text (short fixed-token
-    strings). The window's per-key ordering is (id, line_no) — global
-    first-occurrence is deterministic under any partitioning, unlike
-    ``dropDuplicates`` whose survivor is arbitrary. At 100 TB the same
-    plan holds: duplicate-line groups are naturally small (heavy hitters
-    like boilerplate headers are the point of the operator), and a
-    pathological single-line skew is exactly the salting case
-    operators/skew.py handles."""
+    strings), and the keep-first policy is a ``min(struct(id, line_no))``
+    AGGREGATE, not a window: min has a map-side partial combine, so each
+    input partition contributes at most one candidate per distinct line
+    to the shuffle and a boilerplate line occurring in half the corpus
+    (the exact heavy hitter this operator exists for) costs the reducer
+    O(partitions), never O(occurrences) — the window form would sort the
+    full occurrence list of the hottest line in one task. The struct
+    ordering is lexicographic (id, then line_no) — deterministic global
+    first-occurrence under any partitioning, unlike ``dropDuplicates``
+    whose survivor is arbitrary."""
     lines = docs.select(
         id_col,
         F.posexplode(token_windows(F.col(text_col), tokens_per_line)).alias(
             "line_no", "line"
         ),
     )
-    w = Window.partitionBy("line").orderBy(
-        F.col(id_col).asc(), F.col("line_no").asc()
-    )
     return (
-        lines.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        lines.groupBy("line")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("__w")
+        )
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.line_no").alias("line_no"),
+            "line",
+        )
     )
 
 
@@ -643,11 +649,14 @@ def dup_span_stats(
     repetition). Returns per-document ``(id, n_spans, dup_spans,
     dup_frac)`` for documents with at least one full window.
 
-    Scale: one narrow map producing (id, span) rows, one shuffle keyed
-    by span for the global count (window aggregate), one per-doc
-    aggregate. No pairwise joins anywhere — the global-count formulation
-    is what makes exact substring-level dedup tractable at 100 TB where
-    pairwise comparison is not."""
+    Scale: no pairwise joins anywhere — the global-count formulation is
+    what makes exact substring-level dedup tractable at 100 TB where
+    pairwise comparison is not. Span occurrences collapse to
+    (doc, span, count) FIRST (count has a map-side partial combine, so
+    within-doc repetition never inflates the shuffle), the corpus-wide
+    count is a sum window over the collapsed rows (per-span row count is
+    then bounded by documents-containing-it, not occurrences), and the
+    per-doc fractions are one final aggregate."""
     toks = _ws_tokens(F.col(text_col))
 
     def per_toks(t: Column) -> Column:
@@ -660,13 +669,18 @@ def dup_span_stats(
             F.element_at(F.transform(F.array(toks), per_toks), 1)
         ).alias("span"),
     )
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    per_doc_span = spans.groupBy(id_col, "span").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    corpus_cnt = F.sum("__c").over(Window.partitionBy("span"))
     return (
-        spans.withColumn("__c", cnt)
+        per_doc_span.withColumn("__cs", corpus_cnt)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("__c") > 1).cast("bigint")).alias("dup_spans"),
+            F.sum("__c").alias("n_spans"),
+            F.sum(
+                F.when(F.col("__cs") > 1, F.col("__c")).otherwise(F.lit(0))
+            ).alias("dup_spans"),
         )
         .withColumn(
             "dup_frac",

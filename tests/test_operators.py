@@ -443,3 +443,30 @@ def test_bpe_encode_roundtrip_and_determinism(spark):
     for r in row:
         joined = "".join(r["toks"]).replace(END_OF_WORD, " ").strip()
         assert joined == " ".join(str(r["text"]).split())
+
+
+def test_naive_bayes_learns_separable_languages(spark):
+    """On a corpus whose labels ARE expressed in the text (disjoint
+    vocabularies per language), the NB classifier must be perfect on its
+    training data; the synthetic driver corpus only proves hash-parity
+    of the machinery, so the learning claim is pinned here."""
+    from vector_db_example_spark.operators.textstats import (
+        naive_bayes_lang_predictions,
+    )
+
+    rows = []
+    vocab = {
+        "en": ["the", "house", "water", "green"],
+        "de": ["das", "haus", "wasser", "gruen"],
+        "fr": ["les", "maison", "eau", "vert"],
+    }
+    i = 0
+    for lang, words in vocab.items():
+        for k in range(6):
+            text = " ".join(words[j % len(words)] for j in range(k, k + 5))
+            rows.append((i, lang, text))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    preds = naive_bayes_lang_predictions(docs).collect()
+    assert len(preds) == 18
+    assert all(r["pred_lang"] == r["lang"] for r in preds)

@@ -492,6 +492,8 @@ def ivf_search_batch(
     probe_rows = []
     qid_list: list[int] = []
     qvec_list: list[np.ndarray] = []
+    if len({qid for qid, _ in queries}) != len(queries):
+        raise ValueError("duplicate query ids in batch")
     for qid, vec in queries:
         qid_list.append(int(qid))
         qvec_list.append(np.asarray([float(x) for x in vec], dtype=np.float64))

@@ -182,3 +182,95 @@ def bigram_lm_scores(
         "n_bigrams",
         (F.col("sum_logp") / F.col("n_bigrams").cast("double")).alias("avg_logp"),
     )
+
+
+def naive_bayes_lang_predictions(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained AND applied
+    on the corpus in one DAG — the supervised counterpart of the
+    marker-word ``lang_pred`` heuristic (a fastText-shaped linear
+    classifier, closed-form: NB training is just counting, which is why
+    it distributes perfectly).
+
+    Training = three count aggregates (per-(label, token), per-label
+    totals, label priors) plus the vocab size; all are label×vocab-sized
+    and broadcast. Inference joins each token position against the count
+    tables for every candidate label and folds per-(doc, candidate)
+    log-probabilities in POSITION order (sorted-struct fold — the
+    bigram-LM discipline that keeps the doubles bit-identical to the SQL
+    oracle). The argmax is ``min(struct(-score, lang))``: score desc,
+    lexicographic label on exact float ties — deterministic under any
+    partitioning.
+
+    Returns (id_col, label_col, pred_lang). Scale: one tokenize pass,
+    count tables broadcast, candidate fan-out = #labels (bounded), no
+    shuffle wider than rows × labels."""
+    toks = F.col("__toks")
+    tokenized = docs.select(
+        F.col(id_col), F.col(label_col), extract_tokens(F.col(text_col)).alias("__toks")
+    )
+    pos_structs = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.struct(i.alias("pos"), F.element_at(toks, i).alias("t")),
+    )
+    rows = (
+        tokenized.filter(F.size(toks) >= 1)
+        .select(id_col, label_col, F.explode(pos_structs).alias("s"))
+        .select(id_col, label_col, F.col("s.pos").alias("pos"), F.col("s.t").alias("t"))
+    )
+    ct = rows.groupBy(F.col(label_col).alias("cand_lang"), "t").agg(
+        F.count(F.lit(1)).cast("double").alias("c_lt")
+    )
+    tot = rows.groupBy(F.col(label_col).alias("cand_lang")).agg(
+        F.count(F.lit(1)).cast("double").alias("c_l")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_total"))
+    priors = (
+        docs.groupBy(F.col(label_col).alias("cand_lang"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_lang"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "cand_lang", F.log(F.col("n_lang") / F.col("n_total")).alias("lp")
+        )
+    )
+    vocab = rows.agg(F.count_distinct("t").cast("double").alias("v"))
+    langs = docs.select(F.col(label_col).alias("cand_lang")).distinct()
+
+    scored_rows = (
+        rows.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(ct), ["cand_lang", "t"], "left")
+        .join(F.broadcast(tot), "cand_lang")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("c_lt"), F.lit(0.0)) + F.lit(1.0))
+                / (F.col("c_l") + F.col("v"))
+            ),
+        )
+    )
+    per_cand = (
+        scored_rows.groupBy(id_col, label_col, "cand_lang")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "logp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["logp"],
+            ).alias("sum_logp")
+        )
+        .join(F.broadcast(priors), "cand_lang")
+        .withColumn("score", F.col("lp") + F.col("sum_logp"))
+    )
+    return (
+        per_cand.groupBy(id_col, label_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("neg"), F.col("cand_lang").alias("lang"))
+            ).alias("__w")
+        )
+        .select(id_col, label_col, F.col("__w.lang").alias("pred_lang"))
+    )

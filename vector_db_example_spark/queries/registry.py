@@ -166,8 +166,9 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # --- registered mid-round-4, AFTER the round-4 surface was
         # rotated and full: held out so the surface stays within the
         # driver's ~50-entry window; zero-row, so they go to the FRONT
-        # of DRIVER_CRITICAL at the round-5 rotation. All four are
-        # oracle-green locally (tests/test_oracle_parity.py) ---
+        # of DRIVER_CRITICAL at the round-5 rotation. All are
+        # oracle-green locally (tests/test_oracle_parity.py) except the
+        # rows-only BPE merge loop (paper-example-pinned in pytest) ---
         "dedup_line_first_occurrence",
         "dedup_dup_span_fraction",
         "text_inverted_merge_parity",
@@ -175,6 +176,7 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "events_retention_cohorts",
         "text_bpe_vocab_merges",
         "multimodal_image_feature_knn",
+        "text_nb_lang_confusion",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

@@ -958,3 +958,76 @@ def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
     )
+
+
+@register(
+    "text_nb_lang_confusion",
+    # full closed-form mirror of textstats.naive_bayes_lang_predictions:
+    # integer-exact counts, add-one smoothing, position-ordered fold,
+    # score-desc/label-asc argmax
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '{{TOKEN_PATTERN}}') AS ts
+  FROM documents
+),
+r0 AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ts) + 1),
+                i -> {{'pos': i, 't': ts[i]}})) AS s
+  FROM tok WHERE len(ts) >= 1
+),
+rr AS (SELECT doc_id, lang, s.pos AS pos, s.t AS t FROM r0),
+ct AS (SELECT lang AS cand_lang, t, count(*)::DOUBLE AS c_lt FROM rr GROUP BY 1, 2),
+tot AS (SELECT lang AS cand_lang, count(*)::DOUBLE AS c_l FROM rr GROUP BY 1),
+pri AS (
+  SELECT lang AS cand_lang,
+         ln(count(*)::DOUBLE / (SELECT count(*)::DOUBLE FROM documents)) AS lp
+  FROM documents GROUP BY 1
+),
+v AS (SELECT count(DISTINCT t)::DOUBLE AS v FROM rr),
+langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+sc AS (
+  SELECT rr.doc_id, rr.lang, l.cand_lang, rr.pos,
+         ln((coalesce(ct.c_lt, 0.0) + 1.0) / (tot.c_l + v.v)) AS logp
+  FROM rr CROSS JOIN langs l
+  LEFT JOIN ct ON ct.cand_lang = l.cand_lang AND ct.t = rr.t
+  JOIN tot ON tot.cand_lang = l.cand_lang
+  CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, lang, cand_lang,
+         list_sum(list(logp ORDER BY pos)) AS sum_logp
+  FROM sc GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT per.doc_id, per.lang, per.cand_lang, pri.lp + per.sum_logp AS score
+  FROM per JOIN pri USING (cand_lang)
+),
+pred AS (
+  SELECT doc_id, lang, cand_lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand_lang ASC) AS rn
+  FROM scored
+)
+SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+""".replace("{TOKEN_PATTERN}", TOKEN_PATTERN),
+    tags=("text", "lang-id", "classifier", "naive-bayes", "training-data"),
+)
+def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised language identification: a multinomial naive-Bayes
+    classifier TRAINED on the corpus labels and applied back to it, one
+    DAG, reported as the (true lang, predicted lang, n_docs) confusion
+    matrix. NB training is pure counting, so the distributed 'fit' is
+    three broadcastable aggregates and inference is a bounded label
+    fan-out — the closed-form stand-in for the fastText-style quality/
+    language classifiers of production data pipelines, hash-checked
+    end to end including the argmax
+    (operators/textstats.py::naive_bayes_lang_predictions)."""
+    from ..operators.textstats import naive_bayes_lang_predictions
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = naive_bayes_lang_predictions(docs)
+    return preds.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

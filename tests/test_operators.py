@@ -470,3 +470,41 @@ def test_naive_bayes_learns_separable_languages(spark):
     preds = naive_bayes_lang_predictions(docs).collect()
     assert len(preds) == 18
     assert all(r["pred_lang"] == r["lang"] for r in preds)
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    """CMS guarantees: estimate ≥ exact for every token, and the sketch
+    built on a union equals the row-wise sum of per-part sketches
+    (mergeability — the property that lets segments/streams sum into
+    one matrix)."""
+    from vector_db_example_spark.functions.text import extract_tokens
+    from vector_db_example_spark.operators.sketch import (
+        cms_estimates,
+        count_min_sketch,
+    )
+    from vector_db_example_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(F.explode(extract_tokens(F.col("text"))).alias("t"))
+    sketch = count_min_sketch(tok, depth=4, width=16)
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_count"))
+    joined = (
+        cms_estimates(sketch, exact.select("t"), depth=4, width=16)
+        .join(exact, "t")
+        .collect()
+    )
+    assert joined and all(r["cms_estimate"] >= r["exact_count"] for r in joined)
+
+    a = tok.filter(F.crc32(F.col("t").cast("binary")) % 2 == 0)
+    b = tok.filter(F.crc32(F.col("t").cast("binary")) % 2 == 1)
+    merged = (
+        count_min_sketch(a, depth=4, width=16)
+        .unionByName(count_min_sketch(b, depth=4, width=16))
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = {(r["d"], r["bucket"]): r["c"] for r in sketch.collect()}
+    got = {(r["d"], r["bucket"]): r["c"] for r in merged.collect()}
+    assert got == full

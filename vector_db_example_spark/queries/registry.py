@@ -177,6 +177,7 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "text_bpe_vocab_merges",
         "multimodal_image_feature_knn",
         "text_nb_lang_confusion",
+        "agg_count_min_heavy_hitters",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

@@ -1031,3 +1031,63 @@ def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "agg_count_min_heavy_hitters",
+    # the sketch is hash-CHECKABLE despite being approximate: its state
+    # is a deterministic counter matrix under the md5 hash family, so
+    # DuckDB rebuilds the identical matrix and identical estimates
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '{{TOKEN_PATTERN}}')) AS t FROM documents
+),
+exact AS (
+  SELECT t, count(*)::BIGINT AS exact_count
+  FROM tok GROUP BY t ORDER BY exact_count DESC, t ASC LIMIT 20
+),
+ds AS (SELECT unnest(range(0, 4)) AS d),
+pairs AS (
+  SELECT d, ('0x' || substring(md5(d::VARCHAR || '|' || t), 1, 8))::BIGINT % 16
+           AS bucket
+  FROM tok CROSS JOIN ds
+),
+sketch AS (SELECT d, bucket, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+qp AS (
+  SELECT e.t, e.exact_count, ds.d,
+         ('0x' || substring(md5(ds.d::VARCHAR || '|' || e.t), 1, 8))::BIGINT % 16
+           AS bucket
+  FROM exact e CROSS JOIN ds
+)
+SELECT qp.t AS token, qp.exact_count, min(s.c) AS cms_estimate
+FROM qp JOIN sketch s USING (d, bucket)
+GROUP BY 1, 2
+""".replace("{TOKEN_PATTERN}", TOKEN_PATTERN),
+    tags=("agg", "sketch", "count-min", "heavy-hitters"),
+)
+def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter check, hash-exact end to end: build
+    the depth=4 × width=16 counter matrix over all token occurrences
+    (the shuffle carries ≤ depth×width rows per partition — sketch-sized
+    regardless of corpus), then estimate the top-20 exact tokens'
+    frequencies from it. Width 16 forces real collisions on this vocab,
+    so estimates visibly overcount — and the overcounts themselves are
+    deterministic and oracle-checked, unlike the engine-internal HLL/GK
+    sketches that can only be bounds-tested
+    (operators/sketch.py::count_min_sketch)."""
+    from ..operators.sketch import cms_estimates, count_min_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(extract_tokens(F.col("text"))).alias("t"))
+    sketch = count_min_sketch(tok, depth=4, width=16)
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("t").asc())
+        .limit(20)
+    )
+    est = cms_estimates(sketch, exact.select("t"), depth=4, width=16)
+    return (
+        exact.join(est, "t")
+        .select(F.col("t").alias("token"), "exact_count", "cms_estimate")
+    )

@@ -178,6 +178,7 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "multimodal_image_feature_knn",
         "text_nb_lang_confusion",
         "agg_count_min_heavy_hitters",
+        "stream_cms_documents",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

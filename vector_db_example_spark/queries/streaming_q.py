@@ -329,3 +329,65 @@ def stream_events_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _cms_oracle() -> str:
+    from .text_q import CMS_HH_ORACLE
+
+    return CMS_HH_ORACLE
+
+
+@register(
+    "stream_cms_documents",
+    oracle=_cms_oracle(),
+    tags=("streaming", "sketch", "count-min"),
+)
+def stream_cms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_count_min_heavy_hitters: the documents
+    table replays as a THREE-batch stream (doc_id % 3, one file per
+    trigger), each micro-batch writes its own depth×width partial
+    counter block (idempotent per batch id — no state store needed),
+    and the served sketch is the partition-discovered SUM. The oracle is
+    the one-shot batch sketch SQL: if cross-batch merging dropped or
+    double-counted any counter, the estimates would differ — sketch
+    mergeability exercised through the streaming engine itself."""
+    from ..functions.text import extract_tokens
+    from ..operators.sketch import cms_estimates
+    from ..sources.tables import load_table
+    from ..streaming.ingest import (
+        DOCUMENTS_SCHEMA,
+        read_count_min,
+        stream_count_min_maintenance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        src = f"{work}/src"
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_count_min_maintenance(
+            spark, stream, sketch_path=f"{work}/sketch",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        sketch = read_count_min(spark, f"{work}/sketch")
+        tok = docs.select(F.explode(extract_tokens(F.col("text"))).alias("t"))
+        exact = (
+            tok.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("exact_count"))
+            .orderBy(F.col("exact_count").desc(), F.col("t").asc())
+            .limit(20)
+        )
+        est = cms_estimates(sketch, exact.select("t"), depth=4, width=16)
+        out = exact.join(est, "t").select(
+            F.col("t").alias("token"), "exact_count", "cms_estimate"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1033,12 +1033,9 @@ def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_count_min_heavy_hitters",
-    # the sketch is hash-CHECKABLE despite being approximate: its state
-    # is a deterministic counter matrix under the md5 hash family, so
-    # DuckDB rebuilds the identical matrix and identical estimates
-    oracle=f"""
+#: Shared by the batch heavy-hitter query and its streaming twin
+#: (stream_cms_documents) — both must reproduce this matrix exactly.
+CMS_HH_ORACLE = f"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(text, '{{TOKEN_PATTERN}}')) AS t FROM documents
 ),
@@ -1062,7 +1059,15 @@ qp AS (
 SELECT qp.t AS token, qp.exact_count, min(s.c) AS cms_estimate
 FROM qp JOIN sketch s USING (d, bucket)
 GROUP BY 1, 2
-""".replace("{TOKEN_PATTERN}", TOKEN_PATTERN),
+""".replace("{TOKEN_PATTERN}", TOKEN_PATTERN)
+
+
+@register(
+    "agg_count_min_heavy_hitters",
+    # the sketch is hash-CHECKABLE despite being approximate: its state
+    # is a deterministic counter matrix under the md5 hash family, so
+    # DuckDB rebuilds the identical matrix and identical estimates
+    oracle=CMS_HH_ORACLE,
     tags=("agg", "sketch", "count-min", "heavy-hitters"),
 )
 def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

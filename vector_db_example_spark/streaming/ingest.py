@@ -214,3 +214,46 @@ def stream_ingest_documents_into_inverted(
     )
     q.awaitTermination()
     return indexed["n"]
+
+
+def stream_count_min_maintenance(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    depth: int = 4,
+    width: int = 16,
+    text_col: str = "text",
+) -> None:
+    """Maintain a count-min sketch continuously: each micro-batch's
+    token occurrences collapse to (at most) a depth×width partial
+    counter block, written idempotently under the batch id (replays
+    overwrite their own directory, never double-count); the served
+    sketch is the partition-discovered sum (``read_count_min``). This is
+    the mergeability property of the sketch doing the streaming work —
+    no stateful operator, no state store, exact results
+    (operators/sketch.py for the matrix construction)."""
+    from ..functions.text import extract_tokens
+    from ..operators.sketch import count_min_sketch
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        tok = batch.select(F.explode(extract_tokens(F.col(text_col))).alias("t"))
+        part = count_min_sketch(tok, depth=depth, width=width)
+        part.write.mode("overwrite").parquet(f"{sketch_path}/batch={batch_id}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_count_min(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The served sketch: sum of every batch's partial counters."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -345,3 +345,13 @@ def test_dup_span_collapsed_no_join(spark):
     assert plan.count("Exchange") == 3, plan
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_nb_classifier_broadcasts_model_tables(spark):
+    """The NB 'model' (per-label token counts, label totals, priors,
+    vocab size) must reach inference as broadcasts — the corpus-scale
+    token rows are never shuffled for a join, only for the per-doc
+    aggregates."""
+    plan = _plan(QUERIES["text_nb_lang_confusion"].fn(spark, SF_SMOKE), execute=True)
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 4
+    assert "SortMergeJoin" not in plan, plan

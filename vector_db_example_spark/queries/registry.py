@@ -28,6 +28,21 @@ QUERIES: dict[str, Query] = {}
 #: Names the driver's per-round CORRECTNESS check must reach (it stops
 #: after ~50 entries, in ``queries()`` order). Never-driver-verified
 #: entries come FIRST so they finally get hash verdicts.
+#:
+#: ROUND-5 ROTATION PLAN (execute once CORRECTNESS_r04 lands):
+#: 1. Rotate IN, at the front: the ten zero-row entries held out in the
+#:    "registered mid-round-4" block of DRIVER_EXCLUDED below
+#:    (dedup_line_first_occurrence, dedup_dup_span_fraction,
+#:    text_inverted_merge_parity, events_exact_quantiles,
+#:    events_retention_cohorts, text_bpe_vocab_merges,
+#:    multimodal_image_feature_knn, text_nb_lang_confusion,
+#:    agg_count_min_heavy_hitters, stream_cms_documents).
+#: 2. Rotate OUT (keeping one family anchor each) entries that are
+#:    hash-green in BOTH r03 and r04 — candidates are the
+#:    r03-first-green block below once their r04 row is green.
+#: 3. The r01-backlog block below should then have two green rounds
+#:    (r01 + r04) and becomes excludable next time under the two-round
+#:    rule; keep anchors per family as documented.
 DRIVER_CRITICAL: tuple[str, ...] = (
     # --- round-4 rotation ---
     # new this round (zero driver rows): the exact-parity anchors that

@@ -29,25 +29,56 @@ QUERIES: dict[str, Query] = {}
 #: after ~50 entries, in ``queries()`` order). Never-driver-verified
 #: entries come FIRST so they finally get hash verdicts.
 #:
-#: ROUND-5 ROTATION PLAN (execute once CORRECTNESS_r04 lands):
-#: 1. Rotate IN, at the front: the ten zero-row entries held out in the
-#:    "registered mid-round-4" block of DRIVER_EXCLUDED below
-#:    (dedup_line_first_occurrence, dedup_dup_span_fraction,
-#:    text_inverted_merge_parity, events_exact_quantiles,
-#:    events_retention_cohorts, text_bpe_vocab_merges,
-#:    multimodal_image_feature_knn, text_nb_lang_confusion,
-#:    agg_count_min_heavy_hitters, stream_cms_documents).
-#: 2. Rotate OUT (keeping one family anchor each) entries that are
-#:    hash-green in BOTH r03 and r04 — candidates are the
-#:    r03-first-green block below once their r04 row is green.
-#: 3. The r01-backlog block below should then have two green rounds
-#:    (r01 + r04) and becomes excludable next time under the two-round
-#:    rule; keep anchors per family as documented.
+#: ROUND-5 ROTATION (executed 2026-08-14, per the plan recorded here in
+#: round 4):
+#: 1. Rotated IN, at the front: the ten zero-row entries formerly held
+#:    out in the "registered mid-round-4" block of DRIVER_EXCLUDED.
+#: 2. Rotated OUT: ten entries hash-green in TWO rounds (r01 + r04),
+#:    each with a surfaced family anchor (documented per entry below).
+#:    The two permanent rows-only approximate sketches
+#:    (agg_approx_distinct_sketch, events_approx_quantiles) leave the
+#:    surface now that their exact-checkable twins
+#:    (events_exact_quantiles, agg_count_min_heavy_hitters,
+#:    stream_cms_documents) are surfaced for hash verdicts — same
+#:    anchoring pattern that retired the IVF/LSH rows-only rows in r4.
+#: 3. Kept: the r4-first-green block (one row each — two-green rule),
+#:    the r03-first-green block (now r03+r04 two-green; kept one more
+#:    round so the rotation never drops below ~50 and their families
+#:    stay anchored), and twelve r01+r04 two-green anchors.
+#:
+#: ROUND-6 ROTATION PLAN (execute once CORRECTNESS_r05 lands):
+#: 1. Any remaining zero-row registrations rotate to the front (none
+#:    exist at freeze time; applies to queries added mid-round-5).
+#: 2. The r03-first-green block (18 entries) and the r01-backlog
+#:    two-green anchors become excludable (2+ green rounds each);
+#:    rotate out enough to fit, keeping one anchor per family:
+#:    suggested keeps — text_bm25_search (text), vector_ivf_filtered_parity
+#:    (vector/index), stream_events_rollup_upsert (streaming),
+#:    multimodal_audio_waveform_stats (multimodal),
+#:    tpch_q3_shipping_priority (relational), window_top_orders_per_customer
+#:    (window), agg_rollup_order_status (agg), pipeline_train_test_split
+#:    (pipeline), join_semi_anti_customers (join), setop_part_brands
+#:    (setop, sole member).
+#: 3. The ten r5-rotated-in entries need a second green (r5 + r6)
+#:    before they are excludable — keep them surfaced.
 DRIVER_CRITICAL: tuple[str, ...] = (
-    # --- round-4 rotation ---
-    # new this round (zero driver rows): the exact-parity anchors that
-    # replace the three rows-only entries in the surface, plus the
-    # positional-phrase and semantic-dedup operators
+    # --- round-5 rotation: zero driver rows until now (registered
+    # mid-round-4 after the r4 surface froze) ---
+    "dedup_line_first_occurrence",
+    "dedup_dup_span_fraction",
+    "text_inverted_merge_parity",
+    "events_exact_quantiles",
+    "events_retention_cohorts",
+    "text_bpe_vocab_merges",          # rows-only: merge loop pinned to the
+                                      # Sennrich/GPT-2 paper example in pytest
+    "multimodal_image_feature_knn",
+    "text_nb_lang_confusion",
+    "agg_count_min_heavy_hitters",    # exact twin anchoring
+                                      # agg_approx_distinct_sketch's family
+    "stream_cms_documents",           # rows-only: streaming-maintained CMS
+                                      # ≡ batch build pinned in pytest
+    # --- r4-first-green: exactly one driver row (r04) — the two-green
+    # rule keeps them surfaced ---
     "vector_lsh_exact_parity",
     "vector_bucketed_pairs_exact",
     "text_inverted_compaction_parity",
@@ -55,34 +86,24 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "dedup_semantic_prune",
     "join_bucketed_colocated",
     "text_bigram_lm_quality",
-    # registered but never surfaced (zero driver rows)
     "dedup_ngram_containment",
     "vector_late_interaction_layout_topk",
-    # r01-green-only backlog: one driver row three rounds ago — rotated
-    # back in for the second verdict the rotation policy requires
-    "agg_approx_distinct_sketch",
-    "agg_cube_orders",
-    "agg_distinct_counts",
-    "agg_rollup_order_status",
-    "events_approx_quantiles",
-    "events_json_props",
+    # --- r01-backlog anchors kept after the r5 rotation (two-green
+    # r01+r04; retained so every family keeps a surfaced anchor) ---
+    "agg_rollup_order_status",        # grouping-sets anchor (cube twin out)
     "events_range_join_clicks_before_purchase",
     "events_sliding_window",
     "events_tumbling_window",
-    "events_type_stats",
-    "events_user_daily_pivot",
     "join_semi_anti_customers",
-    "pipeline_ingest_jsonl",
     "pipeline_train_test_split",
-    "setop_part_brands",
-    "text_chunk_token_windows",
+    "setop_part_brands",              # sole set-op member
     "text_stats_full",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "vector_centroid_norm",
-    "window_running_revenue",
     "window_top_orders_per_customer",
-    # r03-first-green: exactly one driver row — not excludable until two
+    # r03-first-green + r04 second green: two-green as of r04, kept one
+    # more round per the round-5 plan (rotation out is a round-6 action)
     "events_hypertable_rollup",
     "hybrid_weighted_search",
     "multimodal_audio_waveform_stats",
@@ -178,22 +199,32 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # subsumed by the surfaced text_bigram_lm_quality (which trains
         # the LM from those same counts) — zero-row-first rule again
         "text_bigram_top_counts",
-        # --- registered mid-round-4, AFTER the round-4 surface was
-        # rotated and full: held out so the surface stays within the
-        # driver's ~50-entry window; zero-row, so they go to the FRONT
-        # of DRIVER_CRITICAL at the round-5 rotation. All are
-        # oracle-green locally (tests/test_oracle_parity.py) except the
-        # rows-only BPE merge loop (paper-example-pinned in pytest) ---
-        "dedup_line_first_occurrence",
-        "dedup_dup_span_fraction",
-        "text_inverted_merge_parity",
-        "events_exact_quantiles",
-        "events_retention_cohorts",
-        "text_bpe_vocab_merges",
-        "multimodal_image_feature_knn",
-        "text_nb_lang_confusion",
-        "agg_count_min_heavy_hitters",
-        "stream_cms_documents",
+        # --- rotated OUT in round 5: hash-green in TWO rounds (r01 +
+        # r04), each family keeping a surfaced anchor ---
+        "agg_cube_orders",          # agg_rollup_order_status anchors
+                                    # grouping sets
+        "agg_distinct_counts",      # distinct-count family anchored by the
+                                    # surfaced agg_count_min_heavy_hitters
+        "events_json_props",        # events anchored by exact_quantiles /
+                                    # retention_cohorts / sliding / tumbling
+        "events_type_stats",
+        "events_user_daily_pivot",
+        "pipeline_ingest_jsonl",    # pipeline anchored by multi_strategy +
+                                    # train_test_split
+        "text_chunk_token_windows", # text family heavily anchored (bm25,
+                                    # phrase, merge-parity, stats_full)
+        "window_running_revenue",   # window_top_orders_per_customer anchors
+        # --- rotated OUT in round 5: permanent rows-only approximate
+        # sketches (engine-specific internals, no DuckDB oracle by
+        # design). Their exact-checkable twins are surfaced for hash
+        # verdicts — events_exact_quantiles (type-7 quantiles vs the KLL
+        # approximation), agg_count_min_heavy_hitters + stream_cms_documents
+        # (hash-exact CMS construction vs the HLL++ distinct sketch's
+        # family) — the same anchoring pattern that retired the IVF/LSH
+        # rows-only rows in round 4. Both remain registered and
+        # rows-checked locally by tests/test_oracle_parity.py.
+        "agg_approx_distinct_sketch",
+        "events_approx_quantiles",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

@@ -145,6 +145,18 @@ def test_batch_search_pruned_recall(spark, ivf):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_batch_search_empty_queries(spark, ivf):
+    """An empty query batch returns an empty frame with the normal
+    output schema instead of raising from np.vstack([]) (the
+    pure-expression plan's old behavior, kept through the Arrow
+    kernel rewrite)."""
+    from vector_db_example_spark.index.ivf import ivf_search_batch
+
+    out = ivf_search_batch(spark, ivf, [], k=10, nprobe=4)
+    assert out.columns == ["query_id", "vec_id", "distance", "score", "rank"]
+    assert out.count() == 0
+
+
 def test_append_then_compact(spark, ivf, tmp_path):
     """Appends are nearest-existing-centroid (visible immediately);
     compaction refits over the appended corpus into a fresh layout with

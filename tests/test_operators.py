@@ -389,6 +389,34 @@ def test_knn_batch_arrow_equals_expr_both_metrics(spark):
         assert ra == rb, f"metric={metric}"
 
 
+def test_knn_batch_empty_queries_column_order(spark):
+    """The empty-query fallback must present the SAME column order as
+    the arrow path (query_id, id, distance, score, meta..., rank,
+    payload...) — positional consumers (union by position,
+    toPandas().iloc) must not see an ordering that depends on whether
+    the query batch was empty."""
+    from vector_db_example_spark.operators.knn import knn_batch
+    from vector_db_example_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        (F.col("vec_id") * 10).alias("tag"),
+    )
+    nonempty = knn_batch(emb, queries.filter(F.col("query_id") < 2), k=3)
+    empty = knn_batch(emb, queries.filter(F.lit(False)), k=3)
+    assert empty.columns == nonempty.columns
+    assert empty.count() == 0
+    ne_np = knn_batch(
+        emb, queries.filter(F.col("query_id") < 2), k=3, with_payload=False
+    )
+    e_np = knn_batch(emb, queries.filter(F.lit(False)), k=3, with_payload=False)
+    assert e_np.columns == ne_np.columns
+
+
 def test_bpe_train_classic_example():
     """The BPE paper's worked example: {'low':5, 'lower':2, 'newest':6,
     'widest':3}. First merges must pair the most frequent adjacent
@@ -440,9 +468,17 @@ def test_bpe_encode_roundtrip_and_determinism(spark):
         .select("doc_id", enc(F.col("text")).alias("toks"), "text")
         .collect()
     )
+    # The encoder tokenizes with the SAME regex the trainer counted
+    # words from (TOKEN_PATTERN), so the decoded stream is exactly the
+    # extract_tokens word sequence — never a whitespace split that would
+    # feed the encoder punctuation-attached words the trainer never saw.
+    import re
+
+    from vector_db_example_spark.functions.text import TOKEN_PATTERN
+
     for r in row:
         joined = "".join(r["toks"]).replace(END_OF_WORD, " ").strip()
-        assert joined == " ".join(str(r["text"]).split())
+        assert joined == " ".join(re.findall(TOKEN_PATTERN, str(r["text"])))
 
 
 def test_naive_bayes_learns_separable_languages(spark):

@@ -492,6 +492,17 @@ def ivf_search_batch(
     probe_rows = []
     qid_list: list[int] = []
     qvec_list: list[np.ndarray] = []
+    if not queries:
+        # np.vstack([]) below would raise; mirror knn_batch's empty-query
+        # fallback and return an empty frame with the output schema.
+        id_type = (
+            spark.read.parquet(index.path).schema[index.id_col].dataType.simpleString()
+        )
+        return spark.createDataFrame(
+            [],
+            f"query_id long, `{index.id_col}` {id_type}, "
+            "distance double, score double, rank int",
+        )
     if len({qid for qid, _ in queries}) != len(queries):
         raise ValueError("duplicate query ids in batch")
     for qid, vec in queries:

@@ -134,9 +134,20 @@ def bpe_encoder(merges: Sequence[tuple[str, str]]) -> Callable:
     """Arrow-batched encoder UDF: text → array of BPE tokens. The merge
     ranks ride the closure (vocabulary-sized, like the IVF centroid
     matrix); per-word segmentations are memoized per worker since
-    natural corpora repeat words heavily."""
+    natural corpora repeat words heavily.
+
+    Words are extracted with the SAME ``TOKEN_PATTERN`` regex that
+    ``word_frequencies`` trains from (CJK>=2 / latin>=3 runs) — so
+    encode(train corpus) sees exactly the trained word population and
+    never silently falls back to character-level segmentation on
+    punctuation/digit-attached words the trainer never counted."""
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions.text import TOKEN_PATTERN
+
+    word_re = re.compile(TOKEN_PATTERN)
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     memo: dict[str, list[str]] = {}
 
@@ -145,7 +156,7 @@ def bpe_encoder(merges: Sequence[tuple[str, str]]) -> Callable:
         out = []
         for text in texts:
             toks: list[str] = []
-            for w in str(text or "").split():
+            for w in word_re.findall(str(text or "")):
                 seg = memo.get(w)
                 if seg is None:
                     seg = bpe_segment_word(w, ranks)

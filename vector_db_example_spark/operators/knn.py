@@ -135,12 +135,24 @@ def knn_batch(
     import numpy as np
     import pandas as pd
 
+    # Canonical output column ORDER, shared by the arrow path and the
+    # empty-query fallback below (which routes through the expr plan,
+    # whose natural order puts corpus columns first): positional
+    # consumers must not see an ordering that depends on whether the
+    # query set was empty.
+    meta_extra = [
+        c for c in queries.columns if c not in (query_id_col, query_vector_col)
+    ]
+    canonical = [query_id_col, id_col, "distance", "score", *meta_extra, "rank"]
+    if with_payload:
+        canonical += [c for c in corpus.columns if c != id_col]
+
     qrows = queries.select(query_id_col, query_vector_col).collect()
-    if not qrows:  # empty query set: empty result, same schema either way
+    if not qrows:  # empty query set: empty result, arrow-path column order
         return _knn_batch_expr(
             corpus, queries, k, vector_col, query_vector_col, query_id_col,
             score_threshold, metric, id_col, with_payload,
-        )
+        ).select(*canonical)
     qids = np.asarray([r[0] for r in qrows])  # emitted directly per row
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     nq, dim = Q.shape
@@ -214,11 +226,11 @@ def knn_batch(
         # ids-only results — the two-phase retrieval shape (fetch
         # payload later by key); also skips a corpus scan for callers
         # that never read the document columns
-        return top
+        return top.select(*canonical)
     # payload join-back: winners are ≤ q·k rows — join them (broadcast,
     # tiny) against the corpus instead of shuffling payload columns for
     # every (row, query) candidate
-    return F.broadcast(top).join(corpus, id_col)
+    return F.broadcast(top).join(corpus, id_col).select(*canonical)
 
 
 def _knn_batch_expr(

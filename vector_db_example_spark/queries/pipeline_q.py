@@ -343,11 +343,13 @@ def _maxsim_oracle() -> str:
     score = " + ".join(f"m{i}" for i in range(len(_MAXSIM_PHRASES)))
     return rf"""
 WITH w AS (
+  -- per-row unnest(range(...)) mirrors Spark's sequence(): the bound is
+  -- derived from each document's token count, never a fixed cap
   SELECT doc_id, array_to_string(toks[(i*16+1):(i*16+16)], ' ') AS wtext
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        FROM documents) t
-  CROSS JOIN generate_series(0, 100000) AS g(i)
-  WHERE i <= greatest((len(toks) - 1) // 16, 0)
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, greatest((len(toks) - 1) // 16, 0) + 1)) AS i
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents) t0) t
 ),
 wp AS (SELECT doc_id, {_embed64_pairs_sql('wtext')} AS ps FROM w),
 wvec AS (SELECT doc_id, {_EMBED64_VEC_SQL} AS wv FROM wp),

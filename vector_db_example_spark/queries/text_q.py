@@ -191,8 +191,13 @@ WITH t AS (
 )
 SELECT doc_id, i::INTEGER AS chunk_idx,
        array_to_string(toks[(i*16+1):(i*16+16)], ' ') AS chunk
-FROM t CROSS JOIN generate_series(0, 100000) AS g(i)
-WHERE i <= greatest((len(toks) - 1) // 16, 0)
+FROM (
+  -- per-row unnest(range(...)) mirrors Spark's sequence(): the bound is
+  -- derived from each document's token count, never a fixed cap
+  SELECT doc_id, toks,
+         unnest(range(0, greatest((len(toks) - 1) // 16, 0) + 1)) AS i
+  FROM t
+)
 """,
     tags=("text", "F3", "chunking"),
 )

@@ -288,3 +288,57 @@ def test_merge_segments_equals_full_build(spark, tmp_path):
     got = bm25_search_inverted(spark, merged, terms, k=10).collect()
     want = bm25_search_inverted(spark, fresh, terms, k=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_segment_ingest_then_merge_equals_full_build(spark, tmp_path):
+    """The full LSM streaming story end-to-end: each arrival stream
+    lands in its OWN segment (seed build + streamed micro-batches
+    through the committed-batch-marker sink), the segments are merged
+    off the hot path, and the merged layout must score EXACTLY like one
+    monolithic batch build over all documents — wiring
+    streaming/ingest.py's segment ingest to index/inverted.py's LSM
+    merge, which the driver's text_inverted_merge_parity oracle checks
+    for batch-built segments only."""
+    from vector_db_example_spark.index.inverted import merge_inverted_indexes
+    from vector_db_example_spark.streaming import ingest as ingest_mod
+    from vector_db_example_spark.streaming.ingest import (
+        stream_ingest_documents_into_inverted,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    orig_reader = ingest_mod.read_documents_stream
+    segs = []
+    try:
+        for i in (0, 1, 2):
+            # each segment owns a disjoint share: seed half as the
+            # segment's initial build, stream the other half in
+            seed = docs.filter(
+                (F.col("doc_id") % 3 == i) & (F.col("doc_id") % 2 == 0)
+            )
+            idx = build_inverted_index(
+                seed, str(tmp_path / f"seg{i}"), n_buckets=8
+            )
+
+            def reader(spark_, sf_dir_, _i=i):
+                return (
+                    orig_reader(spark_, sf_dir_)
+                    .filter(F.col("doc_id") % 3 == _i)
+                    .filter(F.col("doc_id") % 2 != 0)
+                )
+
+            ingest_mod.read_documents_stream = reader
+            stream_ingest_documents_into_inverted(
+                spark, SF_SMOKE, idx, checkpoint_path=str(tmp_path / f"ckpt{i}")
+            )
+            segs.append(idx)
+    finally:
+        ingest_mod.read_documents_stream = orig_reader
+
+    merged = merge_inverted_indexes(
+        spark, segs, str(tmp_path / "merged_stream"), n_buckets=16
+    )
+    full = build_inverted_index(docs, str(tmp_path / "full_stream"), n_buckets=16)
+    terms = ("vector", "stream", "window")
+    got = bm25_search_inverted(spark, merged, terms, k=10).collect()
+    want = bm25_search_inverted(spark, full, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -50,6 +50,37 @@ def test_minhash_degenerate_bucket_is_capped(spark):
     assert uncapped.filter((F.col("a_id") < 40) & (F.col("b_id") < 40)).count() == 780
 
 
+def test_minhash_mega_bucket_memory_bounded(spark):
+    """10⁵ copies of one boilerplate doc — the pathological bucket the
+    count-first routing exists for. Every band bucket is the full
+    corpus, so the old collect-then-cap plan would materialize a
+    100k-id array per bucket in ONE aggregation buffer before capping;
+    the count-first route never collects over-cap buckets at all (the
+    star pass is pure narrow row traffic). Pair count must equal the
+    star expansion (n-1, hub = min id), and connected components must
+    recover the whole clique from those pairs — nothing silently
+    dropped."""
+    from vector_db_example_spark.operators.dedup import (
+        connected_components_star,
+        minhash_near_duplicates,
+    )
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "subscribe to our newsletter for updates and exclusive offers"
+        ).alias("text"),
+    )
+    pairs = minhash_near_duplicates(docs, threshold=0.5, max_bucket_size=1000)
+    pairs = pairs.localCheckpoint(eager=True)  # reused by CC below
+    assert pairs.count() == n - 1
+    assert pairs.filter(F.col("a_id") != 0).count() == 0  # star hub = min id
+    comp = connected_components_star(pairs)
+    assert comp.select("comp").distinct().count() == 1
+    assert comp.count() == n
+
+
 def test_connected_components_chains_and_convergence(spark):
     """a-b, b-c (no a-c edge) must collapse into one cluster labelled by
     the min id; disjoint chains stay separate; a longer path converges

@@ -336,14 +336,20 @@ def test_line_dedup_single_exchange_partial_agg(spark):
     assert "Window" not in plan, plan
 
 
-def test_dup_span_collapsed_no_join(spark):
+def test_dup_span_no_window_skew_splittable(spark):
     """Span stats: occurrences collapse to (doc, span, count) with a
-    partial-combining aggregate BEFORE the corpus-count window, and no
-    join anywhere — three Exchanges total ((doc,span) agg, span window,
-    doc agg), each carrying collapsed rows."""
+    partial-combining aggregate, then the corpus-wide span count is a
+    groupBy(span) SUM joined back — NEVER a Window over span: a window
+    partition cannot be skew-split by AQE, so one ultra-hot boilerplate
+    span would land its whole collapsed row set in a single task,
+    whereas the aggregate partial-combines map-side and the join-back
+    is an ordinary join AQE splits on skew."""
     plan = _plan(QUERIES["dedup_dup_span_fraction"].fn(spark, SF_SMOKE))
-    assert plan.count("Exchange") == 3, plan
-    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" in plan, plan  # the span-total join-back
+    # map-side combine on both the (doc,span) collapse (inside the
+    # checkpoint) and the span-total/per-doc aggregates
+    assert "partial_sum" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
 
 

@@ -162,3 +162,73 @@ def test_dup_span_fraction_bounds_and_symmetry(spark, rows):
     )
     for r in dup_span_stats(doubled, n=3).collect():
         assert r["dup_frac"] == 1.0
+
+
+def _semantic_corpus(spark):
+    """Skewed synthetic corpus for the cluster-cap tests: one degenerate
+    cluster holding a 120-member identical-vector clique (ids 100-219,
+    the mass near-dup boilerplate SemDeDup targets), a similarity CHAIN
+    hanging off it (mid ~ base, tail ~ mid, tail !~ base), and one far
+    singleton — all assigned to a single centroid."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    mid = [0.7, 0.7, 0.0, 0.0]      # cos(base, mid) ≈ 0.707 ≥ 0.6
+    tail = [0.0, 1.0, 0.0, 0.0]     # cos(base, tail) = 0;  cos(mid, tail) ≈ 0.707
+    far = [0.0, 0.0, 1.0, 0.0]      # similar to nothing
+    rows = [(100 + i, base) for i in range(120)]
+    rows += [(300, mid), (301, tail), (302, far)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+def test_semantic_dedup_cap_bounds_degenerate_cluster(spark):
+    """Star policy on an over-cap cluster: for the pure near-dup CLIQUE
+    the capped kept-set is IDENTICAL to the uncapped one (everything but
+    the min-id representative dropped — rep-similarity transitively
+    stands in for lower-id similarity at clique granularity), and rows
+    dissimilar to everything stay kept. The cap changes O(n²) per-key
+    pair fan-out to O(n) without changing the clique outcome."""
+    from vector_db_example_spark.operators.dedup import semantic_dedup
+
+    corpus = _semantic_corpus(spark)
+    capped = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            corpus, [[1.0, 0.2, 0.2, 0.2]], 0.6, max_cluster_size=50
+        ).collect()
+    }
+    assert capped[100] is True                       # clique representative
+    assert all(capped[i] is False for i in range(101, 220))  # clique dropped
+    assert capped[302] is True                       # dissimilar row kept
+
+
+def test_semantic_dedup_capped_vs_uncapped_recall(spark):
+    """Kept-set agreement between the capped and uncapped paths on the
+    skewed corpus: the only legal divergence is a chain member similar
+    to SOME lower-id row but not to the representative (star keeps it —
+    conservative, never over-drops), so agreement stays ≥ 95% and the
+    capped kept-set is a superset of the uncapped one."""
+    from vector_db_example_spark.operators.dedup import semantic_dedup
+
+    corpus = _semantic_corpus(spark)
+    centroids = [[1.0, 0.2, 0.2, 0.2]]
+    kept = {}
+    for name, cap in (("capped", 50), ("uncapped", 10**9)):
+        kept[name] = {
+            r["vec_id"]: r["kept"]
+            for r in semantic_dedup(
+                corpus, centroids, 0.6, max_cluster_size=cap
+            ).collect()
+        }
+    ids = sorted(kept["capped"])
+    assert ids == sorted(kept["uncapped"])
+    agree = [i for i in ids if kept["capped"][i] == kept["uncapped"][i]]
+    assert len(agree) / len(ids) >= 0.95, (len(agree), len(ids))
+    # star never over-drops: anything uncapped keeps, capped keeps too
+    for i in ids:
+        if kept["uncapped"][i]:
+            assert kept["capped"][i], i
+    # the one designed divergence: the chain tail (similar to mid, not
+    # to the representative) — uncapped drops it, capped keeps it
+    assert kept["uncapped"][301] is False
+    assert kept["capped"][301] is True

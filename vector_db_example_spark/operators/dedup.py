@@ -156,6 +156,16 @@ def minhash_near_duplicates(
     near-identical — star keeps recall at cluster granularity where a
     wholesale drop would silently lose it.)
 
+    The cap bounds MEMORY as well as fan-out: bucket sizes and min-id
+    representatives are computed FIRST with count/min aggregates (both
+    partial-combine map-side — no arrays, skew-immune), and only
+    under-cap buckets ever run ``collect_set`` — so a mega-bucket never
+    materializes its full member-id array in one aggregation buffer (at
+    10⁸ identical boilerplate docs that array alone would be multi-GB in
+    a single task). Over-cap buckets take a dedicated star pass that is
+    pure narrow row traffic: (rep, member) pairs straight off the
+    size-routed join, no aggregation at all.
+
     ``materialize`` snapshots the shingle table before fan-out: it feeds
     three consumers (the signature pass and both sides of the Jaccard
     verify join), and Spark does not share subplans across a join, so an
@@ -178,8 +188,26 @@ def minhash_near_duplicates(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # Bucket-grouped pair expansion, NOT a self-join: a self-join would
     # evaluate the minhash-signature subtree twice (Spark doesn't share
-    # subplans across join sides) and shuffle `banded` twice. One
-    # groupBy = one signature pass + one shuffle of (id, band, key) only.
+    # subplans across join sides) and shuffle `banded` twice. The
+    # banded table is narrow (id, band, key) — snapshot it once so the
+    # size pass and the two routed passes below all read the snapshot
+    # instead of re-evaluating the signature expression.
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
+    # Count-first routing: bucket sizes/representatives via count+min
+    # (map-side partial combine, no arrays) BEFORE any collect, so a
+    # mega-bucket never materializes its member-id array in one buffer.
+    # The over-cap bucket list is intrinsically TINY — each over-cap
+    # bucket implies ≥ cap near-identical docs, so their count is
+    # bounded by corpus_size / cap (at 10⁹ docs and cap 1000 that is
+    # ≤ 10⁶ rows, tens of MB) — so both routing joins broadcast it and
+    # the star pass costs ZERO extra shuffles.
+    over = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("band", "key", "__rep")
+    )
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
@@ -192,24 +220,27 @@ def minhash_near_duplicates(
             ),
         )
     )
-    star_structs = F.transform(
-        F.slice(ids, 2, F.size(ids) - 1),
-        lambda other: F.struct(F.element_at(ids, 1).alias("a_id"), other.alias("b_id")),
-    )
-    candidates = (
-        banded.groupBy("band", "key")
+    # Under-cap route: strip over-cap buckets (broadcast anti-join),
+    # then the bounded collect + sorted all-pairs expansion.
+    cand_under = (
+        banded.join(
+            F.broadcast(over.select("band", "key")), ["band", "key"], "left_anti"
+        )
+        .groupBy("band", "key")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .filter(F.size(ids) > 1)
-        .select(
-            F.explode(
-                F.when(F.size(ids) <= max_bucket_size, pair_structs).otherwise(
-                    star_structs
-                )
-            ).alias("p")
-        )
+        .select(F.explode(pair_structs).alias("p"))
         .select("p.a_id", "p.b_id")
-        .distinct()
     )
+    # Over-cap star pass: (min-id representative, member) pairs straight
+    # off the broadcast routing join — narrow rows, zero aggregation
+    # buffers, zero shuffles.
+    cand_over = (
+        banded.join(F.broadcast(over), ["band", "key"])
+        .filter(F.col("id") != F.col("__rep"))
+        .select(F.col("__rep").alias("a_id"), F.col("id").alias("b_id"))
+    )
+    candidates = cand_under.unionByName(cand_over).distinct()
     sh_a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
     verified = (
@@ -519,6 +550,8 @@ def semantic_dedup(
     sim_threshold: float,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cluster_size: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then within each
@@ -530,19 +563,44 @@ def semantic_dedup(
     Returns (id_col, cluster, kept) for EVERY corpus row — callers
     filter ``kept`` to materialize the pruned corpus.
 
+    ``max_cluster_size`` bounds the worst case exactly like the MinHash
+    path's ``max_bucket_size`` (``minhash_near_duplicates`` above): a
+    degenerate cluster — mass near-dup boilerplate, precisely what
+    SemDeDup targets — would emit O(|cluster|²) pairs from one key.
+    Clusters over the cap switch from all-pairs to *star* policy: every
+    member is compared against the cluster's min-id representative only,
+    O(|cluster|) comparisons, and is dropped iff its similarity to that
+    representative reaches the threshold. Nothing is dropped silently —
+    every over-cap member is still similarity-checked (via the
+    representative), and because a degenerate cluster is by construction
+    a near-dup clique, rep-similarity transitively stands in for
+    lower-id-similarity at cluster granularity (the same recall argument
+    as the MinHash star expansion; tests/test_properties.py measures
+    kept-set agreement between the capped and uncapped paths on a skewed
+    corpus). The capped policy is itself oracle-checked — the
+    dedup_semantic_prune oracle encodes the same size switch.
+
     Plan shape: cluster assignment is an ``array_min`` over per-centroid
     squared-L2 structs (struct ordering = argmin with ties to the
     smallest centroid index) — pure JVM expressions, bit-reproducible
     against the SQL oracle's window-rank form. Pairs are generated
     per-cluster only (the bucketed-pairs discipline; never global
-    O(n²)); the dropped-id set is tiny and broadcast back.
+    O(n²)). Cluster sizes/representatives are one count/min aggregate
+    over the bounded centroid count — a tiny broadcastable table, and
+    both the size routing and the over-cap rep comparison are broadcast
+    joins. ``materialize`` snapshots the assigned table once so the
+    centroid-distance expression is not re-evaluated per consumer
+    (size agg, both pair sides, over-cap pass, final join-back — the
+    staged-materialization practice from ``minhash_near_duplicates``).
 
     At 100 TB the assignment runs once at layout-build time (this IS the
     IVF cell assignment — index/ivf.py stores it as the partition
     column), so semantic dedup is one per-cell pair pass over an
-    existing layout plus a broadcast anti-join; the expression-literal
-    centroid form here is the oracle-exact policy layer for a bounded
-    centroid count."""
+    existing layout plus an anti-join on the dropped ids (left join
+    below — AQE picks broadcast when the dropped set is small and a
+    shuffle join when, as in a heavy-dup corpus, it is not); the
+    expression-literal centroid form here is the oracle-exact policy
+    layer for a bounded centroid count."""
     from ..functions.vector import cosine_similarity, l2_distance_sq
 
     if not centroids:
@@ -558,18 +616,31 @@ def semantic_dedup(
             for ci, c in enumerate(centroids)
         ]
     )
-    assigned = corpus.withColumn("cluster", F.array_min(structs)["c"])
-    a = assigned.select(
+    assigned = corpus.select(
+        F.col(id_col), F.col(vector_col), F.array_min(structs)["c"].alias("cluster")
+    )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    # (cluster, size, min-id representative): row count ≤ len(centroids),
+    # and count/min both partial-combine map-side — skew-immune however
+    # degenerate the cluster.
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
+    )
+    under_keys = F.broadcast(
+        sizes.filter(F.col("__n") <= max_cluster_size).select("cluster")
+    )
+    a = assigned.join(under_keys, "cluster").select(
         F.col("cluster"),
         F.col(id_col).alias("a_id"),
         F.col(vector_col).alias("a_vec"),
     )
-    b = assigned.select(
+    b = assigned.join(under_keys, "cluster").select(
         F.col("cluster"),
         F.col(id_col).alias("b_id"),
         F.col(vector_col).alias("b_vec"),
     )
-    dropped = (
+    dropped_under = (
         a.join(b, ["cluster"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
@@ -577,10 +648,31 @@ def semantic_dedup(
             >= F.lit(float(sim_threshold))
         )
         .select(F.col("b_id").alias(id_col))
+    )
+    # Over-cap clusters: star policy — each member vs the min-id
+    # representative only. The rep table (cluster, rep id, rep vector)
+    # has ≤ len(centroids) rows: fetch the vectors with one broadcast
+    # equi-join and ride them to every member via a second broadcast.
+    reps = assigned.select(
+        F.col(id_col).alias("__rep"), F.col(vector_col).alias("__rep_vec")
+    ).join(
+        F.broadcast(sizes.filter(F.col("__n") > max_cluster_size)), "__rep"
+    )
+    dropped_over = (
+        assigned.join(F.broadcast(reps), "cluster")
+        .filter(F.col(id_col) != F.col("__rep"))
+        .filter(
+            cosine_similarity(F.col(vector_col), F.col("__rep_vec"))
+            >= F.lit(float(sim_threshold))
+        )
+        .select(F.col(id_col))
+    )
+    dropped = (
+        dropped_under.unionByName(dropped_over)
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
-    return assigned.join(F.broadcast(dropped), id_col, "left").select(
+    return assigned.join(dropped, id_col, "left").select(
         id_col, "cluster", F.col("__dropped").isNull().alias("kept")
     )
 
@@ -599,9 +691,12 @@ def corpus_line_dedup(
     reference has only the per-result content[:50] dedup,
     src/app.py:291-299 — this is the corpus-curation generalization).
 
-    Returns surviving ``(id, line_no, line, n_lines)`` rows; callers
-    aggregate kept/total per document or reassemble the cleaned text
-    with ``array_join(collect_list(...))`` ordered by ``line_no``.
+    Returns surviving ``(id, line_no, line)`` rows; callers reassemble
+    the cleaned text with ``array_join(collect_list(...))`` ordered by
+    ``line_no``, or compute kept/total per document by joining a
+    ``groupBy(id).count()`` over the pre-dedup exploded lines (the
+    total-lines side is per-document, not derivable from survivors —
+    a fully-duplicate document keeps zero rows here).
 
     Scale: ONE shuffle, keyed by the line text (short fixed-token
     strings), and the keep-first policy is a ``min(struct(id, line_no))``
@@ -638,6 +733,7 @@ def dup_span_stats(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Duplicate n-gram SPAN statistics (the detection half of exact
     substring deduplication, Lee et al. 2022, "Deduplicating Training
@@ -649,14 +745,21 @@ def dup_span_stats(
     repetition). Returns per-document ``(id, n_spans, dup_spans,
     dup_frac)`` for documents with at least one full window.
 
-    Scale: no pairwise joins anywhere — the global-count formulation is
-    what makes exact substring-level dedup tractable at 100 TB where
-    pairwise comparison is not. Span occurrences collapse to
-    (doc, span, count) FIRST (count has a map-side partial combine, so
-    within-doc repetition never inflates the shuffle), the corpus-wide
-    count is a sum window over the collapsed rows (per-span row count is
-    then bounded by documents-containing-it, not occurrences), and the
-    per-doc fractions are one final aggregate."""
+    Scale: no pairwise joins on documents anywhere — the global-count
+    formulation is what makes exact substring-level dedup tractable at
+    100 TB where pairwise comparison is not. Span occurrences collapse
+    to (doc, span, count) FIRST (count has a map-side partial combine,
+    so within-doc repetition never inflates the shuffle); the
+    corpus-wide count is then a groupBy(span) SUM joined back on span —
+    NOT a window over span: a window partition cannot be skew-split by
+    AQE, so one ultra-hot boilerplate span (present in millions of
+    documents) would land its whole collapsed row set in a single task,
+    whereas the aggregate partial-combines map-side and the join-back is
+    an ordinary shuffle join AQE splits on skew. ``materialize``
+    snapshots the collapsed (doc, span, count) table once so the explode
+    is not evaluated on both join sides (the staged-materialization
+    practice from ``minhash_near_duplicates``). Per-doc fractions are
+    one final aggregate."""
     toks = _ws_tokens(F.col(text_col))
 
     def per_toks(t: Column) -> Column:
@@ -672,9 +775,11 @@ def dup_span_stats(
     per_doc_span = spans.groupBy(id_col, "span").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    corpus_cnt = F.sum("__c").over(Window.partitionBy("span"))
+    if materialize:
+        per_doc_span = per_doc_span.localCheckpoint(eager=True)
+    span_totals = per_doc_span.groupBy("span").agg(F.sum("__c").alias("__cs"))
     return (
-        per_doc_span.withColumn("__cs", corpus_cnt)
+        per_doc_span.join(span_totals, "span")
         .groupBy(id_col)
         .agg(
             F.sum("__c").alias("n_spans"),

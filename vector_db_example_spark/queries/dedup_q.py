@@ -562,6 +562,12 @@ _SEM_L2SQ = (
 )
 
 
+#: Cluster-size cap pinned in BOTH the Spark call and the oracle below:
+#: the star policy for over-cap clusters is itself hash-checked, so the
+#: capped path stays oracle-exact at every SF, including ones where the
+#: cap actually triggers (operators/dedup.py::semantic_dedup).
+_SEM_CLUSTER_CAP = 1000
+
 @register(
     "dedup_semantic_prune",
     oracle=f"""
@@ -578,13 +584,30 @@ d AS (
   FROM embeddings e CROSS JOIN c
 ),
 a AS (SELECT vec_id, cidx AS cluster FROM d WHERE rn = 1),
+sz AS (
+  SELECT cluster, count(*) AS n, min(vec_id) AS rep FROM a GROUP BY cluster
+),
 dropped AS (
+  -- under-cap clusters: keep-first vs ANY lower-id member
   SELECT DISTINCT y.vec_id AS b_id
   FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN sz ON sz.cluster = x.cluster
   JOIN embeddings ex ON ex.vec_id = x.vec_id
   JOIN embeddings ey ON ey.vec_id = y.vec_id
-  WHERE {_SEM_DOT.format(a='ex.embedding', b='ey.embedding')}
+  WHERE sz.n <= {_SEM_CLUSTER_CAP}
+    AND {_SEM_DOT.format(a='ex.embedding', b='ey.embedding')}
         / (sqrt({_SEM_DOT.format(a='ex.embedding', b='ex.embedding')})
+           * sqrt({_SEM_DOT.format(a='ey.embedding', b='ey.embedding')}))
+        >= 0.4
+  UNION
+  -- over-cap clusters: star policy — vs the min-id representative only
+  SELECT y.vec_id AS b_id
+  FROM a y JOIN sz ON sz.cluster = y.cluster
+  JOIN embeddings er ON er.vec_id = sz.rep
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE sz.n > {_SEM_CLUSTER_CAP} AND y.vec_id <> sz.rep
+    AND {_SEM_DOT.format(a='er.embedding', b='ey.embedding')}
+        / (sqrt({_SEM_DOT.format(a='er.embedding', b='er.embedding')})
            * sqrt({_SEM_DOT.format(a='ey.embedding', b='ey.embedding')}))
         >= 0.4
 )
@@ -619,11 +642,16 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
 ),
+-- per-row unnest(range(...)) mirrors Spark's sequence(): the bound is
+-- derived from each document's own token count, never a fixed cap
 l AS (
   SELECT doc_id, i::INTEGER AS line_no,
          array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
-  FROM t CROSS JOIN generate_series(0, 100000) AS g(i)
-  WHERE i <= greatest((len(toks) - 1) // 8, 0)
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest((len(toks) - 1) // 8, 0) + 1)) AS i
+    FROM t
+  )
 ),
 k AS (
   SELECT doc_id, line_no, line,
@@ -654,10 +682,14 @@ def dedup_line_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
 ),
+-- per-row unnest(range(...)) mirrors Spark's sequence(): the bound is
+-- derived from each document's own token count, never a fixed cap
 s AS (
   SELECT doc_id, array_to_string(toks[i:(i+12)], ' ') AS span
-  FROM t CROSS JOIN generate_series(1, 100000) AS g(i)
-  WHERE len(toks) >= 13 AND i <= len(toks) - 12
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS i
+    FROM t WHERE len(toks) >= 13
+  )
 ),
 c AS (
   SELECT doc_id, span, count(*) OVER (PARTITION BY span) AS cnt FROM s

@@ -353,6 +353,32 @@ def test_dup_span_no_window_skew_splittable(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_minhash_routing_broadcasts_and_no_window(spark):
+    """The count-first bucket routing: the over-cap bucket list (bounded
+    by corpus/cap, tiny by construction) rides BROADCAST joins — the
+    anti-join that strips over-cap buckets from the collect route and
+    the star pass — so the memory bound costs zero extra corpus-scale
+    shuffle joins; and no Window appears anywhere in the pair path."""
+    plan = _plan(QUERIES["dedup_minhash_lsh"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the under-route strip is a broadcast ANTI join, never a shuffle
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "BroadcastHashJoin" in ln for ln in anti_lines
+    ), plan
+
+
+def test_semantic_dedup_no_window_broadcast_routing(spark):
+    """SemDeDup with the cluster cap: sizes/representatives are tiny
+    aggregates over ≤ len(centroids) rows and every routing join
+    (under-cap keys, over-cap reps) is a BroadcastHashJoin; no Window
+    anywhere — the keep policy is join+filter, not a per-cluster sort."""
+    plan = _plan(QUERIES["dedup_semantic_prune"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_nb_classifier_broadcasts_model_tables(spark):
     """The NB 'model' (per-label token counts, label totals, priors,
     vocab size) must reach inference as broadcasts — the corpus-scale

@@ -164,6 +164,44 @@ def test_dup_span_fraction_bounds_and_symmetry(spark, rows):
         assert r["dup_frac"] == 1.0
 
 
+@PROP
+@given(assign=st.lists(st.integers(0, 3), min_size=2, max_size=24))
+def test_minhash_cap_preserves_clique_clusters(spark, assign):
+    """For EXACT-duplicate cliques (identical texts), the star-capped
+    LSH path must recover exactly the same duplicate clusters as the
+    uncapped all-pairs path — via connected components, for ANY cap:
+    identical docs share every band bucket, the star keeps each bucket
+    connected through its min-id hub, and the Jaccard verify passes at
+    1.0 — so the cap reshapes edges but can never split a clique."""
+    from vector_db_example_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    templates = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "iota kappa lambda mu nu xi omicron pi",
+        "rho sigma tau upsilon phi chi psi omega",
+        "one two three four five six seven eight",
+    ]
+    docs = spark.createDataFrame(
+        [(i, templates[t]) for i, t in enumerate(assign)],
+        "doc_id long, text string",
+    )
+    groups: dict[int, list[int]] = {}
+    for i, t in enumerate(assign):
+        groups.setdefault(t, []).append(i)
+    want = {frozenset(ids) for ids in groups.values() if len(ids) > 1}
+    for cap in (2, 10_000):
+        pairs = minhash_near_duplicates(
+            docs, threshold=0.9, max_bucket_size=cap
+        )
+        got: dict[int, set[int]] = {}
+        for r in connected_components(pairs).collect():
+            got.setdefault(r["comp"], set()).add(r["id"])
+        assert {frozenset(v) for v in got.values()} == want, cap
+
+
 def _semantic_corpus(spark):
     """Skewed synthetic corpus for the cluster-cap tests: one degenerate
     cluster holding a 120-member identical-vector clique (ids 100-219,

@@ -420,6 +420,29 @@ def test_knn_batch_arrow_equals_expr_both_metrics(spark):
         assert ra == rb, f"metric={metric}"
 
 
+def test_knn_batch_rejects_reserved_column_names(spark):
+    """A corpus or query-meta column named distance/score/rank would
+    either collide in the arrow path's final select or be silently
+    overwritten by the expr path's withColumn — knn_batch must refuse it
+    up front with a clear message instead."""
+    import pytest
+
+    from vector_db_example_spark.operators.knn import knn_batch
+    from vector_db_example_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="reserved|collide"):
+        knn_batch(emb.withColumn("score", F.lit(1.0)), queries, k=3)
+    with pytest.raises(ValueError, match="reserved|collide"):
+        knn_batch(emb, queries.withColumn("rank", F.lit(1)), k=3)
+
+
 def test_knn_batch_empty_queries_column_order(spark):
     """The empty-query fallback must present the SAME column order as
     the arrow path (query_id, id, distance, score, meta..., rank,

@@ -489,19 +489,24 @@ def ivf_search_batch(
 
     from ..functions.vector import score_from_distance
 
+    # Output schema derived ONCE (footer-only read) and shared by the
+    # empty-batch fallback, the kernel's mapInPandas contract, and the
+    # final select — empty and non-empty batches cannot drift apart.
+    id_col, vector_col = index.id_col, index.vector_col
+    id_type = (
+        spark.read.parquet(index.path).schema[id_col].dataType.simpleString()
+    )
+    kernel_schema = f"query_id long, `{id_col}` {id_type}, distance double"
+    out_cols = ["query_id", id_col, "distance", "score", "rank"]
+
     probe_rows = []
     qid_list: list[int] = []
     qvec_list: list[np.ndarray] = []
     if not queries:
         # np.vstack([]) below would raise; mirror knn_batch's empty-query
         # fallback and return an empty frame with the output schema.
-        id_type = (
-            spark.read.parquet(index.path).schema[index.id_col].dataType.simpleString()
-        )
         return spark.createDataFrame(
-            [],
-            f"query_id long, `{index.id_col}` {id_type}, "
-            "distance double, score double, rank int",
+            [], kernel_schema + ", score double, rank int"
         )
     if len({qid for qid, _ in queries}) != len(queries):
         raise ValueError("duplicate query ids in batch")
@@ -521,7 +526,6 @@ def ivf_search_batch(
     dim = Q.shape[1]
     qids_arr = np.asarray(qid_list, dtype=np.int64)
 
-    id_col, vector_col = index.id_col, index.vector_col
     corpus = spark.read.parquet(index.path).filter(F.col("cell_id").isin(all_cells))
 
     # Distance block as an Arrow kernel (NOT a zip_with expression —
@@ -558,17 +562,16 @@ def ivf_search_batch(
                     }
                 )
 
-    id_type = corpus.schema[id_col].dataType.simpleString()
     cand = corpus.select("cell_id", id_col, vector_col).mapInPandas(
-        _distances, f"query_id long, `{id_col}` {id_type}, distance double"
+        _distances, kernel_schema
     ).withColumn("score", score_from_distance("distance"))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc(), F.col(index.id_col).asc()
+        F.col("distance").asc(), F.col(id_col).asc()
     )
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", index.id_col, "distance", "score", "rank")
+        .select(*out_cols)
     )
 
 

@@ -169,12 +169,18 @@ def minhash_near_duplicates(
     ``materialize`` snapshots the shingle table before fan-out: it feeds
     three consumers (the signature pass and both sides of the Jaccard
     verify join), and Spark does not share subplans across a join, so an
-    unmaterialized plan re-shingles the corpus three times. This is the
-    staged-materialization practice of production dedup pipelines — at
-    cluster scale the same role is played by writing the shingle/signature
-    table to storage once (localCheckpoint is the in-session form; it
-    costs a recompute on executor loss, which a real pipeline avoids by
-    checkpointing to reliable storage).
+    unmaterialized plan re-shingles the corpus three times. The narrow
+    banded (id, band, key) table is snapshotted too — the count-first
+    routing reads it three times (size aggregate, under route, star
+    route). This is the staged-materialization practice of production
+    dedup pipelines — at cluster scale the same role is played by
+    writing the shingle/signature table to storage once (localCheckpoint
+    is the in-session form; it costs a recompute on executor loss, which
+    a real pipeline avoids by checkpointing to reliable storage).
+    ``materialize=False`` keeps the plan pure-lazy (no jobs at call
+    time) at the price of re-evaluating the shingle AND signature
+    subtrees once per consumer — use it only for plan inspection or
+    trivially small inputs.
     """
     rows_per_band = n_hashes // bands
     base = df.select(
@@ -623,10 +629,14 @@ def semantic_dedup(
         assigned = assigned.localCheckpoint(eager=True)
     # (cluster, size, min-id representative): row count ≤ len(centroids),
     # and count/min both partial-combine map-side — skew-immune however
-    # degenerate the cluster.
+    # degenerate the cluster. Snapshotted so its TWO consumers below
+    # (under-cap key route, over-cap rep route) don't each re-scan the
+    # corpus-scale assigned table to rebuild the same tiny aggregate.
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
     )
+    if materialize:
+        sizes = sizes.localCheckpoint(eager=True)
     under_keys = F.broadcast(
         sizes.filter(F.col("__n") <= max_cluster_size).select("cluster")
     )

@@ -98,7 +98,10 @@ def knn_batch(
     OTHER query columns ride along and appear in the output (so callers
     with per-query metadata — priority, fetch size, labels — never need
     a second join against the query table); their names must not collide
-    with corpus columns. One corpus scan computes all distances;
+    with corpus columns, and neither side may use the reserved output
+    names ``distance``/``score``/``rank`` (validated up front — a
+    collision would otherwise corrupt or break the final projection).
+    One corpus scan computes all distances;
     ``row_number`` over (query, distance) keeps k per query.
 
     ``impl="arrow"`` (default) computes the n×q distance block as an
@@ -126,6 +129,19 @@ def knn_batch(
     """
     if metric not in ("l2", "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
+    # the generated output columns are reserved: a corpus/meta column
+    # with one of these names would either collide in the final select
+    # (arrow path) or be silently overwritten by withColumn (expr path)
+    reserved = {"distance", "score", "rank"} & (
+        set(corpus.columns)
+        | {c for c in queries.columns if c != query_vector_col}
+    )
+    if reserved:
+        raise ValueError(
+            f"corpus/query columns {sorted(reserved)} collide with "
+            "knn_batch's generated output columns (distance, score, rank) "
+            "— rename them before searching"
+        )
     if impl == "expr":
         return _knn_batch_expr(
             corpus, queries, k, vector_col, query_vector_col, query_id_col,

@@ -633,7 +633,11 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = _query_vecs(spark, sf_dir, _SEM_CENTROID_IDS)
     centroids = [vecs[i] for i in sorted(_SEM_CENTROID_IDS)]
-    return semantic_dedup(emb, centroids, sim_threshold=0.4)
+    # cap passed EXPLICITLY so the call site pins the same constant the
+    # oracle encodes — retuning the operator default cannot desync them
+    return semantic_dedup(
+        emb, centroids, sim_threshold=0.4, max_cluster_size=_SEM_CLUSTER_CAP
+    )
 
 
 @register(

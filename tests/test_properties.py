@@ -165,6 +165,83 @@ def test_dup_span_fraction_bounds_and_symmetry(spark, rows):
 
 
 @PROP
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=40
+    )
+)
+def test_exact_percentile_matches_numpy_type7(spark, vals):
+    """The exact-quantile anchor's claim that Spark's percentile is
+    type-7 linear interpolation, checked against numpy independently of
+    the DuckDB oracle (rel 1e-12 — numpy's lerp reassociates the last
+    bit for t≥0.5; DuckDB parity is the bit-exact bar)."""
+    import math
+
+    import numpy as np
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    row = df.agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.percentile("value", 0.95).alias("p95"),
+    ).collect()[0]
+    arr = np.asarray([float(v) for v in vals], dtype=np.float64)
+    for p, name in ((25, "p25"), (50, "p50"), (75, "p75"), (95, "p95")):
+        want = float(np.percentile(arr, p, method="linear"))
+        assert math.isclose(row[name], want, rel_tol=1e-12, abs_tol=1e-12), (
+            name,
+            row[name],
+            want,
+        )
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 20)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_retention_cohort_invariants(spark, events, tmp_path_factory):
+    """Cohort-retention triangle invariants for ANY event log: every
+    cohort has a day_offset-0 row whose active_users equals the cohort's
+    user count (first activity defines the cohort), no negative offsets,
+    and no later offset exceeds the cohort size (retention never exceeds
+    100%)."""
+    import datetime
+
+    from vector_db_example_spark.queries.events_q import events_retention_cohorts
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(days=d, hours=u % 24))
+        for u, d in events
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("retention"))
+    spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    out = events_retention_cohorts(spark, sf_dir).collect()
+    first_day = {}
+    for u, d in events:
+        first_day[u] = min(first_day.get(u, d), d)
+    cohort_sizes = {}
+    for u, d0 in first_day.items():
+        key = (base + datetime.timedelta(days=d0)).strftime("%Y-%m-%d")
+        cohort_sizes[key] = cohort_sizes.get(key, 0) + 1
+    day0 = {
+        r["cohort_date"]: r["active_users"] for r in out if r["day_offset"] == 0
+    }
+    assert day0 == cohort_sizes
+    for r in out:
+        assert r["day_offset"] >= 0
+        assert 1 <= r["active_users"] <= cohort_sizes[r["cohort_date"]]
+
+
+@PROP
 @given(assign=st.lists(st.integers(0, 3), min_size=2, max_size=24))
 def test_minhash_cap_preserves_clique_clusters(spark, assign):
     """For EXACT-duplicate cliques (identical texts), the star-capped

@@ -353,6 +353,29 @@ def test_dup_span_no_window_skew_splittable(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_retention_cohorts_no_join_two_exchanges(spark):
+    """The cohort-retention triangle is TWO shuffles and NO join: one
+    user-keyed groupBy computes cohort date and distinct active days
+    together, then the exploded (cohort, offset) pairs aggregate. The
+    obvious first-activity-table-joined-back form would shuffle the raw
+    event log twice AND join it — this pins that we never regress to
+    it."""
+    plan = _plan(QUERIES["events_retention_cohorts"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_count_min_sketch_partial_combine(spark):
+    """The CMS build's shuffle is sketch-sized regardless of corpus: the
+    (row, col) counter aggregate partial-combines map-side, so each
+    input partition ships ≤ depth×width rows — pinned by the
+    partial_sum/partial-count before the Exchange; no join, no window
+    in the sketch path."""
+    plan = _plan(QUERIES["agg_count_min_heavy_hitters"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "partial_" in plan, plan
+
+
 def test_minhash_routing_broadcasts_and_no_window(spark):
     """The count-first bucket routing: the over-cap bucket list (bounded
     by corpus/cap, tiny by construction) rides BROADCAST joins — the

@@ -370,6 +370,28 @@ def test_corpus_line_dedup_keeps_global_first(spark):
     }
 
 
+def test_line_dedup_kept_stats_includes_zero_survivor_docs(spark):
+    from vector_db_example_spark.operators.dedup import line_dedup_kept_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y"),  # both lines globally first
+            (2, "a b c d e f g h"),      # fully duplicate: zero survivors
+            (3, "x y"),                  # fully duplicate: zero survivors
+            (4, "a b c d e f g h p q"),  # first line dup of doc 1, "p q" unique
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup_kept_stats(docs, 8).collect()}
+    # every input document gets a row — including the zero-survivor ones,
+    # which the survivor set alone cannot produce
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].n_lines, out[1].kept_lines, out[1].kept_frac) == (2, 2, 1.0)
+    assert (out[2].n_lines, out[2].kept_lines, out[2].kept_frac) == (1, 0, 0.0)
+    assert (out[3].n_lines, out[3].kept_lines, out[3].kept_frac) == (1, 0, 0.0)
+    assert (out[4].n_lines, out[4].kept_lines, out[4].kept_frac) == (2, 1, 0.5)
+
+
 def test_dup_span_stats_fraction_bounds(spark):
     from vector_db_example_spark.operators.dedup import dup_span_stats
 

@@ -738,6 +738,51 @@ def corpus_line_dedup(
     )
 
 
+def line_dedup_kept_stats(
+    docs: DataFrame,
+    tokens_per_line: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document survival statistics for ``corpus_line_dedup``: one row
+    per input document with ``(id, n_lines, kept_lines, kept_frac)`` —
+    the curation-report side of C4-style line dedup (how much of each
+    document is corpus-globally novel). Documents whose every line first
+    occurred elsewhere keep zero rows in the survivor set, so the totals
+    side must come from the PRE-dedup corpus; this is the join-back
+    pattern the ``corpus_line_dedup`` docstring describes, packaged.
+
+    Scale: the totals side is ``size(token_windows(text))`` — a per-row
+    expression, NO second explode and no aggregation, because
+    ``token_windows`` always yields >=1 window so the array length IS the
+    exploded line count. Survivor counts reuse the one line-keyed shuffle
+    inside ``corpus_line_dedup`` plus a per-document count (map-side
+    partial combine on a unique-ish key — skew-free). The final join is
+    keyed by the unique document id, which AQE handles like any ordinary
+    equi-join."""
+    totals = docs.select(
+        F.col(id_col),
+        F.size(token_windows(F.col(text_col), tokens_per_line))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    kept = (
+        corpus_line_dedup(docs, tokens_per_line, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("kept_lines"))
+    )
+    zero = F.lit(0).cast("long")
+    return totals.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.col("kept_lines"), zero).alias("kept_lines"),
+        (
+            F.coalesce(F.col("kept_lines"), zero).cast("double")
+            / F.col("n_lines").cast("double")
+        ).alias("kept_frac"),
+    )
+
+
 def dup_span_stats(
     docs: DataFrame,
     n: int = 13,

@@ -681,6 +681,50 @@ def dedup_line_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_line_kept_fraction",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+l AS (
+  SELECT doc_id, i::INTEGER AS line_no,
+         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest((len(toks) - 1) // 8, 0) + 1)) AS i
+    FROM t
+  )
+),
+k AS (
+  SELECT doc_id, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM l
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+kpt AS (SELECT doc_id, count(*) AS kept_lines FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_lines,
+       coalesce(kpt.kept_lines, 0) AS kept_lines,
+       coalesce(kpt.kept_lines, 0)::DOUBLE / tot.n_lines::DOUBLE AS kept_frac
+FROM tot LEFT JOIN kpt ON kpt.doc_id = tot.doc_id
+""",
+    tags=("dedup", "c4", "line-level", "training-data", "curation-report"),
+)
+def dedup_line_kept_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation report for the C4-style line dedup: per document, how
+    many of its 8-token lines survive corpus-global keep-first dedup —
+    including zero-survivor documents, which the survivor set alone
+    cannot produce (their totals come from the pre-dedup side of a left
+    join). Exercises the documented ``corpus_line_dedup`` caller pattern
+    end-to-end with every count and fraction hash-checked
+    (operators/dedup.py::line_dedup_kept_stats for the no-second-explode
+    totals shape)."""
+    from ..operators.dedup import line_dedup_kept_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup_kept_stats(docs, tokens_per_line=8)
+
+
+@register(
     "dedup_dup_span_fraction",
     oracle=r"""
 WITH t AS (

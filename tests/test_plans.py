@@ -336,6 +336,17 @@ def test_line_dedup_single_exchange_partial_agg(spark):
     assert "Window" not in plan, plan
 
 
+def test_line_kept_stats_single_explode(spark):
+    """The survival report's totals side is size(token_windows(text)) —
+    a per-row expression, so the whole query contains exactly ONE
+    Generate (the explode inside corpus_line_dedup). A totals side that
+    re-exploded the corpus would double the scan's fan-out cost for a
+    number the array length already provides."""
+    plan = _plan(QUERIES["dedup_line_kept_fraction"].fn(spark, SF_SMOKE))
+    assert plan.count("Generate") == 1, plan
+    assert "Window" not in plan, plan
+
+
 def test_dup_span_no_window_skew_splittable(spark):
     """Span stats: occurrences collapse to (doc, span, count) with a
     partial-combining aggregate, then the corpus-wide span count is a

@@ -143,6 +143,30 @@ def test_corpus_line_dedup_idempotent_and_distinct(spark, rows):
 
 
 @PROP
+@given(rows=st.lists(texts, min_size=1, max_size=10))
+def test_line_kept_stats_consistent_with_survivors(spark, rows):
+    """The survival report agrees with the survivor set on any corpus:
+    one row per input document, sum(kept_lines) == |survivors|,
+    0 <= kept <= total, and the corpus-wide kept fraction is < 1 exactly
+    when some line was deduplicated away."""
+    from vector_db_example_spark.operators.dedup import (
+        corpus_line_dedup,
+        line_dedup_kept_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+    stats = line_dedup_kept_stats(docs, tokens_per_line=4).collect()
+    survivors = corpus_line_dedup(docs, tokens_per_line=4).count()
+    assert len(stats) == len(rows)  # every doc reports, even zero-kept
+    assert sum(r.kept_lines for r in stats) == survivors
+    for r in stats:
+        assert 0 <= r.kept_lines <= r.n_lines
+        assert r.kept_frac == r.kept_lines / r.n_lines
+
+
+@PROP
 @given(rows=st.lists(texts, min_size=1, max_size=8))
 def test_dup_span_fraction_bounds_and_symmetry(spark, rows):
     """0 ≤ dup_frac ≤ 1; duplicating the whole corpus drives every doc's

@@ -489,13 +489,15 @@ def ivf_search_batch(
 
     from ..functions.vector import score_from_distance
 
-    # Output schema derived ONCE (footer-only read) and shared by the
+    # ONE read of the layout, reused for the schema probe (footer-only
+    # at analysis time) AND the pruned corpus scan below — a second
+    # spark.read.parquet would re-list the layout's cell directories on
+    # the search hot path. The derived output schema is shared by the
     # empty-batch fallback, the kernel's mapInPandas contract, and the
     # final select — empty and non-empty batches cannot drift apart.
     id_col, vector_col = index.id_col, index.vector_col
-    id_type = (
-        spark.read.parquet(index.path).schema[id_col].dataType.simpleString()
-    )
+    layout = spark.read.parquet(index.path)
+    id_type = layout.schema[id_col].dataType.simpleString()
     kernel_schema = f"query_id long, `{id_col}` {id_type}, distance double"
     out_cols = ["query_id", id_col, "distance", "score", "rank"]
 
@@ -526,7 +528,7 @@ def ivf_search_batch(
     dim = Q.shape[1]
     qids_arr = np.asarray(qid_list, dtype=np.int64)
 
-    corpus = spark.read.parquet(index.path).filter(F.col("cell_id").isin(all_cells))
+    corpus = layout.filter(F.col("cell_id").isin(all_cells))
 
     # Distance block as an Arrow kernel (NOT a zip_with expression —
     # higher-order lambdas are interpreted per element; SCALING.md

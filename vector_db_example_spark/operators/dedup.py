@@ -214,6 +214,13 @@ def minhash_near_duplicates(
         .filter(F.col("__n") > max_bucket_size)
         .select("band", "key", "__rep")
     )
+    # `over` feeds TWO broadcast joins below with different projections,
+    # which defeats ReuseExchange — unsnapshotted, the corpus-scale
+    # count/min aggregate over `banded` would execute once per consumer.
+    # The table itself is the tiny over-cap bucket list, so the snapshot
+    # is cheap.
+    if materialize:
+        over = over.localCheckpoint(eager=True)
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(

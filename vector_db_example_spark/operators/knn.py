@@ -142,6 +142,19 @@ def knn_batch(
             "knn_batch's generated output columns (distance, score, rank) "
             "— rename them before searching"
         )
+    # query-side columns must also not collide with corpus-side output
+    # columns (the corpus id, and every payload column when
+    # with_payload=True): the duplicate would surface as an
+    # AMBIGUOUS_REFERENCE deep in the final projection instead of a
+    # clear error here — e.g. a query table built FROM the corpus that
+    # still carries the corpus id column as metadata
+    corpus_out = {id_col} | (set(corpus.columns) if with_payload else set())
+    clash = corpus_out & {c for c in queries.columns if c != query_vector_col}
+    if clash:
+        raise ValueError(
+            f"query columns {sorted(clash)} collide with corpus output "
+            "columns — rename them on the query side before searching"
+        )
     if impl == "expr":
         return _knn_batch_expr(
             corpus, queries, k, vector_col, query_vector_col, query_id_col,

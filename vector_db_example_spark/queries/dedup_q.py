@@ -640,14 +640,14 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_line_first_occurrence",
-    oracle=r"""
-WITH t AS (
+# The 8-token line derivation, shared by BOTH line-dedup oracles below so
+# the two cannot silently diverge (one edit point — the
+# generate_series→range bound rewrite had to touch every copy). The
+# per-row unnest(range(...)) mirrors Spark's sequence(): the bound is
+# derived from each document's own token count, never a fixed cap.
+_LINE8_CTES = r"""t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
 ),
--- per-row unnest(range(...)) mirrors Spark's sequence(): the bound is
--- derived from each document's own token count, never a fixed cap
 l AS (
   SELECT doc_id, i::INTEGER AS line_no,
          array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
@@ -656,7 +656,13 @@ l AS (
            unnest(range(0, greatest((len(toks) - 1) // 8, 0) + 1)) AS i
     FROM t
   )
-),
+)"""
+
+
+@register(
+    "dedup_line_first_occurrence",
+    oracle=f"""
+WITH {_LINE8_CTES},
 k AS (
   SELECT doc_id, line_no, line,
          row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
@@ -682,19 +688,8 @@ def dedup_line_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_line_kept_fraction",
-    oracle=r"""
-WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-),
-l AS (
-  SELECT doc_id, i::INTEGER AS line_no,
-         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
-  FROM (
-    SELECT doc_id, toks,
-           unnest(range(0, greatest((len(toks) - 1) // 8, 0) + 1)) AS i
-    FROM t
-  )
-),
+    oracle=f"""
+WITH {_LINE8_CTES},
 k AS (
   SELECT doc_id, line,
          row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn

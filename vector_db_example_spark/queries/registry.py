@@ -47,8 +47,10 @@ QUERIES: dict[str, Query] = {}
 #:    stay anchored), and twelve r01+r04 two-green anchors.
 #:
 #: ROUND-6 ROTATION PLAN (execute once CORRECTNESS_r05 lands):
-#: 1. Any remaining zero-row registrations rotate to the front (none
-#:    exist at freeze time; applies to queries added mid-round-5).
+#: 1. Any remaining zero-row registrations rotate to the front — at
+#:    freeze time that is dedup_line_kept_fraction (registered
+#:    mid-round-5, held in DRIVER_EXCLUDED until this rotation exactly
+#:    like the mid-round-4 block was).
 #: 2. The r03-first-green block (18 entries) and the r01-backlog
 #:    two-green anchors become excludable (2+ green rounds each);
 #:    rotate out enough to fit, keeping one anchor per family:
@@ -225,6 +227,12 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
+        # --- registered mid-round-5 AFTER the r5 surface froze: held out
+        # so the driver surface stays exactly 50 (the driver stops at
+        # ~50, so entry 51 would silently never get a verdict while
+        # appearing surfaced); rotates to the FRONT in round 6 per plan
+        # rule 1 above. Oracle-checked locally like every entry.
+        "dedup_line_kept_fraction",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

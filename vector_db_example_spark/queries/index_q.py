@@ -541,3 +541,59 @@ def vector_ivf_filtered_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "vec_id", "label", F.round("distance", 6).alias("distance")
     )
+
+
+@register(
+    "vector_ivf_delete_compact_parity",
+    # victims are the query's OWN top-3 — closed-form at any scale
+    # factor, so the oracle needs no pinned id constants and the deletes
+    # provably change the undeleted answer
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+d AS (
+  SELECT e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+victims AS (SELECT vec_id FROM d ORDER BY dist, vec_id LIMIT 3)
+SELECT vec_id, round(dist, 6) AS distance
+FROM d WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "ivf", "index", "maintenance", "compaction"),
+)
+def vector_ivf_delete_compact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF layout's full MAINTENANCE lifecycle, hash-checked — the
+    vector twin of text_inverted_compaction_parity: build on 70% of the
+    embeddings → append the rest → tombstone-delete the query's own
+    top-3 neighbors (deletion vectors, index/ivf.py::ivf_delete_lazy) →
+    offline compaction (refits centroids over the live corpus, folds the
+    deletion vectors in, write-new-then-swap) → exhaustive-probe search
+    from the COMPACTED layout. The oracle is brute force over the corpus
+    minus its own top-3: exact parity states that after arbitrary
+    append/delete/compact history the index answers as if freshly built
+    on the live vectors — the invariant that makes online maintenance
+    safe at 100 TB."""
+    import shutil
+
+    from ..index.ivf import compact_ivf_index, ivf_append, ivf_delete_lazy
+
+    tag = hashlib.md5(f"{sf_dir}|ivfmaint".encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_ivfmaint_{tag}"
+    # fresh layout every run: the query IS the maintenance history, so
+    # stale tombstones/cells from a prior run must not leak in
+    shutil.rmtree(base, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 11)
+    index = build_ivf_index(
+        emb.filter(F.col("vec_id") % 10 < 7), f"{base}/idx", nlist=8
+    )
+    ivf_append(index, emb.filter(F.col("vec_id") % 10 >= 7))
+    victims = [
+        r.vec_id
+        for r in ivf_search(spark, index, qv, k=3, nprobe=8).collect()
+    ]
+    ivf_delete_lazy(spark, index, victims)
+    compacted = compact_ivf_index(spark, index, f"{base}/compacted")
+    hits = ivf_search(spark, compacted, qv, k=10, nprobe=8)
+    return hits.select("vec_id", F.round("distance", 6).alias("distance"))

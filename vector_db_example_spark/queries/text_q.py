@@ -1101,3 +1101,45 @@ def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(est, "t")
         .select(F.col("t").alias("token"), "exact_count", "cms_estimate")
     )
+
+
+@register(
+    "text_chapter_parse_roundtrip",
+    # each synthetic chapter holds two documents' texts as its content
+    # lines; the corpus is single-line and marker-free (verified: no
+    # newlines, no 章 characters), so the parse must recover exactly
+    # (chapter k) -> docs 2k and 2k+1
+    oracle="""
+SELECT '第一章 ' || (doc_id // 2)::VARCHAR AS chapter,
+       trim(text) AS content
+FROM documents
+WHERE doc_id < 20 AND trim(text) <> ''
+""",
+    tags=("text", "chapter", "source", "parse"),
+)
+def text_chapter_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pasted-text chapter parser (S7 + the F6 header
+    regex, src/app.py:549-599), hash-checked end to end: assemble a
+    pasted corpus from the first 20 documents — a 第一章-marked header
+    every two documents, the documents' texts as content lines — then
+    parse it back into (chapter, content) rows with the distributed
+    last-seen-header window (sources/csv_source.py::parse_chapter_text).
+    The oracle states the roundtrip directly: every content line must
+    land under the header written two-docs back, which exercises header
+    detection, line stripping, empty-line dropping, and the
+    unbounded-preceding assignment window against real corpus text."""
+    from ..sources.csv_source import parse_chapter_text
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    lines: list[str] = []
+    for d in docs:
+        if d.doc_id % 2 == 0:
+            lines.append(f"第一章 {d.doc_id // 2}")
+        lines.append(d.text)
+    return parse_chapter_text(spark, "\n".join(lines))

@@ -597,3 +597,63 @@ def vector_ivf_delete_compact_parity(spark: SparkSession, sf_dir: str) -> DataFr
     compacted = compact_ivf_index(spark, index, f"{base}/compacted")
     hits = ivf_search(spark, compacted, qv, k=10, nprobe=8)
     return hits.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@register(
+    "vector_lsh_delete_parity",
+    # same self-parametrizing victim set as the IVF maintenance twin:
+    # the query's own top-3 under the full-radius (exact) probe
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 21),
+d AS (
+  SELECT e.vec_id, e.label,
+         1.0 - ({_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')}))) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+victims AS (SELECT vec_id FROM d ORDER BY dist, vec_id LIMIT 3)
+SELECT vec_id, label, round(dist, 6) + 0.0 AS distance
+FROM d WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "lsh", "index", "maintenance"),
+)
+def vector_lsh_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH layout's maintenance lifecycle, hash-checked — completing
+    the lifecycle-parity trio (inverted: text_inverted_compaction_parity;
+    IVF: vector_ivf_delete_compact_parity): build on 70% of the
+    embeddings → append the rest (hyperplanes fixed, no refit) →
+    per-bucket-rewrite delete of the query's own top-3
+    (index/lsh.py::lsh_delete touches only the victims' bucket
+    directories) → full-radius search must equal brute-force cosine
+    top-k over the corpus minus those top-3. No compaction step exists
+    for LSH by design — deletes rewrite eagerly, so the search plan
+    stays join-free, which this parity also witnesses."""
+    import shutil
+
+    from ..index.lsh import build_lsh_layout, lsh_append, lsh_delete, lsh_layout_search
+    from .vector_q import DIM
+
+    tag = hashlib.md5(f"{sf_dir}|lshmaint".encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_lshmaint_{tag}"
+    # fresh layout every run: the query IS the maintenance history
+    shutil.rmtree(base, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 21)
+    index = build_lsh_layout(
+        emb.filter(F.col("vec_id") % 10 < 7), f"{base}/idx", dim=DIM, n_planes=8
+    )
+    lsh_append(index, emb.filter(F.col("vec_id") % 10 >= 7))
+    victims = [
+        r.vec_id
+        for r in lsh_layout_search(
+            spark, index, qv, k=3, probe_radius=index.n_planes
+        ).collect()
+    ]
+    lsh_delete(spark, index, victims)
+    hits = lsh_layout_search(spark, index, qv, k=10, probe_radius=index.n_planes)
+    return hits.select(
+        "vec_id", "label", (F.round("distance", 6) + F.lit(0.0)).alias("distance")
+    )

@@ -391,3 +391,59 @@ def stream_cms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+from .vector_q import _l2_sql as _l2  # noqa: E402  (one-directional dep)
+
+
+@register(
+    "stream_ivf_ingest_search_parity",
+    # the streamed layout must answer EXACTLY like brute force over the
+    # whole corpus: seed (30%) and stream (70%) are disjoint by the
+    # vec_id mod split, so integrity failures (lost/duplicated/corrupted
+    # streamed rows) break the hash
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 33),
+d AS (
+  SELECT e.vec_id, e.label, {_l2('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, label, round(dist, 6) AS distance
+FROM d ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("streaming", "vector", "ivf", "ingest"),
+)
+def stream_ivf_ingest_search_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest INTO the ANN layout, hash-checked end to end:
+    build the IVF layout on 30% of the embeddings (centroids train on
+    the seed), replay the other 70% through the Structured Streaming
+    ingest (micro-batched nearest-centroid assignment + cell-partitioned
+    append, streaming/ingest.py::stream_ingest_embeddings_into_ivf),
+    then an exhaustive-probe search must equal brute-force L2 top-10
+    over the WHOLE corpus — the log-to-index pipeline answering as if
+    freshly built on everything it has ever ingested. Selective ingest
+    uses the ``where`` predicate, pushed onto the streaming scan."""
+    from ..index.ivf import build_ivf_index, ivf_search
+    from ..sources.tables import load_table
+    from ..streaming.ingest import stream_ingest_embeddings_into_ivf
+    from .vector_q import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 33)
+    work = tempfile.mkdtemp(prefix="stream_ivf_")
+    try:
+        index = build_ivf_index(
+            emb.filter(F.col("vec_id") % 10 < 3), f"{work}/idx", nlist=8
+        )
+        stream_ingest_embeddings_into_ivf(
+            spark, sf_dir, index, checkpoint_path=f"{work}/ckpt",
+            where=F.col("vec_id") % 10 >= 3,
+        )
+        hits = ivf_search(spark, index, qv, k=10, nprobe=8)
+        out = hits.select(
+            "vec_id", "label", F.round("distance", 6).alias("distance")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -16,7 +16,7 @@ the model is cached per worker process (functions/embedding.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -94,6 +94,7 @@ def stream_ingest_embeddings_into_ivf(
     sf_dir: str,
     index,
     checkpoint_path: str,
+    where: Column | None = None,
 ) -> int:
     """Continuous ingest INTO the ANN index layout: each micro-batch of
     vectors is assigned to its nearest existing centroid (the build
@@ -119,7 +120,12 @@ def stream_ingest_embeddings_into_ivf(
     a digest of the checkpoint path: a second ingest run with a fresh
     checkpoint (new source data) into the same index starts again at
     batch 0 and must NOT be swallowed by a stale marker from an earlier
-    run."""
+    run.
+
+    ``where`` is an optional row predicate on the stream (selective
+    ingest — e.g. only the rows not already in the seed layout); it
+    lands on the streaming source scan, where Catalyst pushes it down
+    like any batch filter."""
     import hashlib
     import os
 
@@ -151,6 +157,8 @@ def stream_ingest_embeddings_into_ivf(
         .option("pathGlobFilter", "embeddings.parquet")
         .load(sf_dir)
     )
+    if where is not None:
+        stream = stream.filter(where)
     q = (
         stream.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", checkpoint_path)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -447,3 +448,51 @@ def _install_maxsim_layout_oracle() -> None:
 
 
 _install_maxsim_layout_oracle()
+
+
+@register(
+    "pipeline_single_insert_validation",
+    # accepted = the 5 seed docs (their text is long and survives
+    # cleaning); rejected = the empty-chapter and too-short probes. The
+    # cleaning SQL mirrors functions/text.clean_content exactly (strip
+    # non-text chars, collapse whitespace, trim).
+    oracle=r"""
+SELECT 'ch' || doc_id::VARCHAR AS chapter,
+       trim(regexp_replace(regexp_replace(text,
+            '[^\w一-鿿\s.,!?;:，。！？；：]', '', 'g'), '\s+', ' ', 'g')) AS content,
+       2::BIGINT AS n_rejected
+FROM documents WHERE doc_id < 5
+""",
+    tags=("pipeline", "catalog", "S6", "validation"),
+)
+def pipeline_single_insert_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — the validated single-row insert path (reference
+    insert_knowledge, src/app.py:409-436), hash-checked: five documents
+    inserted one at a time through the full non-empty check → F1
+    cleaning → P4 min-length gate → S5 append, plus two probes that
+    MUST be rejected (blank chapter; content under the length floor
+    after cleaning). The collection's final contents and the reject
+    count are both stated by the oracle — engine-assigned ids are
+    excluded from the result because auto_id is opaque by contract."""
+    tag = hashlib.md5(f"{sf_dir}|s6".encode()).hexdigest()[:8]
+    root = f"/tmp/spark_graft_cat1_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = CollectionCatalog(spark, root=root)
+    cat.create("kb1", dim=16, force_recreate=True)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rejected = 0
+    for d in docs:
+        ok, _ = cat.insert_one("kb1", f"ch{d.doc_id}", d.text)
+        assert ok
+    for chapter, content in (("", "this content is long enough"), ("c", "short")):
+        ok, _ = cat.insert_one("kb1", chapter, content)
+        rejected += 0 if ok else 1
+    return cat.read("kb1").select(
+        "chapter", "content", F.lit(rejected).cast("long").alias("n_rejected")
+    )

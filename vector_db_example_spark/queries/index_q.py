@@ -657,3 +657,77 @@ def vector_lsh_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "vec_id", "label", (F.round("distance", 6) + F.lit(0.0)).alias("distance")
     )
+
+
+@register(
+    "vector_manifest_rollback_parity",
+    # two serving states, one result: v2 (rewrite-published without the
+    # query's top-3) then rollback to v1 (full corpus). Both halves are
+    # brute-force-stated, so the hash breaks if publish/rollback resolve
+    # the wrong path OR if v1's directory was mutated in between.
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+d AS (
+  SELECT e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+victims AS (SELECT vec_id FROM d ORDER BY dist, vec_id LIMIT 3),
+v2 AS (
+  SELECT 'v2' AS serving, vec_id, round(dist, 6) AS distance
+  FROM d WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+  ORDER BY dist, vec_id LIMIT 10
+),
+v3 AS (
+  SELECT 'v3_rollback' AS serving, vec_id, round(dist, 6) AS distance
+  FROM d ORDER BY dist, vec_id LIMIT 10
+)
+SELECT * FROM v2 UNION ALL SELECT * FROM v3
+""",
+    tags=("vector", "ivf", "index", "manifest", "serving"),
+)
+def vector_manifest_rollback_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned serving pointer (index/manifest.py), hash-checked
+    through real searches: publish v1 (full corpus layout), publish v2
+    (a REWRITE without the query's top-3 — never-mutate-in-place, so
+    v1's directory stays bit-frozen), search what ``current`` serves,
+    then ``rollback(1)`` and search again. v2 must answer brute force
+    minus the victims; the rollback must answer brute force over the
+    FULL corpus — which only holds if the pointer resolves correctly
+    AND v1 was truly immutable while v2 was being served. History stays
+    append-only: the rollback is version 3, not an erase of version 2."""
+    import shutil
+
+    from ..index.manifest import current, publish, rollback
+
+    tag = hashlib.md5(f"{sf_dir}|manifest".encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_manifest_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 11)
+
+    v1 = build_ivf_index(emb, f"{base}/layout_v1", nlist=8)
+    publish(base, "serving", v1.path)
+    victims = [
+        r.vec_id for r in ivf_search(spark, v1, qv, k=3, nprobe=8).collect()
+    ]
+    v2 = build_ivf_index(
+        emb.filter(~F.col("vec_id").isin(victims)), f"{base}/layout_v2", nlist=8
+    )
+    publish(base, "serving", v2.path)
+
+    def _serve(label: str) -> DataFrame:
+        idx = IVFIndex.load(current(base, "serving"))
+        hits = ivf_search(spark, idx, qv, k=10, nprobe=8)
+        return hits.select(
+            F.lit(label).alias("serving"),
+            "vec_id",
+            F.round("distance", 6).alias("distance"),
+        )
+
+    served_v2 = _serve("v2")
+    rows_v2 = served_v2.collect()  # materialize BEFORE the pointer moves
+    rollback(base, "serving", 1)
+    rows_v3 = _serve("v3_rollback").collect()
+    schema = served_v2.schema
+    return spark.createDataFrame(rows_v2 + rows_v3, schema)

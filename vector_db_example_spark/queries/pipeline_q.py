@@ -488,8 +488,9 @@ def pipeline_single_insert_validation(spark: SparkSession, sf_dir: str) -> DataF
     )
     rejected = 0
     for d in docs:
-        ok, _ = cat.insert_one("kb1", f"ch{d.doc_id}", d.text)
-        assert ok
+        ok, reason = cat.insert_one("kb1", f"ch{d.doc_id}", d.text)
+        if not ok:  # a bare assert would be stripped under python -O
+            raise RuntimeError(f"seed insert rejected for doc {d.doc_id}: {reason}")
     for chapter, content in (("", "this content is long enough"), ("c", "short")):
         ok, _ = cat.insert_one("kb1", chapter, content)
         rejected += 0 if ok else 1

@@ -31,6 +31,7 @@ from ..streaming.events import (
 )
 from ..streaming.ingest import stream_ingest_documents
 from .registry import register
+from .vector_q import _l2_sql as _l2
 
 
 @register(
@@ -391,9 +392,6 @@ def stream_cms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-
-
-from .vector_q import _l2_sql as _l2  # noqa: E402  (one-directional dep)
 
 
 @register(

@@ -1108,12 +1108,20 @@ def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each synthetic chapter holds two documents' texts as its content
     # lines; the corpus is single-line and marker-free (verified: no
     # newlines, no 章 characters), so the parse must recover exactly
-    # (chapter k) -> docs 2k and 2k+1
-    oracle="""
-SELECT '第一章 ' || (doc_id // 2)::VARCHAR AS chapter,
-       trim(text) AS content
-FROM documents
-WHERE doc_id < 20 AND trim(text) <> ''
+    # (chapter k) -> docs 2k and 2k+1. The edge-strip mirrors Python
+    # str.strip()'s whitespace set (the parser strips each line with
+    # .strip(), and DuckDB's trim() is space-only — a tab/CR/ideographic
+    # space at a text edge would silently diverge otherwise)
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text,
+             '^[ \t\r\n\f\v 　]+', ''),
+             '[ \t\r\n\f\v 　]+$', '') AS content
+  FROM documents WHERE doc_id < 20
+)
+SELECT '第一章 ' || (doc_id // 2)::VARCHAR AS chapter, content
+FROM s WHERE content <> ''
 """,
     tags=("text", "chapter", "source", "parse"),
 )

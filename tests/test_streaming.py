@@ -115,6 +115,33 @@ def test_stream_ingest_documents(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "sink")).count() == expected
 
 
+def test_stream_ingest_where_filters_rows(spark, tmp_path):
+    """The selective-ingest predicate keeps filtered rows out of the
+    layout entirely: only the matching vec_ids are appended, and the
+    returned count reflects the filtered stream."""
+    from vector_db_example_spark.index.ivf import build_ivf_index
+    from vector_db_example_spark.sources.tables import load_table
+    from vector_db_example_spark.streaming.ingest import (
+        stream_ingest_embeddings_into_ivf,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 10 < 3)
+    index = build_ivf_index(seed, path=str(tmp_path / "ivf"), nlist=4)
+    n = stream_ingest_embeddings_into_ivf(
+        spark, SF_SMOKE, index, checkpoint_path=str(tmp_path / "ckpt"),
+        where=F.col("vec_id") % 10 >= 3,
+    )
+    rest = emb.filter(F.col("vec_id") % 10 >= 3).count()
+    assert n == rest
+    layout_ids = {
+        r.vec_id for r in spark.read.parquet(index.path).select("vec_id").collect()
+    }
+    assert layout_ids == {r.vec_id for r in emb.select("vec_id").collect()}
+    # each id exactly once: seed and stream partitions were disjoint
+    assert spark.read.parquet(index.path).count() == emb.count()
+
+
 def test_stream_ingest_into_ivf_layout(spark, tmp_path):
     """Streamed vectors land in the cell-partitioned layout and are
     found by a subsequent pruned search (nearest-centroid assignment ==

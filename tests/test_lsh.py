@@ -238,3 +238,49 @@ def test_lsh_delete_rewrites_only_affected_buckets(spark, tmp_path):
         spark, index, qv, k=5, probe_radius=index.n_planes
     ).collect()
     assert all(h["vec_id"] != 7 for h in hits)
+
+
+def test_lsh_batch_matches_sequential_and_keeps_recall(spark, emb, tmp_path):
+    """The batched layout search must return exactly what N sequential
+    layout searches return at the SAME radius (amortization changes IO
+    shape, never semantics) — at a pruned radius AND at the full radius;
+    and empty/duplicate query batches behave like ivf_search_batch."""
+    import pytest as _pytest
+
+    from vector_db_example_spark.index.lsh import (
+        build_lsh_layout,
+        lsh_layout_search,
+        lsh_layout_search_batch,
+    )
+
+    index = build_lsh_layout(
+        emb, path=str(tmp_path / "lshb"), dim=64, n_planes=N_PLANES, seed=42
+    )
+    qids = (3, 11, 42)
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id").isin(*qids)).collect()
+    }
+    for radius in (2, N_PLANES):
+        batch = lsh_layout_search_batch(
+            spark, index, [(q, vecs[q]) for q in qids], k=5, probe_radius=radius
+        ).collect()
+        got = {
+            q: [(r.vec_id, round(r.distance, 9)) for r in sorted(
+                (x for x in batch if x.query_id == q), key=lambda x: x.rank)]
+            for q in qids
+        }
+        for q in qids:
+            ref = [
+                (r.vec_id, round(r.distance, 9))
+                for r in lsh_layout_search(
+                    spark, index, vecs[q], k=5, probe_radius=radius
+                ).collect()
+            ]
+            assert got[q] == ref, f"qid={q} radius={radius}"
+
+    assert lsh_layout_search_batch(spark, index, [], k=5).count() == 0
+    with _pytest.raises(ValueError, match="duplicate query ids"):
+        lsh_layout_search_batch(
+            spark, index, [(3, vecs[3]), (3, vecs[11])], k=5
+        )

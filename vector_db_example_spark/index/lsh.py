@@ -277,3 +277,110 @@ def lsh_delete(spark: SparkSession, index: LSHIndex, ids) -> int:
     for bucket in set(buckets) - remaining:
         shutil.rmtree(Path(index.path) / f"bucket={bucket}", ignore_errors=True)
     return n_before - survivors.count()
+
+
+def lsh_layout_search_batch(
+    spark: SparkSession,
+    index: LSHIndex,
+    queries,
+    k: int = 10,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Batched multiprobe ANN against the bucket-partitioned layout —
+    the LSH twin of ``ivf_search_batch`` (same amortized-scan pattern):
+    the UNION of every query's Hamming-ball probe set becomes ONE
+    partition-pruned scan, each row is scored only for the queries
+    actually probing its bucket (a tiny driver-side bucket→query map
+    rides the Arrow kernel closure, exactly like the IVF cell map), and
+    a per-query rank window keeps k. N sequential searches would open
+    shared bucket directories N times; the batch opens each once.
+
+    ``queries`` is a list of (query_id, vector). Returns
+    (query_id, id, distance, score, rank) with distance = cosine
+    distance. The kernel's per-dimension left-to-right fold is
+    bit-identical to the ``cosine_similarity`` expression
+    (functions/vector.py:40-51 — zip_with product, aggregate sum), so
+    the full-radius run (probes = every bucket ⇒ exact) hash-matches a
+    brute-force SQL oracle; tests/test_lsh.py pins the pruned-radius
+    recall."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import score_from_distance
+
+    id_col, vector_col = index.id_col, index.vector_col
+    layout = spark.read.parquet(index.path)
+    id_type = layout.schema[id_col].dataType.simpleString()
+    kernel_schema = f"query_id long, `{id_col}` {id_type}, distance double"
+    out_cols = ["query_id", id_col, "distance", "score", "rank"]
+    if not queries:
+        return spark.createDataFrame([], kernel_schema + ", score double, rank int")
+    if len({qid for qid, _ in queries}) != len(queries):
+        raise ValueError("duplicate query ids in batch")
+
+    qid_list = [int(qid) for qid, _ in queries]
+    Q = np.vstack(
+        [np.asarray([float(x) for x in vec], dtype=np.float64) for _, vec in queries]
+    )
+    dim = Q.shape[1]
+    qids_arr = np.asarray(qid_list, dtype=np.int64)
+    # bucket → positions of the queries probing it (tiny: ≤ 2^n_planes
+    # keys; rides the UDF closure like the IVF cell map)
+    bucket_queries: dict[int, list[int]] = {}
+    for pos, (_, vec) in enumerate(queries):
+        for b in probe_buckets(bucket_of(vec, index.planes), index.n_planes,
+                               probe_radius):
+            bucket_queries.setdefault(int(b), []).append(pos)
+    all_buckets = sorted(bucket_queries)
+
+    # query norms once, with the SAME left-to-right fold the kernel uses
+    # for row norms (not np.linalg.norm, whose pairwise summation can
+    # differ in the last ulp)
+    qnorm_acc = np.zeros(Q.shape[0])
+    for j in range(dim):
+        qnorm_acc += Q[:, j] * Q[:, j]
+    qnorms = np.sqrt(qnorm_acc)
+
+    corpus = layout.filter(F.col("bucket").isin(all_buckets))
+
+    def _distances(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            ids = pdf[id_col].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            for b in np.unique(buckets):
+                qi = bucket_queries.get(int(b))
+                if not qi:
+                    continue
+                mask = buckets == b
+                Xb = X[mask]
+                Qb = Q[qi]
+                dot = np.zeros((Xb.shape[0], Qb.shape[0]))
+                xnorm_acc = np.zeros(Xb.shape[0])
+                for j in range(dim):
+                    dot += Xb[:, j][:, None] * Qb[:, j][None, :]
+                    xnorm_acc += Xb[:, j] * Xb[:, j]
+                xnorms = np.sqrt(xnorm_acc)
+                D = 1.0 - dot / (xnorms[:, None] * qnorms[qi][None, :])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(qids_arr[qi], Xb.shape[0]),
+                        id_col: ids[mask].repeat(len(qi)),
+                        "distance": D.ravel(),
+                    }
+                )
+
+    cand = corpus.select("bucket", id_col, vector_col).mapInPandas(
+        _distances, kernel_schema
+    ).withColumn("score", score_from_distance("distance"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )

@@ -731,3 +731,60 @@ def vector_manifest_rollback_parity(spark: SparkSession, sf_dir: str) -> DataFra
     rows_v3 = _serve("v3_rollback").collect()
     schema = served_v2.schema
     return spark.createDataFrame(rows_v2 + rows_v3, schema)
+
+
+@register(
+    "vector_lsh_batch_topk",
+    # full-radius probes = every bucket ⇒ the batch search must equal
+    # the brute-force per-query cosine top-k, which the oracle states
+    # (the batch twin of vector_lsh_exact_parity, and the LSH twin of
+    # vector_ivf_batch_topk)
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN (5, 21, 37)
+),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - ({_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')}))) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, vec_id) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+""",
+    tags=("vector", "lsh", "index", "batch"),
+)
+def vector_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multiprobe LSH at the full Hamming radius (exact
+    identity): three queries share ONE partition-pruned scan feeding the
+    Arrow cosine kernel (bucket→query map and query matrix in the UDF
+    closure; dimension-ordered fold, bit-identical to the
+    cosine_similarity expression), then a per-query rank window — the
+    amortized production shape (index/lsh.py::lsh_layout_search_batch).
+    At radius = n_planes every bucket is probed, so the result must
+    equal brute-force per-query cosine top-k, which the oracle
+    states; the pruned-radius batch keeps its recall bound in
+    tests/test_lsh.py."""
+    from ..index.lsh import lsh_layout_search_batch
+
+    index = get_lsh_layout(spark, sf_dir, n_planes=8)
+    qids = (5, 21, 37)
+    vecs = _query_vecs(spark, sf_dir, qids)
+    queries = [(qid, vecs[qid]) for qid in qids]
+    hits = lsh_layout_search_batch(
+        spark, index, queries, k=5, probe_radius=index.n_planes
+    )
+    return hits.select(
+        "query_id",
+        "vec_id",
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+        "rank",
+    )

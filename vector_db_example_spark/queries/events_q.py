@@ -597,3 +597,62 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "events_hypertable_retention",
+    # cutoff and tail split are derived from the data's own date span,
+    # so the oracle is closed-form at any scale factor; n_dropped = one
+    # raw + one rollup chunk directory per pre-cutoff day
+    oracle="""
+WITH b AS (SELECT min(ts::DATE) AS dmin, max(ts::DATE) AS dmax FROM events),
+c AS (SELECT dmin + ((dmax - dmin) // 2)::INTEGER AS cutoff FROM b),
+d AS (
+  SELECT 2 * count(DISTINCT ts::DATE) AS n_dropped
+  FROM events, c WHERE ts::DATE < cutoff
+)
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS event_date, event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total,
+       round(min(value), 2) AS vmin,
+       round(max(value), 2) AS vmax,
+       (SELECT n_dropped FROM d) AS n_dropped
+FROM events, c
+WHERE ts::DATE >= cutoff
+GROUP BY 1, 2
+""",
+    tags=("events", "hypertable", "retention", "layout", "maintenance"),
+)
+def events_hypertable_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-retention on the time-chunked layout, hash-checked: build
+    raw+rollup chunks, drop every day-chunk older than the span's
+    midpoint (directory removal — O(days dropped), never a rewrite or a
+    scan of survivors, index/hypertable.py::drop_chunks), then the
+    continuous-aggregate report over what remains — closed days from
+    the surviving rollup, the open tail from surviving raw — must equal
+    SQL over exactly the post-cutoff events, and the dropped-directory
+    count must equal one raw + one rollup chunk per pre-cutoff day.
+    This is the ops story VERDICT's hypertable row points at: at 100 TB
+    retention cost is proportional to what is deleted, not table size."""
+    import datetime
+    import hashlib
+    import shutil
+
+    from ..index.hypertable import build_hypertable, drop_chunks, hypertable_report
+
+    tag = hashlib.md5(f"{sf_dir}|retention".encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_htret_{tag}"
+    # fresh layout every run: the query IS the retention history
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    dmin, dmax = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()
+    cutoff = dmin + datetime.timedelta(days=(dmax - dmin).days // 2)
+    tail_from = cutoff + datetime.timedelta(days=(dmax - cutoff).days // 2)
+
+    table = build_hypertable(ev, base)
+    n_dropped = drop_chunks(spark, table, cutoff.isoformat())
+    rep = hypertable_report(spark, table, tail_from.isoformat())
+    return rep.withColumn("n_dropped", F.lit(n_dropped).cast("long"))

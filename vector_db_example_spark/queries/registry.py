@@ -53,8 +53,9 @@ QUERIES: dict[str, Query] = {}
 #:    vector_ivf_delete_compact_parity, text_chapter_parse_roundtrip,
 #:    vector_lsh_delete_parity, stream_ivf_ingest_search_parity,
 #:    pipeline_single_insert_validation,
-#:    vector_manifest_rollback_parity, vector_lsh_batch_topk), held out
-#:    until this rotation exactly like the mid-round-4 block was.
+#:    vector_manifest_rollback_parity, vector_lsh_batch_topk,
+#:    events_hypertable_retention), held out until this rotation exactly
+#:    like the mid-round-4 block was.
 #: 2. The r03-first-green block (18 entries) and the r01-backlog
 #:    two-green anchors become excludable (2+ green rounds each);
 #:    rotate out enough to fit, keeping one anchor per family:
@@ -244,6 +245,7 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "pipeline_single_insert_validation",
         "vector_manifest_rollback_parity",
         "vector_lsh_batch_topk",
+        "events_hypertable_retention",
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

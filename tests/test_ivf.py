@@ -748,3 +748,38 @@ def test_ivf_delete_lazy_tombstones(spark, tmp_path):
         for r in ivf_search(spark, compacted, qv, k=10, nprobe=8).collect()
     ]
     assert got2 == want
+
+
+def test_ivf_batch_search_honors_tombstones(spark, tmp_path):
+    """The BATCHED search must honor deletion vectors exactly like the
+    single-query path (it previously scanned the raw layout directly,
+    so lazily-deleted rows kept appearing in batch results)."""
+    from vector_db_example_spark.index.ivf import (
+        build_ivf_index,
+        ivf_delete_lazy,
+        ivf_search_batch,
+    )
+    from vector_db_example_spark.operators.knn import knn_exact
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = build_ivf_index(emb, path=str(tmp_path / "ivfb"), nlist=8)
+    qv = _qvec(spark, 7)
+    victims = [
+        r.vec_id
+        for r in ivf_search_batch(spark, index, [(7, qv)], k=3, nprobe=8).collect()
+    ]
+    ivf_delete_lazy(spark, index, victims)
+    survivors = emb.filter(~F.col("vec_id").isin(victims))
+    want = [
+        (r.vec_id, round(r.distance, 9))
+        for r in knn_exact(survivors, qv, k=5, score_threshold=None).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.distance, 9))
+        for r in sorted(
+            ivf_search_batch(spark, index, [(7, qv)], k=5, nprobe=8).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert got == want

@@ -245,8 +245,6 @@ def test_lsh_batch_matches_sequential_and_keeps_recall(spark, emb, tmp_path):
     layout searches return at the SAME radius (amortization changes IO
     shape, never semantics) — at a pruned radius AND at the full radius;
     and empty/duplicate query batches behave like ivf_search_batch."""
-    import pytest as _pytest
-
     from vector_db_example_spark.index.lsh import (
         build_lsh_layout,
         lsh_layout_search,
@@ -280,7 +278,23 @@ def test_lsh_batch_matches_sequential_and_keeps_recall(spark, emb, tmp_path):
             assert got[q] == ref, f"qid={q} radius={radius}"
 
     assert lsh_layout_search_batch(spark, index, [], k=5).count() == 0
-    with _pytest.raises(ValueError, match="duplicate query ids"):
+    with pytest.raises(ValueError, match="duplicate query ids"):
         lsh_layout_search_batch(
             spark, index, [(3, vecs[3]), (3, vecs[11])], k=5
         )
+
+
+def test_lsh_batch_rejects_zero_norm_query(spark, emb, tmp_path):
+    """Cosine is undefined for a zero-norm vector; the sequential
+    expression path raises (ANSI divide-by-zero), so the batch must
+    refuse up front instead of silently ranking NaN distances."""
+    from vector_db_example_spark.index.lsh import (
+        build_lsh_layout,
+        lsh_layout_search_batch,
+    )
+
+    index = build_lsh_layout(
+        emb, path=str(tmp_path / "lshz"), dim=64, n_planes=N_PLANES, seed=42
+    )
+    with pytest.raises(ValueError, match="zero-norm query"):
+        lsh_layout_search_batch(spark, index, [(1, [0.0] * 64)], k=5)

@@ -480,100 +480,45 @@ def ivf_search_batch(
 
     The probe lists are driver-side (numpy over the tiny centroid
     matrix); the scan is pruned to the UNION of all probed cells
-    (partition pruning), then a broadcast (query_id, cell_id) pair table
-    restricts each corpus row to the queries actually probing its cell,
-    and a per-query rank window takes top-k. Scan cost is amortized
-    across the whole query batch — the MPP proxy-aggregation pattern
-    (SURVEY.md §4) instead of N sequential searches."""
-    from pyspark.sql import Window
+    (partition pruning), each corpus row is scored only for the queries
+    actually probing its cell, and a per-query rank window takes top-k.
+    Scan cost is amortized across the whole query batch — the MPP
+    proxy-aggregation pattern (SURVEY.md §4) instead of N sequential
+    searches. Scaffolding (schema derivation, empty/duplicate guards,
+    pruned scan, kernel loop, rank window) is shared with the LSH batch
+    path via index/batchsearch.py; the distance block here is the L2
+    kernel — a left-to-right fold over dimensions, bit-identical to the
+    l2_distance expression (SCALING.md round-4 rule: Arrow kernel, not
+    an interpreted higher-order lambda), so the exact-parity oracles
+    (nprobe=nlist ⇒ exact) stay hash-green. Deletion vectors are
+    honored exactly like the single-query path (the pruned scan is
+    wrapped in the live view)."""
+    from .batchsearch import batch_topk_over_layout
 
-    from ..functions.vector import score_from_distance
+    def make_l2_block(Q: np.ndarray):
+        dim = Q.shape[1]
 
-    # ONE read of the layout, reused for the schema probe (footer-only
-    # at analysis time) AND the pruned corpus scan below — a second
-    # spark.read.parquet would re-list the layout's cell directories on
-    # the search hot path. The derived output schema is shared by the
-    # empty-batch fallback, the kernel's mapInPandas contract, and the
-    # final select — empty and non-empty batches cannot drift apart.
-    id_col, vector_col = index.id_col, index.vector_col
-    layout = spark.read.parquet(index.path)
-    id_type = layout.schema[id_col].dataType.simpleString()
-    kernel_schema = f"query_id long, `{id_col}` {id_type}, distance double"
-    out_cols = ["query_id", id_col, "distance", "score", "rank"]
+        def block(Xp: np.ndarray, qi: list[int]) -> np.ndarray:
+            Qc = Q[qi]
+            acc = np.zeros((Xp.shape[0], Qc.shape[0]))
+            for j in range(dim):
+                diff = Xp[:, j][:, None] - Qc[:, j][None, :]
+                acc += diff * diff
+            return np.sqrt(acc)
 
-    probe_rows = []
-    qid_list: list[int] = []
-    qvec_list: list[np.ndarray] = []
-    if not queries:
-        # np.vstack([]) below would raise; mirror knn_batch's empty-query
-        # fallback and return an empty frame with the output schema.
-        return spark.createDataFrame(
-            [], kernel_schema + ", score double, rank int"
-        )
-    if len({qid for qid, _ in queries}) != len(queries):
-        raise ValueError("duplicate query ids in batch")
-    for qid, vec in queries:
-        qid_list.append(int(qid))
-        qvec_list.append(np.asarray([float(x) for x in vec], dtype=np.float64))
-        for cell in nearest_cells(index, vec, nprobe):
-            probe_rows.append((qid, cell))
-    all_cells = sorted({c for _, c in probe_rows})
-    # cell → positions of the queries probing it (tiny; rides the UDF
-    # closure like the centroid matrix does in cell_assigner)
-    qpos = {q: i for i, q in enumerate(qid_list)}
-    cell_queries: dict[int, list[int]] = {}
-    for qid, cell in probe_rows:
-        cell_queries.setdefault(int(cell), []).append(qpos[qid])
-    Q = np.vstack(qvec_list)
-    dim = Q.shape[1]
-    qids_arr = np.asarray(qid_list, dtype=np.int64)
+        return block
 
-    corpus = layout.filter(F.col("cell_id").isin(all_cells))
-
-    # Distance block as an Arrow kernel (NOT a zip_with expression —
-    # higher-order lambdas are interpreted per element; SCALING.md
-    # round-4 rule). Left-to-right fold over dimensions keeps the double
-    # bit-identical to the expression form, so the exact-parity oracles
-    # (nprobe=nlist ⇒ exact) stay hash-green.
-    def _distances(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
-            )
-            ids = pdf[id_col].to_numpy()
-            cells = pdf["cell_id"].to_numpy()
-            for cell in np.unique(cells):
-                qi = cell_queries.get(int(cell))
-                if not qi:
-                    continue
-                mask = cells == cell
-                Xc = X[mask]
-                Qc = Q[qi]
-                acc = np.zeros((Xc.shape[0], Qc.shape[0]))
-                for j in range(dim):
-                    diff = Xc[:, j][:, None] - Qc[:, j][None, :]
-                    acc += diff * diff
-                D = np.sqrt(acc)
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.tile(qids_arr[qi], Xc.shape[0]),
-                        id_col: ids[mask].repeat(len(qi)),
-                        "distance": D.ravel(),
-                    }
-                )
-
-    cand = corpus.select("cell_id", id_col, vector_col).mapInPandas(
-        _distances, kernel_schema
-    ).withColumn("score", score_from_distance("distance"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc(), F.col(id_col).asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(*out_cols)
+    return batch_topk_over_layout(
+        spark,
+        spark.read.parquet(index.path),
+        partition_col="cell_id",
+        id_col=index.id_col,
+        vector_col=index.vector_col,
+        queries=queries,
+        k=k,
+        probes_for=lambda vec: nearest_cells(index, vec, nprobe),
+        make_distance_block=make_l2_block,
+        live=lambda df: _ivf_live(index, df),
     )
 
 

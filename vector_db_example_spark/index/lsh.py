@@ -290,10 +290,11 @@ def lsh_layout_search_batch(
     the LSH twin of ``ivf_search_batch`` (same amortized-scan pattern):
     the UNION of every query's Hamming-ball probe set becomes ONE
     partition-pruned scan, each row is scored only for the queries
-    actually probing its bucket (a tiny driver-side bucket→query map
-    rides the Arrow kernel closure, exactly like the IVF cell map), and
-    a per-query rank window keeps k. N sequential searches would open
-    shared bucket directories N times; the batch opens each once.
+    actually probing its bucket, and a per-query rank window keeps k.
+    N sequential searches would open shared bucket directories N times;
+    the batch opens each once. Scaffolding is shared with the IVF batch
+    path via index/batchsearch.py; the distance block here is the
+    cosine kernel.
 
     ``queries`` is a list of (query_id, vector). Returns
     (query_id, id, distance, score, rank) with distance = cosine
@@ -302,85 +303,50 @@ def lsh_layout_search_batch(
     (functions/vector.py:40-51 — zip_with product, aggregate sum), so
     the full-radius run (probes = every bucket ⇒ exact) hash-matches a
     brute-force SQL oracle; tests/test_lsh.py pins the pruned-radius
-    recall."""
-    from pyspark.sql import Window
+    recall. Zero-norm vectors (query or corpus) raise — cosine distance
+    is undefined for them, and the sequential path's expression form
+    raises too (ANSI divide-by-zero), so the batch must not silently
+    rank them on NaN instead."""
+    from .batchsearch import batch_topk_over_layout
 
-    from ..functions.vector import score_from_distance
+    def make_cosine_block(Q: np.ndarray):
+        dim = Q.shape[1]
+        # query norms once, with the SAME left-to-right fold the kernel
+        # uses for row norms (not np.linalg.norm, whose pairwise
+        # summation can differ in the last ulp)
+        qnorm_acc = np.zeros(Q.shape[0])
+        for j in range(dim):
+            qnorm_acc += Q[:, j] * Q[:, j]
+        if (qnorm_acc == 0.0).any():
+            raise ValueError("zero-norm query vector: cosine is undefined")
+        qnorms = np.sqrt(qnorm_acc)
 
-    id_col, vector_col = index.id_col, index.vector_col
-    layout = spark.read.parquet(index.path)
-    id_type = layout.schema[id_col].dataType.simpleString()
-    kernel_schema = f"query_id long, `{id_col}` {id_type}, distance double"
-    out_cols = ["query_id", id_col, "distance", "score", "rank"]
-    if not queries:
-        return spark.createDataFrame([], kernel_schema + ", score double, rank int")
-    if len({qid for qid, _ in queries}) != len(queries):
-        raise ValueError("duplicate query ids in batch")
-
-    qid_list = [int(qid) for qid, _ in queries]
-    Q = np.vstack(
-        [np.asarray([float(x) for x in vec], dtype=np.float64) for _, vec in queries]
-    )
-    dim = Q.shape[1]
-    qids_arr = np.asarray(qid_list, dtype=np.int64)
-    # bucket → positions of the queries probing it (tiny: ≤ 2^n_planes
-    # keys; rides the UDF closure like the IVF cell map)
-    bucket_queries: dict[int, list[int]] = {}
-    for pos, (_, vec) in enumerate(queries):
-        for b in probe_buckets(bucket_of(vec, index.planes), index.n_planes,
-                               probe_radius):
-            bucket_queries.setdefault(int(b), []).append(pos)
-    all_buckets = sorted(bucket_queries)
-
-    # query norms once, with the SAME left-to-right fold the kernel uses
-    # for row norms (not np.linalg.norm, whose pairwise summation can
-    # differ in the last ulp)
-    qnorm_acc = np.zeros(Q.shape[0])
-    for j in range(dim):
-        qnorm_acc += Q[:, j] * Q[:, j]
-    qnorms = np.sqrt(qnorm_acc)
-
-    corpus = layout.filter(F.col("bucket").isin(all_buckets))
-
-    def _distances(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
-            )
-            ids = pdf[id_col].to_numpy()
-            buckets = pdf["bucket"].to_numpy()
-            for b in np.unique(buckets):
-                qi = bucket_queries.get(int(b))
-                if not qi:
-                    continue
-                mask = buckets == b
-                Xb = X[mask]
-                Qb = Q[qi]
-                dot = np.zeros((Xb.shape[0], Qb.shape[0]))
-                xnorm_acc = np.zeros(Xb.shape[0])
-                for j in range(dim):
-                    dot += Xb[:, j][:, None] * Qb[:, j][None, :]
-                    xnorm_acc += Xb[:, j] * Xb[:, j]
-                xnorms = np.sqrt(xnorm_acc)
-                D = 1.0 - dot / (xnorms[:, None] * qnorms[qi][None, :])
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.tile(qids_arr[qi], Xb.shape[0]),
-                        id_col: ids[mask].repeat(len(qi)),
-                        "distance": D.ravel(),
-                    }
+        def block(Xp: np.ndarray, qi: list[int]) -> np.ndarray:
+            Qb = Q[qi]
+            dot = np.zeros((Xp.shape[0], Qb.shape[0]))
+            xnorm_acc = np.zeros(Xp.shape[0])
+            for j in range(dim):
+                dot += Xp[:, j][:, None] * Qb[:, j][None, :]
+                xnorm_acc += Xp[:, j] * Xp[:, j]
+            if (xnorm_acc == 0.0).any():
+                raise ValueError(
+                    "zero-norm corpus vector: cosine is undefined"
                 )
+            xnorms = np.sqrt(xnorm_acc)
+            return 1.0 - dot / (xnorms[:, None] * qnorms[qi][None, :])
 
-    cand = corpus.select("bucket", id_col, vector_col).mapInPandas(
-        _distances, kernel_schema
-    ).withColumn("score", score_from_distance("distance"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc(), F.col(id_col).asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(*out_cols)
+        return block
+
+    return batch_topk_over_layout(
+        spark,
+        spark.read.parquet(index.path),
+        partition_col="bucket",
+        id_col=index.id_col,
+        vector_col=index.vector_col,
+        queries=queries,
+        k=k,
+        probes_for=lambda vec: probe_buckets(
+            bucket_of(vec, index.planes), index.n_planes, probe_radius
+        ),
+        make_distance_block=make_cosine_block,
     )

@@ -283,18 +283,24 @@ def test_lsh_batch_matches_sequential_and_keeps_recall(spark, emb, tmp_path):
             spark, index, [(3, vecs[3]), (3, vecs[11])], k=5
         )
 
-
-def test_lsh_batch_rejects_zero_norm_query(spark, emb, tmp_path):
-    """Cosine is undefined for a zero-norm vector; the sequential
-    expression path raises (ANSI divide-by-zero), so the batch must
-    refuse up front instead of silently ranking NaN distances."""
-    from vector_db_example_spark.index.lsh import (
-        build_lsh_layout,
-        lsh_layout_search_batch,
-    )
-
-    index = build_lsh_layout(
-        emb, path=str(tmp_path / "lshz"), dim=64, n_planes=N_PLANES, seed=42
-    )
+    # zero-norm QUERY: driver-side refusal before any scan (cosine is
+    # undefined; the sequential expression path raises ANSI
+    # divide-by-zero, so the batch must not silently rank NaN)
     with pytest.raises(ValueError, match="zero-norm query"):
         lsh_layout_search_batch(spark, index, [(1, [0.0] * 64)], k=5)
+
+    # zero-norm CORPUS vector: the kernel raises at action time (the
+    # sequential path fails on the same input — ANSI divide-by-zero in
+    # the cosine expression — so failing loudly IS batch/sequential
+    # parity; silently excluding a NaN row would not be)
+    from vector_db_example_spark.index.lsh import lsh_append
+
+    fields = [f.name for f in emb.schema.fields]
+    vals = {"vec_id": 999999, "label": 0, "embedding": [0.0] * 64}
+    zero = spark.createDataFrame([tuple(vals[f] for f in fields)], emb.schema)
+    lsh_append(index, zero)
+    with pytest.raises(Exception, match="zero-norm corpus"):
+        lsh_layout_search_batch(
+            spark, index, [(1, vecs[3])], k=5, probe_radius=N_PLANES
+        ).collect()
+

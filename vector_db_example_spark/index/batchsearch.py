@@ -18,12 +18,11 @@ from collections.abc import Callable
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def batch_topk_over_layout(
-    spark: SparkSession,
     layout: DataFrame,
     *,
     partition_col: str,
@@ -58,11 +57,15 @@ def batch_topk_over_layout(
     if not queries:
         # np.vstack([]) below would raise; return an empty frame with
         # the output schema instead (same contract as knn_batch).
-        return spark.createDataFrame([], kernel_schema + ", score double, rank int")
-    if len({qid for qid, _ in queries}) != len(queries):
-        raise ValueError("duplicate query ids in batch")
-
+        return layout.sparkSession.createDataFrame(
+            [], kernel_schema + ", score double, rank int"
+        )
     qid_list = [int(qid) for qid, _ in queries]
+    # deduplicate on the EMITTED (truncated-to-int) ids: two float qids
+    # that collide after int() would otherwise pass a raw-value check
+    # and silently merge their candidate sets under one query_id
+    if len(set(qid_list)) != len(queries):
+        raise ValueError("duplicate query ids in batch")
     Q = np.vstack(
         [np.asarray([float(x) for x in vec], dtype=np.float64) for _, vec in queries]
     )

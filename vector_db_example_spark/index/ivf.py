@@ -509,7 +509,6 @@ def ivf_search_batch(
         return block
 
     return batch_topk_over_layout(
-        spark,
         spark.read.parquet(index.path),
         partition_col="cell_id",
         id_col=index.id_col,

@@ -338,7 +338,6 @@ def lsh_layout_search_batch(
         return block
 
     return batch_topk_over_layout(
-        spark,
         spark.read.parquet(index.path),
         partition_col="bucket",
         id_col=index.id_col,

@@ -413,6 +413,29 @@ def test_semantic_dedup_no_window_broadcast_routing(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+@pytest.mark.parametrize("qname", ["hybrid_rrf_search", "hybrid_weighted_search"])
+def test_hybrid_windows_rank_prelimited_survivors_only(spark, qname):
+    """Both hybrid arms must top-k with orderBy().limit() — compiled to
+    TakeOrderedAndProject (per-partition heap + driver merge) — BEFORE
+    any rank window runs. An unpartitioned row_number over the full
+    corpus moves every row through one task; here each Window's subtree
+    must hit a TakeOrderedAndProject before it reaches a parquet scan,
+    so windows only ever sort the ≤20 survivors."""
+    plan = _plan(QUERIES[qname].fn(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    assert "TakeOrderedAndProject" in plan, plan  # the pre-limits exist
+    # hybrid_weighted_search has NO window at all (pure limit+join);
+    # hybrid_rrf_search ranks with row_number but only over survivors.
+    for wi in (i for i, ln in enumerate(lines) if "Window" in ln):
+        for ln in lines[wi + 1 :]:
+            if "TakeOrderedAndProject" in ln or "CollectLimit" in ln:
+                break  # pre-limited: this window ranks ≤20 rows
+            assert "FileScan" not in ln, (
+                f"{qname}: Window at plan line {wi} reaches a corpus scan "
+                f"with no limit in between\n{plan}"
+            )
+
+
 def test_nb_classifier_broadcasts_model_tables(spark):
     """The NB 'model' (per-label token counts, label totals, priors,
     vocab size) must reach inference as broadcasts — the corpus-scale

@@ -40,7 +40,11 @@ def batch_topk_over_layout(
     (reused here for the footer-only schema probe and the pruned scan —
     a second read would re-list the partition directories on the search
     hot path). ``probes_for(vec)`` returns the partition values a query
-    probes. ``make_distance_block(Q)`` is called once with the stacked
+    probes; values are deduplicated here, so a probe list that names the
+    same partition twice still scores each row once. Partition values and
+    query ids must be int-castable (they are carried as int64 through the
+    Arrow kernel and the ``isin`` pruning filter) — a layout with a
+    string partition column needs its own scaffold. ``make_distance_block(Q)`` is called once with the stacked
     (nq, dim) float64 query matrix and returns
     ``block(Xp, qi) -> (rows, len(qi))`` distances for a partition's row
     block against the query subset at positions ``qi`` — its fold must
@@ -74,8 +78,11 @@ def batch_topk_over_layout(
     # rides the UDF closure like the centroid/plane matrices do)
     probe_positions: dict[int, list[int]] = {}
     for pos, (_, vec) in enumerate(queries):
-        for part in probes_for(vec):
-            probe_positions.setdefault(int(part), []).append(pos)
+        # set() first: a probes_for that returns the same partition twice
+        # must not append the query position twice, or every row in that
+        # partition would be scored (and ranked) twice for the query.
+        for part in {int(p) for p in probes_for(vec)}:
+            probe_positions.setdefault(part, []).append(pos)
 
     pruned = layout.filter(
         F.col(partition_col).isin(sorted(probe_positions))

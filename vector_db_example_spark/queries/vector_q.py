@@ -261,16 +261,23 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("toks"), F.split(F.trim(F.col("text")), r"\s+")
         )
     )
+    # Pre-limit BEFORE ranking: orderBy().limit(20) compiles to
+    # TakeOrderedAndProject (per-partition top-20 + driver merge), so the
+    # row_number window only ever sees 20 rows. Ranking the full corpus
+    # with an unpartitioned window would funnel every row through one
+    # task — the same shape the dense arm and hybrid_weighted_search
+    # already avoid.
     kw_rank = (
         docs.crossJoin(F.broadcast(qtok_row))
         .withColumn("overlap", overlap)
+        .orderBy(F.col("overlap").desc(), F.col("doc_id").asc())
+        .limit(20)
         .withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(F.col("overlap").desc(), F.col("doc_id").asc())
             ),
         )
-        .filter(F.col("rank") <= 20)
         .select(F.col("doc_id").alias("id"), "rank")
     )
     fused = rrf_fuse({"vec": vec_rank, "kw": kw_rank}, top_k=10)

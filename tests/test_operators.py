@@ -557,6 +557,29 @@ def test_bpe_encode_roundtrip_and_determinism(spark):
         assert joined == " ".join(re.findall(TOKEN_PATTERN, str(r["text"])))
 
 
+def test_bpe_word_freqs_rank1_is_first_merge(spark):
+    """The hash-anchor query's contract: rank 1 of text_bpe_word_freqs
+    (pair counts over word+`</w>`, ordered count desc then lexicographic)
+    must BE bpe_train's first merge — the same argmax + tiebreak the
+    sequential trainer applies, now stated in closed form."""
+    from vector_db_example_spark.operators.bpe import bpe_train, word_frequencies
+    from vector_db_example_spark.queries import QUERIES
+    from vector_db_example_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    out = QUERIES["text_bpe_word_freqs"].fn(spark, SF_SMOKE).collect()
+    r1 = next(r for r in out if r["rank"] == 1)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    freqs = [(r["word"], r["freq"]) for r in word_frequencies(docs).collect()]
+    first = bpe_train(sorted(freqs), num_merges=1)[0]
+    assert (r1["left_sym"], r1["right_sym"]) == first
+    # ordering is total (count desc, pair asc): no count ties straddle
+    # equal rank rows out of order
+    counts = [r["pair_count"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert counts == sorted(counts, reverse=True)
+
+
 def test_naive_bayes_learns_separable_languages(spark):
     """On a corpus whose labels ARE expressed in the text (disjoint
     vocabularies per language), the NB classifier must be perfect on its

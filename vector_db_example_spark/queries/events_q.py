@@ -635,15 +635,10 @@ def events_hypertable_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the ops story VERDICT's hypertable row points at: at 100 TB
     retention cost is proportional to what is deleted, not table size."""
     import datetime
-    import hashlib
     import shutil
+    import tempfile
 
     from ..index.hypertable import build_hypertable, drop_chunks, hypertable_report
-
-    tag = hashlib.md5(f"{sf_dir}|retention".encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_htret_{tag}"
-    # fresh layout every run: the query IS the retention history
-    shutil.rmtree(base, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events")
     dmin, dmax = ev.agg(
@@ -652,7 +647,16 @@ def events_hypertable_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = dmin + datetime.timedelta(days=(dmax - dmin).days // 2)
     tail_from = cutoff + datetime.timedelta(days=(dmax - cutoff).days // 2)
 
-    table = build_hypertable(ev, base)
-    n_dropped = drop_chunks(spark, table, cutoff.isoformat())
-    rep = hypertable_report(spark, table, tail_from.isoformat())
-    return rep.withColumn("n_dropped", F.lit(n_dropped).cast("long"))
+    # per-run temp dir, materialize, clean up in finally: the query IS
+    # the retention history, so re-runs must never see prior chunks and
+    # the returned frame must outlive the layout
+    base = tempfile.mkdtemp(prefix="spark_graft_htret_")
+    try:
+        table = build_hypertable(ev, base)
+        n_dropped = drop_chunks(spark, table, cutoff.isoformat())
+        rep = hypertable_report(spark, table, tail_from.isoformat())
+        out = rep.withColumn("n_dropped", F.lit(n_dropped).cast("long"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -574,29 +574,34 @@ def vector_ivf_delete_compact_parity(spark: SparkSession, sf_dir: str) -> DataFr
     on the live vectors — the invariant that makes online maintenance
     safe at 100 TB."""
     import shutil
+    import tempfile
 
     from ..index.ivf import compact_ivf_index, ivf_append, ivf_delete_lazy
 
-    tag = hashlib.md5(f"{sf_dir}|ivfmaint".encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_ivfmaint_{tag}"
-    # fresh layout every run: the query IS the maintenance history, so
-    # stale tombstones/cells from a prior run must not leak in
-    shutil.rmtree(base, ignore_errors=True)
-
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 11)
-    index = build_ivf_index(
-        emb.filter(F.col("vec_id") % 10 < 7), f"{base}/idx", nlist=8
-    )
-    ivf_append(index, emb.filter(F.col("vec_id") % 10 >= 7))
-    victims = [
-        r.vec_id
-        for r in ivf_search(spark, index, qv, k=3, nprobe=8).collect()
-    ]
-    ivf_delete_lazy(spark, index, victims)
-    compacted = compact_ivf_index(spark, index, f"{base}/compacted")
-    hits = ivf_search(spark, compacted, qv, k=10, nprobe=8)
-    return hits.select("vec_id", F.round("distance", 6).alias("distance"))
+    # per-run temp dir, materialize, clean up in finally: the returned
+    # frame must stay valid after the layout is gone, and re-runs must
+    # never see a prior run's tombstones/cells (the query IS the
+    # maintenance history)
+    base = tempfile.mkdtemp(prefix="spark_graft_ivfmaint_")
+    try:
+        index = build_ivf_index(
+            emb.filter(F.col("vec_id") % 10 < 7), f"{base}/idx", nlist=8
+        )
+        ivf_append(index, emb.filter(F.col("vec_id") % 10 >= 7))
+        victims = [
+            r.vec_id
+            for r in ivf_search(spark, index, qv, k=3, nprobe=8).collect()
+        ]
+        ivf_delete_lazy(spark, index, victims)
+        compacted = compact_ivf_index(spark, index, f"{base}/compacted")
+        hits = ivf_search(spark, compacted, qv, k=10, nprobe=8)
+        out = hits.select("vec_id", F.round("distance", 6).alias("distance"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(
@@ -631,32 +636,40 @@ def vector_lsh_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for LSH by design — deletes rewrite eagerly, so the search plan
     stays join-free, which this parity also witnesses."""
     import shutil
+    import tempfile
 
     from ..index.lsh import build_lsh_layout, lsh_append, lsh_delete, lsh_layout_search
     from .vector_q import DIM
 
-    tag = hashlib.md5(f"{sf_dir}|lshmaint".encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_lshmaint_{tag}"
-    # fresh layout every run: the query IS the maintenance history
-    shutil.rmtree(base, ignore_errors=True)
-
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 21)
-    index = build_lsh_layout(
-        emb.filter(F.col("vec_id") % 10 < 7), f"{base}/idx", dim=DIM, n_planes=8
-    )
-    lsh_append(index, emb.filter(F.col("vec_id") % 10 >= 7))
-    victims = [
-        r.vec_id
-        for r in lsh_layout_search(
-            spark, index, qv, k=3, probe_radius=index.n_planes
-        ).collect()
-    ]
-    lsh_delete(spark, index, victims)
-    hits = lsh_layout_search(spark, index, qv, k=10, probe_radius=index.n_planes)
-    return hits.select(
-        "vec_id", "label", (F.round("distance", 6) + F.lit(0.0)).alias("distance")
-    )
+    # per-run temp dir + materialize + finally-cleanup (see the IVF
+    # maintenance twin above for the rationale)
+    base = tempfile.mkdtemp(prefix="spark_graft_lshmaint_")
+    try:
+        index = build_lsh_layout(
+            emb.filter(F.col("vec_id") % 10 < 7), f"{base}/idx", dim=DIM, n_planes=8
+        )
+        lsh_append(index, emb.filter(F.col("vec_id") % 10 >= 7))
+        victims = [
+            r.vec_id
+            for r in lsh_layout_search(
+                spark, index, qv, k=3, probe_radius=index.n_planes
+            ).collect()
+        ]
+        lsh_delete(spark, index, victims)
+        hits = lsh_layout_search(
+            spark, index, qv, k=10, probe_radius=index.n_planes
+        )
+        out = hits.select(
+            "vec_id",
+            "label",
+            (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(
@@ -696,41 +709,108 @@ def vector_manifest_rollback_parity(spark: SparkSession, sf_dir: str) -> DataFra
     AND v1 was truly immutable while v2 was being served. History stays
     append-only: the rollback is version 3, not an erase of version 2."""
     import shutil
+    import tempfile
 
     from ..index.manifest import current, publish, rollback
 
-    tag = hashlib.md5(f"{sf_dir}|manifest".encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_manifest_{tag}"
-    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 11)
+    # per-run temp dir + finally-cleanup, same lifecycle discipline as
+    # the maintenance twins (both serving states are materialized below
+    # anyway — v2's rows must be read BEFORE the pointer moves)
+    base = tempfile.mkdtemp(prefix="spark_graft_manifest_")
+    try:
+        v1 = build_ivf_index(emb, f"{base}/layout_v1", nlist=8)
+        publish(base, "serving", v1.path)
+        victims = [
+            r.vec_id for r in ivf_search(spark, v1, qv, k=3, nprobe=8).collect()
+        ]
+        v2 = build_ivf_index(
+            emb.filter(~F.col("vec_id").isin(victims)),
+            f"{base}/layout_v2",
+            nlist=8,
+        )
+        publish(base, "serving", v2.path)
+
+        def _serve(label: str) -> DataFrame:
+            idx = IVFIndex.load(current(base, "serving"))
+            hits = ivf_search(spark, idx, qv, k=10, nprobe=8)
+            return hits.select(
+                F.lit(label).alias("serving"),
+                "vec_id",
+                F.round("distance", 6).alias("distance"),
+            )
+
+        served_v2 = _serve("v2")
+        rows_v2 = served_v2.collect()  # materialize BEFORE the pointer moves
+        rollback(base, "serving", 1)
+        rows_v3 = _serve("v3_rollback").collect()
+        schema = served_v2.schema
+        return spark.createDataFrame(rows_v2 + rows_v3, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "vector_ivf_hot_split_parity",
+    # exhaustive probe over the post-split layout must equal brute force
+    # over the full corpus, and the live row count must equal count(*) —
+    # together these break the hash if the split loses, duplicates, or
+    # corrupts any row. split_occurred is TRUE by pigeonhole: with
+    # nlist=4 and the cap at total/8, the largest cell (>= total/4)
+    # always exceeds the cap, at every scale factor.
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+d AS (
+  SELECT e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+n AS (SELECT count(*)::BIGINT AS n_rows FROM embeddings)
+SELECT vec_id, round(dist, 6) AS distance, n.n_rows, TRUE AS split_occurred
+FROM d, n ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "ivf", "index", "maintenance", "skew"),
+)
+def vector_ivf_hot_split_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted skew repair (index/ivf.py::split_hot_cells), hash-checked
+    — the last lifecycle operator without a driver anchor: build at
+    nlist=4 (guaranteeing a hot cell over the total/8 cap by pigeonhole),
+    split every over-cap cell into 4 sub-cells (k-means WITHIN the cell;
+    only hot partitions are rewritten, the cold ones are never touched,
+    old centroids retire to the unreachable sentinel), then an
+    exhaustive-probe search from the post-split layout must equal brute
+    force over the full corpus and the layout's live row count must
+    equal count(*) — the invariant that makes surgical skew repair safe:
+    re-bucketing a hot region never changes any answer."""
+    import shutil
+    import tempfile
+
+    from ..index.ivf import split_hot_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 11)
-
-    v1 = build_ivf_index(emb, f"{base}/layout_v1", nlist=8)
-    publish(base, "serving", v1.path)
-    victims = [
-        r.vec_id for r in ivf_search(spark, v1, qv, k=3, nprobe=8).collect()
-    ]
-    v2 = build_ivf_index(
-        emb.filter(~F.col("vec_id").isin(victims)), f"{base}/layout_v2", nlist=8
-    )
-    publish(base, "serving", v2.path)
-
-    def _serve(label: str) -> DataFrame:
-        idx = IVFIndex.load(current(base, "serving"))
-        hits = ivf_search(spark, idx, qv, k=10, nprobe=8)
-        return hits.select(
-            F.lit(label).alias("serving"),
+    total = emb.count()
+    base = tempfile.mkdtemp(prefix="spark_graft_ivfsplit_")
+    try:
+        index = build_ivf_index(emb, f"{base}/idx", nlist=4)
+        split = split_hot_cells(
+            spark, index, max_cell_rows=max(1, total // 8), sub_nlist=4
+        )
+        split_occurred = len(split.centroids) > len(index.centroids)
+        n_rows = spark.read.parquet(split.path).count()
+        hits = ivf_search(
+            spark, split, qv, k=10, nprobe=len(split.centroids)
+        )
+        out = hits.select(
             "vec_id",
             F.round("distance", 6).alias("distance"),
+            F.lit(n_rows).cast("long").alias("n_rows"),
+            F.lit(split_occurred).alias("split_occurred"),
         )
-
-    served_v2 = _serve("v2")
-    rows_v2 = served_v2.collect()  # materialize BEFORE the pointer moves
-    rollback(base, "serving", 1)
-    rows_v3 = _serve("v3_rollback").collect()
-    schema = served_v2.schema
-    return spark.createDataFrame(rows_v2 + rows_v3, schema)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

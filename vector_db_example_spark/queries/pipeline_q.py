@@ -474,26 +474,36 @@ def pipeline_single_insert_validation(spark: SparkSession, sf_dir: str) -> DataF
     after cleaning). The collection's final contents and the reject
     count are both stated by the oracle — engine-assigned ids are
     excluded from the result because auto_id is opaque by contract."""
-    tag = hashlib.md5(f"{sf_dir}|s6".encode()).hexdigest()[:8]
-    root = f"/tmp/spark_graft_cat1_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    cat = CollectionCatalog(spark, root=root)
-    cat.create("kb1", dim=16, force_recreate=True)
+    import tempfile
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 5)
-        .select("doc_id", "text")
-        .collect()
-    )
-    rejected = 0
-    for d in docs:
-        ok, reason = cat.insert_one("kb1", f"ch{d.doc_id}", d.text)
-        if not ok:  # a bare assert would be stripped under python -O
-            raise RuntimeError(f"seed insert rejected for doc {d.doc_id}: {reason}")
-    for chapter, content in (("", "this content is long enough"), ("c", "short")):
-        ok, _ = cat.insert_one("kb1", chapter, content)
-        rejected += 0 if ok else 1
-    return cat.read("kb1").select(
-        "chapter", "content", F.lit(rejected).cast("long").alias("n_rejected")
-    )
+    # per-run temp collection root, materialize, clean up in finally —
+    # re-runs must never append into a prior run's collection, and the
+    # returned frame must stay valid after the root is gone
+    root = tempfile.mkdtemp(prefix="spark_graft_cat1_")
+    try:
+        cat = CollectionCatalog(spark, root=root)
+        cat.create("kb1", dim=16, force_recreate=True)
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 5)
+            .select("doc_id", "text")
+            .collect()
+        )
+        rejected = 0
+        for d in docs:
+            ok, reason = cat.insert_one("kb1", f"ch{d.doc_id}", d.text)
+            if not ok:  # a bare assert would be stripped under python -O
+                raise RuntimeError(
+                    f"seed insert rejected for doc {d.doc_id}: {reason}"
+                )
+        for chapter, content in (("", "this content is long enough"), ("c", "short")):
+            ok, _ = cat.insert_one("kb1", chapter, content)
+            rejected += 0 if ok else 1
+        out = cat.read("kb1").select(
+            "chapter", "content", F.lit(rejected).cast("long").alias("n_rejected")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

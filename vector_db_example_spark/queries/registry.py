@@ -46,46 +46,68 @@ QUERIES: dict[str, Query] = {}
 #:    round so the rotation never drops below ~50 and their families
 #:    stay anchored), and twelve r01+r04 two-green anchors.
 #:
-#: ROUND-6 ROTATION PLAN (execute once CORRECTNESS_r05 lands):
-#: 1. Any remaining zero-row registrations rotate to the front — at
-#:    freeze time that is the mid-round-5 block at the top of
-#:    DRIVER_EXCLUDED (dedup_line_kept_fraction,
-#:    vector_ivf_delete_compact_parity, text_chapter_parse_roundtrip,
-#:    vector_lsh_delete_parity, stream_ivf_ingest_search_parity,
-#:    pipeline_single_insert_validation,
-#:    vector_manifest_rollback_parity, vector_lsh_batch_topk,
-#:    events_hypertable_retention), held out until this rotation exactly
-#:    like the mid-round-4 block was.
-#: 2. The r03-first-green block (18 entries) and the r01-backlog
-#:    two-green anchors become excludable (2+ green rounds each);
-#:    rotate out enough to fit, keeping one anchor per family:
-#:    suggested keeps — text_bm25_search (text), vector_ivf_filtered_parity
-#:    (vector/index), stream_events_rollup_upsert (streaming),
-#:    multimodal_audio_waveform_stats (multimodal),
-#:    tpch_q3_shipping_priority (relational), window_top_orders_per_customer
-#:    (window), agg_rollup_order_status (agg), pipeline_train_test_split
-#:    (pipeline), join_semi_anti_customers (join), setop_part_brands
-#:    (setop, sole member).
-#: 3. The ten r5-rotated-in entries need a second green (r5 + r6)
-#:    before they are excludable — keep them surfaced.
+#: ROUND-6 ROTATION (executed 2026-08-14, per the plan recorded here in
+#: round 5):
+#: 1. Rotated IN, at the front: the nine zero-row entries held in the
+#:    "registered mid-round-5" block of DRIVER_EXCLUDED, plus the two
+#:    queries registered THIS round before the surface froze
+#:    (text_bpe_word_freqs — the hash anchor for the rows-only BPE
+#:    family; vector_ivf_hot_split_parity — the last unanchored index
+#:    lifecycle operator, split_hot_cells).
+#: 2. Rotated OUT: eleven entries hash-green in THREE rounds each
+#:    (r01+r04+r05 or r03+r04+r05), family anchors documented per entry
+#:    in DRIVER_EXCLUDED below.
+#: 3. Kept: the ten r5-rotated-in entries (one green — the two-green
+#:    rule), the nine r4-first-green entries (r4+r5 greens; excludable,
+#:    but slots allow keeping them for a third green), eight r01-backlog
+#:    anchors, eleven r03-block anchors, and pipeline_multi_strategy.
+#:
+#: ROUND-7 ROTATION PLAN (execute once CORRECTNESS_r06 lands):
+#: 1. After r6 every registered query has at least one driver verdict
+#:    (the first time the backlog is empty). Unless new operators are
+#:    registered mid-round-6, round 7 is pure bookkeeping: the eleven
+#:    r6-front entries need their second green (keep them surfaced);
+#:    the ten r5-rotated-in entries reach two greens in r6 and become
+#:    excludable.
+#: 2. If a new registration lands mid-round-6, hold it in
+#:    DRIVER_EXCLUDED's mid-round block and rotate it to the front here,
+#:    exactly like the mid-round-4/-5 blocks were.
 DRIVER_CRITICAL: tuple[str, ...] = (
-    # --- round-5 rotation: zero driver rows until now (registered
-    # mid-round-4 after the r4 surface froze) ---
+    # --- round-6 rotation: zero driver rows until now (nine registered
+    # mid-round-5 after the r5 surface froze; two registered round-6
+    # pre-freeze). The index-lifecycle story lands here: delete→compact,
+    # manifest publish/rollback, streaming ingest→search, per-bucket
+    # LSH delete, hot-cell split, hypertable retention, plus the
+    # S6/S7/F6 reference operators and the BPE hash anchor. ---
+    "dedup_line_kept_fraction",
+    "vector_ivf_delete_compact_parity",
+    "text_chapter_parse_roundtrip",
+    "vector_lsh_delete_parity",
+    "stream_ivf_ingest_search_parity",
+    "pipeline_single_insert_validation",
+    "vector_manifest_rollback_parity",
+    "vector_lsh_batch_topk",
+    "events_hypertable_retention",
+    "text_bpe_word_freqs",            # SQL-expressible tiers of BPE: word
+                                      # freqs + first merge, hash-checked
+    "vector_ivf_hot_split_parity",    # split_hot_cells lifecycle anchor
+    # --- r5-first-green: exactly one driver row (r05) — the two-green
+    # rule keeps them surfaced ---
     "dedup_line_first_occurrence",
     "dedup_dup_span_fraction",
     "text_inverted_merge_parity",
     "events_exact_quantiles",
     "events_retention_cohorts",
     "text_bpe_vocab_merges",          # rows-only: merge loop pinned to the
-                                      # Sennrich/GPT-2 paper example in pytest
+                                      # Sennrich/GPT-2 paper example in
+                                      # pytest; hash-anchored by
+                                      # text_bpe_word_freqs above
     "multimodal_image_feature_knn",
     "text_nb_lang_confusion",
-    "agg_count_min_heavy_hitters",    # exact twin anchoring
-                                      # agg_approx_distinct_sketch's family
-    "stream_cms_documents",           # rows-only: streaming-maintained CMS
-                                      # ≡ batch build pinned in pytest
-    # --- r4-first-green: exactly one driver row (r04) — the two-green
-    # rule keeps them surfaced ---
+    "agg_count_min_heavy_hitters",
+    "stream_cms_documents",
+    # --- r4-first-green, kept through r5: two greens (r4+r5), now
+    # excludable, but the rotation leaves room — a third green each ---
     "vector_lsh_exact_parity",
     "vector_bucketed_pairs_exact",
     "text_inverted_compaction_parity",
@@ -95,40 +117,28 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "text_bigram_lm_quality",
     "dedup_ngram_containment",
     "vector_late_interaction_layout_topk",
-    # --- r01-backlog anchors kept after the r5 rotation (two-green
-    # r01+r04; retained so every family keeps a surfaced anchor) ---
+    # --- r01-backlog anchors kept after the r6 rotation (three-green;
+    # retained so every family keeps a surfaced anchor) ---
     "agg_rollup_order_status",        # grouping-sets anchor (cube twin out)
     "events_range_join_clicks_before_purchase",
     "events_sliding_window",
-    "events_tumbling_window",
     "join_semi_anti_customers",
     "pipeline_train_test_split",
     "setop_part_brands",              # sole set-op member
-    "text_stats_full",
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "vector_centroid_norm",
     "window_top_orders_per_customer",
-    # r03-first-green + r04 second green: two-green as of r04, kept one
-    # more round per the round-5 plan (rotation out is a round-6 action)
-    "events_hypertable_rollup",
+    # --- r03-block anchors kept after the r6 rotation (three-green) ---
     "hybrid_weighted_search",
     "multimodal_audio_waveform_stats",
     "stream_events_enrich_dim",
     "stream_events_rollup_upsert",
     "text_bm25_batch_topk",
-    "text_bm25_inverted_topk",
     "text_bm25_search",
     "text_repetition_filter",
-    "text_sparse_weighted_topk",
     "vector_bq_hamming_topk",
     "vector_filtered_knn",
     "vector_ivf_filtered_parity",
     "vector_ivf_pq_topk",
-    "vector_late_interaction_topk",
-    "vector_partition_key_search",
-    "vector_search_pagination",
-    "vector_truncated_rerank",
     # family anchor retained despite 2+ green rounds: the flagship
     # pipeline (P3/P5/F3/F5/J3/U1/U2/W3)
     "pipeline_multi_strategy",
@@ -232,20 +242,34 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
-        # --- registered mid-round-5 AFTER the r5 surface froze: held out
-        # so the driver surface stays exactly 50 (the driver stops at
-        # ~50, so entry 51 would silently never get a verdict while
-        # appearing surfaced); rotates to the FRONT in round 6 per plan
-        # rule 1 above. Oracle-checked locally like every entry.
-        "dedup_line_kept_fraction",
-        "vector_ivf_delete_compact_parity",
-        "text_chapter_parse_roundtrip",
-        "vector_lsh_delete_parity",
-        "stream_ivf_ingest_search_parity",
-        "pipeline_single_insert_validation",
-        "vector_manifest_rollback_parity",
-        "vector_lsh_batch_topk",
-        "events_hypertable_retention",
+        # --- rotated OUT in round 6: hash-green in THREE rounds each
+        # (r01+r04+r05 for the first four, r03+r04+r05 for the rest),
+        # yielding their slots to the eleven zero-row lifecycle/BPE
+        # entries per the zero-row-first rule. Family anchors kept in
+        # the surface, documented per entry. ---
+        "events_tumbling_window",     # events anchored by sliding window,
+                                      # range join, exact_quantiles,
+                                      # retention_cohorts + hypertable
+                                      # retention rotating in
+        "text_stats_full",            # text anchored by bm25_search/batch,
+                                      # phrase, repetition, nb_lang, bigram
+        "tpch_q5_local_supplier_volume",  # tpch_q3 anchors relational
+        "vector_centroid_norm",       # vector family heavily anchored
+                                      # (ivf/lsh/bq/pq + lifecycle block)
+        "events_hypertable_rollup",   # hypertable anchored by the stronger
+                                      # events_hypertable_retention (same
+                                      # rollup + drop_chunks on top)
+        "text_bm25_inverted_topk",    # bm25 anchored by text_bm25_search
+                                      # + batch + inverted merge/compaction
+                                      # parities (same postings machinery)
+        "text_sparse_weighted_topk",  # sparse/hybrid scoring anchored by
+                                      # hybrid_weighted_search
+        "vector_partition_key_search",  # per-tenant pruning stated by the
+                                        # ivf_filtered_parity plan tests
+        "vector_search_pagination",   # offset window over the same knn path
+        "vector_truncated_rerank",    # quantization anchored by bq/ivf_pq
+        "vector_late_interaction_topk",  # layout twin (stronger: stored
+                                         # chunk embeddings) stays surfaced
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
         # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage

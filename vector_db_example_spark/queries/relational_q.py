@@ -111,8 +111,17 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q5_local_supplier_volume",
+    # Exact-units aggregation: price and discount carry 2 decimals each,
+    # so per-row revenue is an exact multiple of 1e-4 — round(x*10000)
+    # recovers that integer from identical per-row double math on both
+    # engines, the BIGINT sum is associative (order-independent, unlike
+    # a double sum whose partition-order noise flipped a .005 rounding
+    # boundary at sf1.0 — see SCALING.md round 6), and the single final
+    # division is deterministic.
     oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+         / 10000.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -128,7 +137,10 @@ GROUP BY n_name
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with two tiny dims (nation, region)
-    broadcast; supplier/customer co-join on nationkey."""
+    broadcast; supplier/customer co-join on nationkey. Revenue sums in
+    exact 1e-4 units (BIGINT) so the aggregate is independent of
+    partition merge order — the double-sum form was nondeterministic at
+    a rounding boundary at sf1.0."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -149,10 +161,11 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        (F.sum(units) / F.lit(10000.0)).alias("revenue")
     )
 
 

@@ -938,6 +938,87 @@ def text_inverted_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_word_freqs",
+    # Hash anchor for the BPE family: the corpus tier (word-frequency
+    # table) and the trainer's FIRST decision (argmax pair count with
+    # the freq-desc → lexicographic tiebreak) ARE closed-form SQL, even
+    # though the iterated merge loop is not. Rank 1 of this result is
+    # bpe_train(...)[0] by construction (pinned in tests).
+    oracle=f"""
+WITH w AS (
+  SELECT t AS word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS t
+        FROM documents)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT freq,
+         unnest(list_concat(
+           list_transform(range(1, len(word)),
+                          i -> {{'a': word[i:i], 'b': word[i+1:i+1]}}),
+           [{{'a': word[len(word):len(word)], 'b': '</w>'}}]
+         )) AS p
+  FROM w
+),
+pc AS (
+  SELECT p.a AS left_sym, p.b AS right_sym, sum(freq)::BIGINT AS pair_count
+  FROM pairs GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM pc ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
+)
+SELECT row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym)
+         ::INTEGER AS rank,
+       left_sym, right_sym, pair_count
+FROM top
+""",
+    tags=("text", "bpe", "tokenizer", "training-data"),
+)
+def text_bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible tiers of BPE training, as a hash-checkable
+    twin of text_bpe_vocab_merges: the corpus word-frequency pass
+    (operators/bpe.py word_frequencies — the ONE corpus-scale stage),
+    then the symbol-pair counts over that table with each word's
+    characters plus the `</w>` end marker. Ordered by (count desc,
+    pair asc) — exactly bpe_train's argmax + tiebreak — so rank 1 IS
+    the trainer's first merge.
+
+    Scale shape: corpus-scale work is the single tokenize + groupBy
+    shuffle (map-side combined, vocabulary-sized output); the pair
+    explode and pair groupBy run over the vocab-sized table; the top-50
+    is TakeOrderedAndProject and the rank window sees 50 rows."""
+    from ..operators.bpe import END_OF_WORD, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = word_frequencies(docs)
+    # Adjacent symbol pairs of word + </w>: substring is codepoint-based
+    # (matches Python tuple(word) and DuckDB's char slicing for CJK).
+    pair_at = (
+        "transform(sequence(1, length(word)), i -> struct("
+        "substring(word, i, 1) AS left_sym, "
+        f"CASE WHEN i < length(word) THEN substring(word, i + 1, 1) "
+        f"ELSE '{END_OF_WORD}' END AS right_sym))"
+    )
+    pc = (
+        freqs.select(F.explode(F.expr(pair_at)).alias("p"), "freq")
+        .groupBy(F.col("p.left_sym").alias("left_sym"),
+                 F.col("p.right_sym").alias("right_sym"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    top = pc.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym").asc(),
+        F.col("right_sym").asc(),
+    ).limit(50)
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym").asc(),
+        F.col("right_sym").asc(),
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "left_sym", "right_sym", "pair_count"
+    )
+
+
+@register(
     "text_bpe_vocab_merges",
     # A sequential merge loop (merge i+1 counts pairs that only exist
     # after merge i) has no SQL encoding — rows-only for the driver;

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.exactsum import exact_units
 from ..sources.tables import load_table
 from .registry import register
 
@@ -109,11 +110,14 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_type_stats",
+    # sum/avg in exact cents (q5 failure class: 5 groups × the whole
+    # event log = large-addend double sums); min/max/median are
+    # order-independent already and keep their form
     oracle="""
 SELECT event_type,
        count(*)::BIGINT AS n,
-       round(sum(value), 2) AS total,
-       round(avg(value), 6) AS mean,
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT / 100.0 AS total,
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT / 100.0 / count(*) AS mean,
        round(min(value), 2) AS vmin,
        round(max(value), 2) AS vmax,
        round(quantile_cont(value, 0.5), 6) AS median
@@ -124,12 +128,16 @@ GROUP BY event_type
 )
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value statistics including an exact interpolated median
-    (Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    (Spark `percentile` ≡ DuckDB `quantile_cont`). Sum and mean use
+    exact-cents arithmetic (2-decimal values) so whole-log groups are
+    independent of partition merge order."""
     ev = load_table(spark, sf_dir, "events")
+    cents = exact_units(F.col("value"), 100)
+    n = F.count(F.lit(1))
     return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
-        F.round(F.avg("value"), 6).alias("mean"),
+        n.alias("n"),
+        (F.sum(cents) / F.lit(100.0)).alias("total"),
+        (F.sum(cents) / F.lit(100.0) / n).alias("mean"),
         F.round(F.min("value"), 2).alias("vmin"),
         F.round(F.max("value"), 2).alias("vmax"),
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),

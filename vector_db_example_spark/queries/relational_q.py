@@ -14,22 +14,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.exactsum import exact_units
 from ..sources.tables import load_table
 from .registry import register
 
 
 @register(
     "tpch_q1_pricing_summary",
+    # Exact-units aggregation (see tpch_q5 / SCALING.md round 6): price,
+    # discount, tax, and quantity all carry ≤2 decimals, so every
+    # per-row measure is an exact multiple of 1e-2/1e-4/1e-6 — recovered
+    # by identical one-row double math on both engines, summed as BIGINT
+    # (associative: a double sum over this query's million-addend groups
+    # is partition-merge-order dependent, the q5 failure class), then
+    # divided once. Averages reuse the exact sums with an identical
+    # left-to-right division chain; no post-aggregation rounding.
     oracle="""
 SELECT
   l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 6) AS avg_qty,
-  round(avg(l_extendedprice), 6) AS avg_price,
-  round(avg(l_discount), 6) AS avg_disc,
+  sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT / 100.0 AS sum_qty,
+  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT / 100.0 AS sum_base_price,
+  sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT)::BIGINT
+    / 10000.0 AS sum_disc_price,
+  sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5)
+      ::BIGINT)::BIGINT / 1000000.0 AS sum_charge,
+  sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT / 100.0 / count(*) AS avg_qty,
+  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT / 100.0 / count(*)
+    AS avg_price,
+  sum(floor(l_discount * 100 + 0.5)::BIGINT)::BIGINT / 100.0 / count(*) AS avg_disc,
   count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -41,21 +53,35 @@ GROUP BY l_returnflag, l_linestatus
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy grouped aggregation. Catalyst pushes the
     shipdate predicate into the Parquet scan and does map-side partial
-    aggregation (6 groups → near-zero shuffle)."""
+    aggregation (6 groups → near-zero shuffle). Measures sum in exact
+    integer units (2-decimal inputs) so the six million-addend groups
+    are independent of partition merge order."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_u = exact_units(F.col("l_quantity"), 100)
+    price_u = exact_units(F.col("l_extendedprice"), 100)
+    disc_u = exact_units(F.col("l_discount"), 100)
+    dp_u = exact_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    ch_u = exact_units(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax")),
+        1000000,
+    )
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty_u) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(price_u) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(dp_u) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(ch_u) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty_u) / F.lit(100.0) / n).alias("avg_qty"),
+            (F.sum(price_u) / F.lit(100.0) / n).alias("avg_price"),
+            (F.sum(disc_u) / F.lit(100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -120,7 +146,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division is deterministic.
     oracle="""
 SELECT n_name,
-       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+       sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT)::BIGINT
          / 10000.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -161,9 +187,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    units = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-    ).cast("long")
+    units = exact_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
     return joined.groupBy("n_name").agg(
         (F.sum(units) / F.lit(10000.0)).alias("revenue")
     )
@@ -268,21 +294,27 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_rollup_order_status",
+    # exact-units sum (q5 failure class): the grand-total row sums EVERY
+    # order — a million-addend double sum is partition-merge-order
+    # dependent; 2-decimal o_totalprice sums exactly in cents
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT / 100.0 AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
     tags=("relational", "agg", "rollup"),
 )
 def agg_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical aggregation (ROLLUP) — subtotals + grand total."""
+    """Hierarchical aggregation (ROLLUP) — subtotals + grand total.
+    Totals sum in exact cents so the grand-total row is independent of
+    partition merge order."""
     orders = load_table(spark, sf_dir, "orders")
+    cents = exact_units(F.col("o_totalprice"), 100)
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(cents) / F.lit(100.0)).alias("total"),
     )
 
 
@@ -292,7 +324,7 @@ def agg_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT / 100.0 AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -304,10 +336,11 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     so NULL-as-subtotal is distinguishable from a NULL key value. Spark
     expands the 4 grouping sets map-side into one hash aggregation."""
     orders = load_table(spark, sf_dir, "orders")
+    cents = exact_units(F.col("o_totalprice"), 100)
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(cents) / F.lit(100.0)).alias("total"),
     )
 
 

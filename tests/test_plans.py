@@ -413,6 +413,23 @@ def test_semantic_dedup_no_window_broadcast_routing(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_bpe_word_freqs_partial_combine_and_prelimited_window(spark):
+    """The BPE anchor's only corpus-scale stage is the tokenize+groupBy
+    word count — it must partial-combine map-side so the shuffle is
+    vocabulary-sized; the pair explode runs over the vocab table; the
+    top-50 is TakeOrderedAndProject and the rank window ranks only those
+    survivors (never the full pair table)."""
+    plan = _plan(QUERIES["text_bpe_word_freqs"].fn(spark, SF_SMOKE))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = plan.splitlines()
+    for wi in (i for i, ln in enumerate(lines) if "Window" in ln):
+        for ln in lines[wi + 1 :]:
+            if "TakeOrderedAndProject" in ln:
+                break
+            assert "FileScan" not in ln, plan
+
+
 @pytest.mark.parametrize("qname", ["hybrid_rrf_search", "hybrid_weighted_search"])
 def test_hybrid_windows_rank_prelimited_survivors_only(spark, qname):
     """Both hybrid arms must top-k with orderBy().limit() — compiled to

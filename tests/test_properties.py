@@ -371,3 +371,38 @@ def test_semantic_dedup_capped_vs_uncapped_recall(spark):
     # to the representative) — uncapped drops it, capped keeps it
     assert kept["uncapped"][301] is False
     assert kept["capped"][301] is True
+
+
+@PROP
+@given(
+    cents=st.lists(st.integers(0, 50_000_000), min_size=1, max_size=200),
+    scale=st.sampled_from([100, 10000, 1000000]),
+)
+def test_exact_units_snaps_and_sum_is_order_independent(spark, cents, scale):
+    """exact_units must recover the EXACT integer for any non-negative
+    fixed-decimal double (the floor(x*scale+0.5) form ≡ true rounding
+    wherever the argument is near an integer), and the BIGINT sum must
+    be identical under any partition order — the invariant the
+    large-addend money aggregates rely on (SCALING.md round 6)."""
+    from vector_db_example_spark.functions.exactsum import exact_units
+
+    # n/scale is the worst-case fixed-decimal double: the stored value
+    # is the nearest double to an exact multiple of 1/scale
+    df = spark.createDataFrame([(n,) for n in cents], "n long").select(
+        F.col("n"), (F.col("n") / F.lit(float(scale))).alias("x")
+    )
+    got = df.select("n", exact_units(F.col("x"), scale).alias("u")).collect()
+    assert all(r.u == r.n for r in got), [
+        (r.n, r.u) for r in got if r.u != r.n
+    ][:5]
+    # order independence: sum over shuffled partitionings is bit-equal
+    total = sum(cents)
+    for parts in (1, 7):
+        s = (
+            df.repartition(parts)
+            .select(exact_units(F.col("x"), scale).alias("u"))
+            .agg(F.sum("u").alias("s"))
+            .first()
+            .s
+        )
+        assert s == total

@@ -783,3 +783,48 @@ def test_ivf_batch_search_honors_tombstones(spark, tmp_path):
         )
     ]
     assert got == want
+
+
+def test_batch_scaffold_dedupes_probe_partitions(spark, tmp_path):
+    """A probes_for that names the same partition twice must not score
+    (and rank) that partition's rows twice for the query — the shared
+    scaffold dedupes probe values per query (advisor finding, round 6).
+    Identity: duplicated probes ≡ distinct probes, and no (query_id, id)
+    pair appears at two ranks."""
+    from vector_db_example_spark.index.batchsearch import batch_topk_over_layout
+    from vector_db_example_spark.index.ivf import build_ivf_index, ivf_search_batch
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = build_ivf_index(emb, path=str(tmp_path / "ivfdup"), nlist=4)
+    qv = _qvec(spark, 7)
+    layout = spark.read.parquet(index.path)
+
+    def make_l2_block(Q):
+        import numpy as np
+
+        def block(Xp, qi):
+            Qc = Q[qi]
+            acc = ((Xp[:, None, :] - Qc[None, :, :]) ** 2).sum(axis=2)
+            return np.sqrt(acc)
+
+        return block
+
+    def run(probes_for):
+        hits = batch_topk_over_layout(
+            layout,
+            partition_col="cell_id",
+            id_col="vec_id",
+            vector_col="embedding",
+            queries=[(7, qv)],
+            k=5,
+            probes_for=probes_for,
+            make_distance_block=make_l2_block,
+        )
+        return [(r.query_id, r.vec_id, r.rank) for r in hits.collect()]
+
+    clean = run(lambda vec: [0, 1, 2, 3])
+    duped = run(lambda vec: [0, 0, 1, 1, 2, 2, 3, 3, 0])
+    assert duped == clean
+    pairs = [(q, i) for q, i, _ in duped]
+    assert len(pairs) == len(set(pairs))

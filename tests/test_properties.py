@@ -406,3 +406,126 @@ def test_exact_units_snaps_and_sum_is_order_independent(spark, cents, scale):
             .s
         )
         assert s == total
+
+
+@PROP
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("publish"), st.integers(0, 9)),
+            st.tuples(st.just("rollback"), st.integers(1, 12)),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_manifest_pointer_matches_model(spark, ops, tmp_path_factory):
+    """The versioned serving pointer vs a trivial Python model under any
+    publish/rollback sequence: current() always resolves the model's
+    head, history is append-only (versions 1..n, prior entries never
+    rewritten), and rollback to an out-of-range version raises without
+    changing state."""
+    from vector_db_example_spark.index import manifest as m
+
+    root = str(tmp_path_factory.mktemp("manifest_prop"))
+    model: list[str] = []  # version v serves model[v-1]
+    for op, arg in ops:
+        if op == "publish":
+            path = f"/layouts/l{arg}"
+            v = m.publish(root, "serving", path)
+            model.append(path)
+            assert v == len(model)
+        else:
+            if 1 <= arg <= len(model):
+                v = m.rollback(root, "serving", arg)
+                model.append(model[arg - 1])
+                assert v == len(model)
+            else:
+                before = m.history(root, "serving")
+                try:
+                    m.rollback(root, "serving", arg)
+                    raise AssertionError("rollback past history must raise")
+                except (KeyError, FileNotFoundError):
+                    pass
+                assert m.history(root, "serving") == before
+        hist = m.history(root, "serving")
+        assert [e.version for e in hist] == list(range(1, len(model) + 1))
+        assert [e.path for e in hist] == model
+        if model:
+            assert m.current(root, "serving") == model[-1]
+            for i, p in enumerate(model, 1):
+                assert m.version(root, "serving", i) == p
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 6),           # day offset
+            st.integers(0, 23),          # hour
+            st.sampled_from(["click", "view"]),
+            st.integers(0, 10_000),      # value in cents
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    cut=st.integers(0, 7),               # retention cutoff day offset
+    tail=st.integers(0, 7),              # report tail-from day offset
+)
+def test_hypertable_retention_report_matches_recompute(
+    spark, events, cut, tail, tmp_path_factory
+):
+    """For ANY event set, retention cutoff, and report tail split:
+    drop_chunks removes exactly 2 directories per pre-cutoff day
+    (raw + rollup, O(days dropped)), and the closed-from-rollup ∪
+    open-from-raw report over the survivors equals a direct per-day
+    recompute over exactly the retained events — the rollup path loses
+    nothing and double-counts nothing wherever the tail boundary lands
+    relative to the cutoff."""
+    import datetime
+
+    from vector_db_example_spark.index.hypertable import (
+        build_hypertable,
+        drop_chunks,
+        hypertable_report,
+    )
+
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        (
+            datetime.datetime(2024, 3, 1 + d, h, 30, 0),
+            t,
+            c / 100.0,
+        )
+        for d, h, t, c in events
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    root = str(tmp_path_factory.mktemp("ht_prop"))
+    table = build_hypertable(df, root)
+
+    cutoff = (base + datetime.timedelta(days=cut)).isoformat()
+    tail_from = (base + datetime.timedelta(days=tail)).isoformat()
+    pre_days = {d for d, _, _, _ in events if 1 + d < 1 + cut}
+    n_dropped = drop_chunks(spark, table, cutoff)
+    assert n_dropped == 2 * len(pre_days)
+
+    got = {
+        (r.event_date, r.event_type): (r.n, r.total, r.vmin, r.vmax)
+        for r in hypertable_report(spark, table, tail_from).collect()
+    }
+    # direct recompute over exactly the retained events
+    agg: dict[tuple[str, str], list] = {}
+    for (ts, t, v) in rows:
+        if ts.date() < datetime.date.fromisoformat(cutoff):
+            continue
+        key = (ts.date().isoformat(), t)
+        cur = agg.setdefault(key, [0, 0.0, v, v])
+        cur[0] += 1
+        cur[1] += v
+        cur[2] = min(cur[2], v)
+        cur[3] = max(cur[3], v)
+    want = {
+        k: (n, round(s, 2), round(lo, 2), round(hi, 2))
+        for k, (n, s, lo, hi) in agg.items()
+    }
+    assert got == want

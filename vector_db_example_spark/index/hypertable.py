@@ -35,10 +35,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 @dataclass(frozen=True)
 class Hypertable:
-    """Paths of a built time-chunked layout (both date-partitioned)."""
+    """Paths + schemas of a built time-chunked layout (both
+    date-partitioned). Schemas are persisted at build time
+    (``meta.json`` next to the chunk roots) so reads stay well-defined
+    after retention drops every chunk — schema inference over an empty
+    partitioned directory raises UNABLE_TO_INFER_SCHEMA, found by the
+    hypothesis retention sweep in tests/test_properties.py."""
 
     raw_path: str
     rollup_path: str
+    raw_schema: str  # StructType JSON
+    rollup_schema: str
+
+    @staticmethod
+    def load(path: str) -> "Hypertable":
+        import json
+
+        with open(f"{path}/meta.json") as fh:
+            meta = json.load(fh)
+        return Hypertable(**meta)
 
 
 def build_hypertable(events: DataFrame, path: str) -> Hypertable:
@@ -49,6 +64,8 @@ def build_hypertable(events: DataFrame, path: str) -> Hypertable:
     scale this is a shuffle of per-(hour,type) partials, a few rows per
     executor-day, not of events.
     """
+    import json
+
     raw_path = f"{path}/raw"
     rollup_path = f"{path}/rollup_1h"
 
@@ -77,7 +94,35 @@ def build_hypertable(events: DataFrame, path: str) -> Hypertable:
         .partitionBy("event_date")
         .parquet(rollup_path)
     )
-    return Hypertable(raw_path=raw_path, rollup_path=rollup_path)
+    table = Hypertable(
+        raw_path=raw_path,
+        rollup_path=rollup_path,
+        raw_schema=with_date.schema.json(),
+        rollup_schema=rollup.schema.json(),
+    )
+    with open(f"{path}/meta.json", "w") as fh:
+        json.dump(
+            {
+                "raw_path": raw_path,
+                "rollup_path": rollup_path,
+                "raw_schema": table.raw_schema,
+                "rollup_schema": table.rollup_schema,
+            },
+            fh,
+        )
+    return table
+
+
+def _read_chunked(spark: SparkSession, path: str, schema_json: str) -> DataFrame:
+    """Read a chunk root with its persisted schema: identical plan when
+    chunks exist (partition pruning untouched), and a well-typed EMPTY
+    frame when retention has removed every chunk directory."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    return spark.read.schema(schema).parquet(path)
 
 
 def hypertable_report(
@@ -97,7 +142,7 @@ def hypertable_report(
     cutoff = F.lit(tail_from).cast("date")
 
     closed = (
-        spark.read.parquet(table.rollup_path)
+        _read_chunked(spark, table.rollup_path, table.rollup_schema)
         .filter(F.col("event_date") < cutoff)
         .groupBy("event_date", "event_type")
         .agg(
@@ -108,7 +153,7 @@ def hypertable_report(
         )
     )
     tail = (
-        spark.read.parquet(table.raw_path)
+        _read_chunked(spark, table.raw_path, table.raw_schema)
         .filter(F.col("event_date") >= cutoff)
         .groupBy("event_date", "event_type")
         .agg(

@@ -529,3 +529,186 @@ def test_hypertable_retention_report_matches_recompute(
         for k, (n, s, lo, hi) in agg.items()
     }
     assert got == want
+
+
+def _fold_l2(a, b) -> float:
+    """Bit-exact replica of functions/vector.py::l2_distance: strict
+    left-to-right double fold of squared diffs, then one sqrt."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return math.sqrt(acc)
+
+
+def _fold_cosine(a, b) -> float:
+    """Bit-exact replica of functions/vector.py::cosine_distance:
+    1 - dot/(sqrt(dot(a,a)) * sqrt(dot(b,b))), each fold left-to-right."""
+
+    def dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    return 1.0 - (dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+
+
+#: Integer-coordinate vectors: squared distances and dot products are
+#: exact in float64, so the Python models above are bit-identical to the
+#: engine's double math and rank comparisons need no tolerance.
+int_vectors = st.lists(
+    st.integers(-4, 4).map(float), min_size=4, max_size=4
+)
+
+_ivf_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(int_vectors, min_size=1, max_size=3)),
+    st.tuples(st.just("lazy_delete"), st.lists(st.integers(0, 40), min_size=1, max_size=4)),
+    st.tuples(st.just("eager_delete"), st.lists(st.integers(0, 40), min_size=1, max_size=4)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("split"), st.none()),
+)
+
+
+@PROP
+@given(
+    corpus=st.lists(int_vectors, min_size=2, max_size=6),
+    ops=st.lists(_ivf_op, max_size=4),
+    qv=int_vectors,
+)
+def test_ivf_lifecycle_matches_brute_force(spark, corpus, ops, qv, tmp_path_factory):
+    """ANY interleaving of append / lazy-delete / eager-delete /
+    compact / split-hot-cells against a dict model: every delete returns
+    exactly the number of still-live victims (idempotent re-deletes are
+    no-ops), compaction folds tombstones away, and a full-probe search —
+    sequential AND the shared batch scaffold — returns the model's exact
+    brute-force ranking (distance asc, id asc). Covers the
+    empty-layout states (delete-all then search/append) that motivated
+    IVFIndex.schema_json."""
+    import os as _os
+
+    from vector_db_example_spark.index.ivf import (
+        _tombstone_path,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_append,
+        ivf_delete,
+        ivf_delete_lazy,
+        ivf_search,
+        ivf_search_batch,
+        split_hot_cells,
+    )
+
+    root = str(tmp_path_factory.mktemp("ivf_prop"))
+    schema = "vec_id long, embedding array<float>"
+    model = {i: tuple(v) for i, v in enumerate(corpus)}
+    next_id = len(corpus)
+    df = spark.createDataFrame([(i, list(v)) for i, v in sorted(model.items())], schema)
+    idx = build_ivf_index(df, f"{root}/gen0", nlist=2, train_sample=100)
+    gen = 0
+    for op, arg in ops:
+        if op == "append":
+            rows = [(next_id + j, list(v)) for j, v in enumerate(arg)]
+            ivf_append(idx, spark.createDataFrame(rows, schema))
+            model.update((i, tuple(v)) for i, v in rows)
+            next_id += len(rows)
+        elif op in ("lazy_delete", "eager_delete"):
+            targets = sorted({i % next_id for i in arg})
+            expected = sum(1 for t in targets if t in model)
+            fn = ivf_delete_lazy if op == "lazy_delete" else ivf_delete
+            assert fn(spark, idx, targets) == expected
+            for t in targets:
+                model.pop(t, None)
+        elif op == "compact" and model:
+            gen += 1
+            idx = compact_ivf_index(
+                spark, idx, f"{root}/gen{gen}", nlist=min(2, len(model))
+            )
+            assert not _os.path.isdir(_tombstone_path(idx))
+        elif op == "split":
+            idx = split_hot_cells(spark, idx, max_cell_rows=2, sub_nlist=2)
+    want = sorted(
+        ((i, _fold_l2(v, qv)) for i, v in model.items()), key=lambda t: (t[1], t[0])
+    )
+    got = [
+        (r.vec_id, r.distance)
+        for r in ivf_search(
+            spark, idx, list(qv), k=len(model) + 3, nprobe=10**6
+        ).collect()
+    ]
+    assert got == want
+    got_batch = [
+        (r.vec_id, r.distance)
+        for r in ivf_search_batch(spark, idx, [(0, list(qv))], k=3, nprobe=10**6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_batch == want[:3]
+
+
+_nz_vectors = int_vectors.filter(lambda v: any(x != 0.0 for x in v))
+
+_lsh_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(_nz_vectors, min_size=1, max_size=3)),
+    st.tuples(st.just("delete"), st.lists(st.integers(0, 40), min_size=1, max_size=4)),
+)
+
+
+@PROP
+@given(
+    corpus=st.lists(_nz_vectors, min_size=1, max_size=6),
+    ops=st.lists(_lsh_op, max_size=4),
+    qv=_nz_vectors,
+)
+def test_lsh_lifecycle_matches_brute_force(spark, corpus, ops, qv, tmp_path_factory):
+    """ANY append/delete interleaving on the bucket-partitioned LSH
+    layout vs a dict model: deletes return exactly the live-victim
+    count, and a full-radius search (probes = every bucket => exact) —
+    sequential AND batch — returns the model's cosine ranking. Covers
+    delete-to-empty followed by search and append (LSHIndex.schema_json)."""
+    from vector_db_example_spark.index.lsh import (
+        build_lsh_layout,
+        lsh_append,
+        lsh_delete,
+        lsh_layout_search,
+        lsh_layout_search_batch,
+    )
+
+    root = str(tmp_path_factory.mktemp("lsh_prop"))
+    schema = "vec_id long, embedding array<float>"
+    model = {i: tuple(v) for i, v in enumerate(corpus)}
+    next_id = len(corpus)
+    df = spark.createDataFrame([(i, list(v)) for i, v in sorted(model.items())], schema)
+    idx = build_lsh_layout(df, f"{root}/layout", dim=4, n_planes=3)
+    for op, arg in ops:
+        if op == "append":
+            rows = [(next_id + j, list(v)) for j, v in enumerate(arg)]
+            lsh_append(idx, spark.createDataFrame(rows, schema))
+            model.update((i, tuple(v)) for i, v in rows)
+            next_id += len(rows)
+        else:
+            targets = sorted({i % next_id for i in arg})
+            expected = sum(1 for t in targets if t in model)
+            assert lsh_delete(spark, idx, targets) == expected
+            for t in targets:
+                model.pop(t, None)
+    want = sorted(
+        ((i, _fold_cosine(v, qv)) for i, v in model.items()),
+        key=lambda t: (t[1], t[0]),
+    )
+    got = [
+        (r.vec_id, r.distance)
+        for r in lsh_layout_search(
+            spark, idx, list(qv), k=len(model) + 3, probe_radius=3
+        ).collect()
+    ]
+    assert got == want
+    got_batch = [
+        (r.vec_id, r.distance)
+        for r in lsh_layout_search_batch(
+            spark, idx, [(0, list(qv))], k=3, probe_radius=3
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_batch == want[:3]

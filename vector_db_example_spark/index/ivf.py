@@ -48,6 +48,13 @@ class IVFIndex:
     centroids: np.ndarray  # (nlist, dim) float64
     vector_col: str
     id_col: str
+    #: Layout schema (StructType JSON) persisted at build time so reads
+    #: stay well-defined after a delete empties every cell partition —
+    #: schema inference over an empty partitioned directory raises
+    #: UNABLE_TO_INFER_SCHEMA (found by the lifecycle property sweep in
+    #: tests/test_properties.py). ``None`` only for handles predating
+    #: the field; those fall back to inference.
+    schema_json: str | None = None
 
     @property
     def nlist(self) -> int:
@@ -58,6 +65,7 @@ class IVFIndex:
             "vector_col": self.vector_col,
             "id_col": self.id_col,
             "centroids": self.centroids.tolist(),
+            "schema": self.schema_json,
         }
         with open(os.path.join(self.path, "_ivf_meta.json"), "w") as f:
             json.dump(meta, f)
@@ -71,7 +79,21 @@ class IVFIndex:
             centroids=np.asarray(meta["centroids"], dtype=np.float64),
             vector_col=meta["vector_col"],
             id_col=meta["id_col"],
+            schema_json=meta.get("schema"),
         )
+
+
+def _read_layout(spark: SparkSession, index: IVFIndex) -> DataFrame:
+    """Read the layout root with the schema persisted at build time:
+    identical plan while cells exist (partition discovery and pruning
+    untouched — pinned in tests/test_plans.py), and a well-typed EMPTY
+    frame when a delete has emptied every ``cell_id=`` directory."""
+    if index.schema_json:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(index.schema_json))
+        return spark.read.schema(schema).parquet(index.path)
+    return spark.read.parquet(index.path)
 
 
 def _train_centroids(
@@ -179,6 +201,7 @@ def build_ivf_index(
         centroids=centroids,
         vector_col=vector_col,
         id_col=id_col,
+        schema_json=assigned.schema.json(),
     )
     index.save_meta()
     return index
@@ -222,7 +245,7 @@ def ivf_delete_lazy(spark: SparkSession, index: IVFIndex, ids) -> int:
     if not ids:
         return 0
     id_col = index.id_col
-    layout = _ivf_live(index, spark.read.parquet(index.path).select(id_col))
+    layout = _ivf_live(index, _read_layout(spark, index).select(id_col))
     if len(ids) <= _DELETE_ISIN_MAX:
         victims = layout.filter(F.col(id_col).isin(ids))
     else:
@@ -265,7 +288,7 @@ def ivf_search(
     filter — filtering never widens the scan."""
     probe = nearest_cells(index, query_vec, nprobe)
     corpus = _ivf_live(
-        index, spark.read.parquet(index.path).filter(F.col("cell_id").isin(probe))
+        index, _read_layout(spark, index).filter(F.col("cell_id").isin(probe))
     )
     if where is not None:
         corpus = corpus.filter(where)
@@ -319,7 +342,7 @@ def ivf_bucketed_pairs(
     verified with exact L2."""
     from ..functions.vector import l2_distance
 
-    base = _ivf_live(index, spark.read.parquet(index.path))
+    base = _ivf_live(index, _read_layout(spark, index))
     a = base.select(
         F.col("cell_id"),
         F.col(index.id_col).alias("a_id"),
@@ -365,7 +388,7 @@ def compact_ivf_index(
     doc/milvus介绍.md:27). FOLDS DELETION VECTORS IN: lazily-deleted rows
     (``ivf_delete_lazy``) are dropped for real, and the fresh layout
     starts with no tombstone sibling."""
-    corpus = _ivf_live(index, spark.read.parquet(index.path)).drop("cell_id")
+    corpus = _ivf_live(index, _read_layout(spark, index)).drop("cell_id")
     return build_ivf_index(
         corpus,
         path=new_path,
@@ -424,7 +447,7 @@ def split_hot_cells(
 
     counts = {
         int(r["cell_id"]): int(r["n"])
-        for r in spark.read.parquet(index.path)
+        for r in _read_layout(spark, index)
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -435,7 +458,7 @@ def split_hot_cells(
 
     centroids = index.centroids.copy()
     for cell in hot:
-        part = spark.read.parquet(index.path).filter(F.col("cell_id") == cell)
+        part = _read_layout(spark, index).filter(F.col("cell_id") == cell)
         part = part.drop("cell_id").localCheckpoint(eager=True)
         train = np.vstack(
             [
@@ -464,6 +487,7 @@ def split_hot_cells(
         centroids=centroids,
         vector_col=index.vector_col,
         id_col=index.id_col,
+        schema_json=index.schema_json,
     )
     out.save_meta()
     return out
@@ -509,7 +533,7 @@ def ivf_search_batch(
         return block
 
     return batch_topk_over_layout(
-        spark.read.parquet(index.path),
+        _read_layout(spark, index),
         partition_col="cell_id",
         id_col=index.id_col,
         vector_col=index.vector_col,
@@ -549,7 +573,7 @@ def ivf_delete(spark: SparkSession, index: IVFIndex, ids) -> int:
     # victims resolve through the LIVE view so the count excludes rows a
     # prior ivf_delete_lazy already tombstoned (the rewrite may carry
     # such rows physically; they stay hidden until compaction)
-    layout = _ivf_live(index, spark.read.parquet(index.path))
+    layout = _ivf_live(index, _read_layout(spark, index))
     if len(ids) <= _DELETE_ISIN_MAX:
         victims = layout.filter(F.col(id_col).isin(ids)).select(id_col, "cell_id")
         survivor_filter = lambda df: df.filter(~F.col(id_col).isin(ids))  # noqa: E731

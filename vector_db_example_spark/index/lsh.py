@@ -122,6 +122,12 @@ class LSHIndex:
     planes: np.ndarray
     vector_col: str
     id_col: str
+    #: Layout schema (StructType JSON) persisted at build time — the
+    #: IVF twin of index/ivf.py::IVFIndex.schema_json: a delete that
+    #: empties every ``bucket=`` directory must leave reads well-typed
+    #: instead of raising UNABLE_TO_INFER_SCHEMA. ``None`` only for
+    #: handles predating the field (falls back to inference).
+    schema_json: str | None = None
 
     @property
     def n_planes(self) -> int:
@@ -132,6 +138,7 @@ class LSHIndex:
             "vector_col": self.vector_col,
             "id_col": self.id_col,
             "planes": self.planes.tolist(),
+            "schema": self.schema_json,
         }
         with open(os.path.join(self.path, "_lsh_meta.json"), "w") as f:
             json.dump(meta, f)
@@ -145,7 +152,20 @@ class LSHIndex:
             planes=np.asarray(meta["planes"], dtype=np.float64),
             vector_col=meta["vector_col"],
             id_col=meta["id_col"],
+            schema_json=meta.get("schema"),
         )
+
+
+def _read_layout(spark: SparkSession, index: LSHIndex):
+    """Read the bucket-partitioned root with the persisted schema:
+    identical plan while buckets exist (pruning untouched), well-typed
+    EMPTY frame when ``lsh_delete`` has removed every bucket."""
+    if index.schema_json:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(index.schema_json))
+        return spark.read.schema(schema).parquet(index.path)
+    return spark.read.parquet(index.path)
 
 
 def bucket_assigner(planes: np.ndarray):
@@ -189,7 +209,13 @@ def build_lsh_layout(
     planes = hyperplanes(dim, n_planes=n_planes, seed=seed)
     bucketed = df.withColumn("bucket", bucket_assigner(planes)(F.col(vector_col)))
     bucketed.write.partitionBy("bucket").mode("overwrite").parquet(path)
-    index = LSHIndex(path=path, planes=planes, vector_col=vector_col, id_col=id_col)
+    index = LSHIndex(
+        path=path,
+        planes=planes,
+        vector_col=vector_col,
+        id_col=id_col,
+        schema_json=bucketed.schema.json(),
+    )
     index.save_meta()
     return index
 
@@ -223,7 +249,7 @@ def lsh_layout_search(
     probes = probe_buckets(
         bucket_of(query_vec, index.planes), index.n_planes, probe_radius
     )
-    pruned = spark.read.parquet(index.path).filter(F.col("bucket").isin(probes))
+    pruned = _read_layout(spark, index).filter(F.col("bucket").isin(probes))
     return knn_exact(
         pruned,
         query_vec,
@@ -253,7 +279,7 @@ def lsh_delete(spark: SparkSession, index: LSHIndex, ids) -> int:
     if not ids:
         return 0
     id_col = index.id_col
-    layout = spark.read.parquet(index.path)
+    layout = _read_layout(spark, index)
     victims = layout.filter(F.col(id_col).isin(ids)).select(id_col, "bucket")
     buckets = sorted(
         {int(r["bucket"]) for r in victims.select("bucket").distinct().collect()}
@@ -338,7 +364,7 @@ def lsh_layout_search_batch(
         return block
 
     return batch_topk_over_layout(
-        spark.read.parquet(index.path),
+        _read_layout(spark, index),
         partition_col="bucket",
         id_col=index.id_col,
         vector_col=index.vector_col,

@@ -712,3 +712,72 @@ def test_lsh_lifecycle_matches_brute_force(spark, corpus, ops, qv, tmp_path_fact
         .collect()
     ]
     assert got_batch == want[:3]
+
+
+_inv_docs = st.lists(words, min_size=1, max_size=6).map(" ".join)
+
+_inv_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(_inv_docs, min_size=1, max_size=3)),
+    st.tuples(st.just("delete"), st.lists(st.integers(0, 40), min_size=1, max_size=4)),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@PROP
+@given(
+    corpus=st.lists(_inv_docs, min_size=1, max_size=5),
+    ops=st.lists(_inv_op, max_size=4),
+    qterms=st.lists(words, min_size=1, max_size=2, unique=True),
+)
+def test_inverted_lifecycle_equals_fresh_build(
+    spark, corpus, ops, qterms, tmp_path_factory
+):
+    """ANY append / tombstone-delete / compact interleaving must be
+    BM25-indistinguishable from a FRESH build over exactly the surviving
+    documents (the compaction docstring's contract): tombstoned docs
+    contribute nothing to tf/df/doclens/stats even BEFORE compaction
+    folds them in, deletes return the live-victim count, and the
+    delete-everything state stays searchable (postings_schema)."""
+    from vector_db_example_spark.index.inverted import (
+        append_to_inverted_index,
+        bm25_search_inverted,
+        build_inverted_index,
+        compact_inverted_index,
+        delete_from_inverted_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("inv_prop"))
+    schema = "doc_id long, text string"
+    model = {i: t for i, t in enumerate(corpus)}
+    next_id = len(corpus)
+    idx = build_inverted_index(
+        spark.createDataFrame(sorted(model.items()), schema), f"{root}/gen0", n_buckets=4
+    )
+    gen = 0
+    for op, arg in ops:
+        if op == "append":
+            rows = [(next_id + j, t) for j, t in enumerate(arg)]
+            append_to_inverted_index(idx, spark.createDataFrame(rows, schema))
+            model.update(rows)
+            next_id += len(rows)
+        elif op == "delete":
+            targets = sorted({i % next_id for i in arg})
+            expected = sum(1 for t in targets if t in model)
+            assert delete_from_inverted_index(idx, targets) == expected
+            for t in targets:
+                model.pop(t, None)
+        else:
+            gen += 1
+            idx = compact_inverted_index(spark, idx, f"{root}/gen{gen}")
+    fresh = build_inverted_index(
+        spark.createDataFrame(sorted(model.items()), schema), f"{root}/fresh", n_buckets=4
+    )
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_search_inverted(spark, idx, qterms, k=50).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25)
+        for r in bm25_search_inverted(spark, fresh, qterms, k=50).collect()
+    ]
+    assert got == want

@@ -26,6 +26,8 @@ buckets with zlib and they match the layout's partition values exactly.
 
 from __future__ import annotations
 
+import json
+import os
 import zlib
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -46,6 +48,14 @@ class InvertedIndex:
     #: index was built on (an index built on a custom column must not
     #: silently fall back to "text").
     text_col: str = "text"
+    #: Postings schema (StructType JSON) captured at build time — the
+    #: inverted twin of IVFIndex.schema_json: postings are the one layout
+    #: piece written partitionBy (zero rows ⇒ zero files), so compacting
+    #: a fully-tombstoned index, merging empty segments, or building over
+    #: an empty corpus leaves a directory schema inference cannot read
+    #: (doclens/stats are non-partitioned; an empty write still leaves a
+    #: schema footer). ``None`` falls back to inference.
+    postings_schema: str | None = None
 
     @property
     def postings_path(self) -> str:
@@ -58,6 +68,37 @@ class InvertedIndex:
     @property
     def stats_path(self) -> str:
         return f"{self.path}/stats"
+
+    def save_meta(self) -> None:
+        meta = {
+            "n_buckets": self.n_buckets,
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "postings_schema": self.postings_schema,
+        }
+        with open(os.path.join(self.path, "_inverted_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "InvertedIndex":
+        """Reopen a layout from its persisted meta — same cross-process
+        handle story as IVFIndex.load / LSHIndex.load."""
+        with open(os.path.join(path, "_inverted_meta.json")) as f:
+            meta = json.load(f)
+        return cls(path=path, **meta)
+
+
+def _read_postings(spark: SparkSession, index: InvertedIndex) -> DataFrame:
+    """Read the bucket-partitioned postings with the persisted schema:
+    identical plan while buckets exist (pruning untouched), well-typed
+    EMPTY frame when no posting was ever written (empty build) or when
+    compaction/merge folded every document away."""
+    if index.postings_schema:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(index.postings_schema))
+        return spark.read.schema(schema).parquet(index.postings_path)
+    return spark.read.parquet(index.postings_path)
 
 
 def build_inverted_index(
@@ -91,9 +132,15 @@ def build_inverted_index(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(F.size(extract_tokens(F.col(text_col)))).cast("double").alias("__tot"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
-    return InvertedIndex(
-        path=path, n_buckets=n_buckets, id_col=id_col, text_col=text_col
+    index = InvertedIndex(
+        path=path,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        postings_schema=postings.schema.json(),
     )
+    index.save_meta()
+    return index
 
 
 def bm25_search_inverted(
@@ -115,7 +162,7 @@ def bm25_search_inverted(
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in terms})
     posts = _live(
         index,
-        spark.read.parquet(index.postings_path)
+        _read_postings(spark, index)
         .filter(F.col("bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(terms)),  # within-bucket residual filter
     )
@@ -215,7 +262,7 @@ def sparse_dot_topk(
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in terms})
     posts = _live(
         index,
-        spark.read.parquet(index.postings_path)
+        _read_postings(spark, index)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms)),
     )
@@ -259,7 +306,7 @@ def compact_inverted_index(
     copying the possibly double-bumped one. After compaction, BM25
     scores are exactly those of a clean build on the live docs."""
     posts = (
-        _live(index, spark.read.parquet(index.postings_path))
+        _live(index, _read_postings(spark, index))
         .groupBy("term", index.id_col, "bucket")
         .agg(F.max("tf").alias("tf"))
         .select("term", index.id_col, "tf", "bucket")
@@ -284,12 +331,15 @@ def compact_inverted_index(
         .write.mode("overwrite")
         .parquet(f"{new_path}/stats")
     )
-    return InvertedIndex(
+    out = InvertedIndex(
         path=new_path,
         n_buckets=index.n_buckets,
         id_col=index.id_col,
         text_col=index.text_col,
+        postings_schema=posts.schema.json(),
     )
+    out.save_meta()
+    return out
 
 
 def delete_from_inverted_index(index: InvertedIndex, ids) -> int:
@@ -367,17 +417,25 @@ def build_positional_index(
     tok = docs.select(
         id_col, F.posexplode(extract_tokens(F.col(text_col))).alias("pos", "term")
     )
-    (
+    postings = (
         tok.groupBy("term", id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
         .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % n_buckets)
-        .write.mode("overwrite")
+    )
+    (
+        postings.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
-    return InvertedIndex(
-        path=path, n_buckets=n_buckets, id_col=id_col, text_col=text_col
+    index = InvertedIndex(
+        path=path,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        postings_schema=postings.schema.json(),
     )
+    index.save_meta()
+    return index
 
 
 def append_to_positional_index(index: InvertedIndex, docs: DataFrame) -> None:
@@ -431,7 +489,7 @@ def phrase_search_positional(
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.n_buckets for t in uniq})
     posts = _live(
         index,
-        spark.read.parquet(index.postings_path)
+        _read_postings(spark, index)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(uniq)),
     )
@@ -488,7 +546,7 @@ def bm25_search_inverted_batch(
     )
     posts = _live(
         index,
-        spark.read.parquet(index.postings_path)
+        _read_postings(spark, index)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(all_terms)),
     )
@@ -588,15 +646,15 @@ def merge_inverted_indexes(
 
     posts = None
     for seg in segments:
-        p = _live(seg, spark.read.parquet(seg.postings_path)).select(
-            "term", id_col, "tf"
-        )
+        p = _live(seg, _read_postings(spark, seg)).select("term", id_col, "tf")
         posts = p if posts is None else posts.unionByName(p)
-    (
+    merged_posts = (
         posts.groupBy("term", id_col)
         .agg(F.max("tf").alias("tf"))
         .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % out_buckets)
-        .write.mode("overwrite")
+    )
+    (
+        merged_posts.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{new_path}/postings")
     )
@@ -620,9 +678,12 @@ def merge_inverted_indexes(
         .write.mode("overwrite")
         .parquet(f"{new_path}/stats")
     )
-    return InvertedIndex(
+    out = InvertedIndex(
         path=new_path,
         n_buckets=out_buckets,
         id_col=id_col,
         text_col=first.text_col,
+        postings_schema=merged_posts.schema.json(),
     )
+    out.save_meta()
+    return out

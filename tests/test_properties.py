@@ -781,3 +781,118 @@ def test_inverted_lifecycle_equals_fresh_build(
         for r in bm25_search_inverted(spark, fresh, qterms, k=50).collect()
     ]
     assert got == want
+
+
+_replay_batches = st.lists(
+    st.tuples(st.lists(int_vectors, min_size=1, max_size=3), st.booleans()),
+    min_size=1,
+    max_size=3,
+)
+
+
+@PROP
+@given(
+    seed_vecs=st.lists(int_vectors, min_size=2, max_size=4),
+    batches=_replay_batches,
+    qv=int_vectors,
+)
+def test_ivf_compaction_heals_replayed_appends(
+    spark, seed_vecs, batches, qv, tmp_path_factory
+):
+    """The streaming sink's crash window (streaming/ingest.py: append
+    lands, crash before the commit marker, batch replays) lays down
+    byte-identical rows twice. The documented recovery is the offline
+    compaction rebuild — so after ANY append sequence with replays,
+    compact + full-probe search must return the model's ranking with
+    each id EXACTLY ONCE."""
+    from vector_db_example_spark.index.ivf import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_append,
+        ivf_search,
+    )
+
+    root = str(tmp_path_factory.mktemp("ivf_replay"))
+    schema = "vec_id long, embedding array<float>"
+    model = {i: tuple(v) for i, v in enumerate(seed_vecs)}
+    next_id = len(seed_vecs)
+    idx = build_ivf_index(
+        spark.createDataFrame(sorted((i, list(v)) for i, v in model.items()), schema),
+        f"{root}/gen0",
+        nlist=2,
+        train_sample=100,
+    )
+    for vecs, replayed in batches:
+        rows = [(next_id + j, list(v)) for j, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, schema)
+        ivf_append(idx, df)
+        if replayed:  # at-least-once re-delivery of the SAME batch
+            ivf_append(idx, df)
+        model.update((i, tuple(v)) for i, v in rows)
+        next_id += len(rows)
+    idx = compact_ivf_index(spark, idx, f"{root}/compacted", nlist=2)
+    want = sorted(
+        ((i, _fold_l2(v, qv)) for i, v in model.items()), key=lambda t: (t[1], t[0])
+    )
+    got = [
+        (r.vec_id, r.distance)
+        for r in ivf_search(
+            spark, idx, list(qv), k=len(model) + 3, nprobe=10**6
+        ).collect()
+    ]
+    assert got == want
+
+
+@PROP
+@given(
+    batches=st.lists(
+        st.tuples(st.lists(_inv_docs, min_size=1, max_size=3), st.booleans()),
+        min_size=1,
+        max_size=3,
+    ),
+    qterms=st.lists(words, min_size=1, max_size=2, unique=True),
+)
+def test_inverted_compaction_heals_replayed_appends(
+    spark, batches, qterms, tmp_path_factory
+):
+    """Same crash window on the lexical sink: a replayed append lays
+    down duplicate (term, doc, tf) postings and doclen rows and
+    double-bumps the stats row. Compaction's max(tf)/max(__dl) rule and
+    stats recompute must restore BM25 bit-parity with a fresh build
+    over the live docs, for ANY mix of replayed and clean batches
+    (starting from an EMPTY build — the postings_schema path)."""
+    from vector_db_example_spark.index.inverted import (
+        append_to_inverted_index,
+        bm25_search_inverted,
+        build_inverted_index,
+        compact_inverted_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("inv_replay"))
+    schema = "doc_id long, text string"
+    model: dict[int, str] = {}
+    next_id = 0
+    idx = build_inverted_index(
+        spark.createDataFrame([], schema), f"{root}/gen0", n_buckets=4
+    )
+    for docs, replayed in batches:
+        rows = [(next_id + j, t) for j, t in enumerate(docs)]
+        df = spark.createDataFrame(rows, schema)
+        append_to_inverted_index(idx, df)
+        if replayed:
+            append_to_inverted_index(idx, df)
+        model.update(rows)
+        next_id += len(rows)
+    idx = compact_inverted_index(spark, idx, f"{root}/compacted")
+    fresh = build_inverted_index(
+        spark.createDataFrame(sorted(model.items()), schema), f"{root}/fresh", n_buckets=4
+    )
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_search_inverted(spark, idx, qterms, k=50).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25)
+        for r in bm25_search_inverted(spark, fresh, qterms, k=50).collect()
+    ]
+    assert got == want

@@ -130,7 +130,12 @@ def build_inverted_index(
     ).write.mode("overwrite").parquet(f"{path}/doclens")
     docs.select(
         F.count(F.lit(1)).cast("double").alias("__n"),
-        F.sum(F.size(extract_tokens(F.col(text_col)))).cast("double").alias("__tot"),
+        # coalesce: sum over ZERO docs is null, and the append path's
+        # stats bump does float(old __tot) — an empty build must write
+        # 0.0 like the compact/merge stats recompute already does
+        F.coalesce(F.sum(F.size(extract_tokens(F.col(text_col)))), F.lit(0))
+        .cast("double")
+        .alias("__tot"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
     index = InvertedIndex(
         path=path,
@@ -231,7 +236,9 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
     old = spark.read.parquet(index.stats_path).collect()[0]
     inc = docs.select(
         F.count(F.lit(1)).cast("double").alias("__n"),
-        F.sum(F.size(extract_tokens(F.col(text_col)))).cast("double").alias("__tot"),
+        F.coalesce(F.sum(F.size(extract_tokens(F.col(text_col)))), F.lit(0))
+        .cast("double")
+        .alias("__tot"),
     ).collect()[0]
     spark.createDataFrame(
         [(float(old["__n"]) + float(inc["__n"]),

@@ -387,8 +387,17 @@ def compact_ivf_index(
     of the old path stay consistent; the Milvus data-node indexing analog,
     doc/milvus介绍.md:27). FOLDS DELETION VECTORS IN: lazily-deleted rows
     (``ivf_delete_lazy``) are dropped for real, and the fresh layout
-    starts with no tombstone sibling."""
-    corpus = _ivf_live(index, _read_layout(spark, index)).drop("cell_id")
+    starts with no tombstone sibling. CLEARS AT-LEAST-ONCE REPLAY
+    DUPLICATES: a crash in the streaming sink's append→marker window
+    (streaming/ingest.py) can replay a whole batch, laying down
+    byte-identical rows twice; the engine has no row-update op, so a
+    repeated row IS a replay of the same insert — ``distinct()`` over
+    the full row collapses it (deterministic, unlike a keep-one-of-
+    differing-payloads rule), the same healing contract as
+    ``compact_inverted_index``'s max(tf) rule."""
+    corpus = (
+        _ivf_live(index, _read_layout(spark, index)).drop("cell_id").distinct()
+    )
     return build_ivf_index(
         corpus,
         path=new_path,

@@ -828,3 +828,48 @@ def test_batch_scaffold_dedupes_probe_partitions(spark, tmp_path):
     assert duped == clean
     pairs = [(q, i) for q, i, _ in duped]
     assert len(pairs) == len(set(pairs))
+
+
+def test_quantized_searches_honor_tombstones(spark, tmp_path):
+    """Lazily-deleted rows must not resurface through the quantized
+    routes — the same bug class the batched IVF path fixed in round 5
+    (index/batchsearch.py): ivf_sq8_search / ivf_pq_search wrap their
+    pruned scans in the live view, so both stages (approx + rerank)
+    see the same post-delete corpus as the flat path."""
+    from vector_db_example_spark.index.ivf import ivf_delete_lazy
+    from vector_db_example_spark.index.pq import build_ivf_pq_index, ivf_pq_search
+    from vector_db_example_spark.index.sq8 import build_ivf_sq8_index, ivf_sq8_search
+    from vector_db_example_spark.operators.knn import knn_exact
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") == 11).head().embedding
+    live_exact = [
+        (r.vec_id, round(r.distance, 9))
+        for r in knn_exact(
+            emb.filter(F.col("vec_id") != 11), q, k=10, score_threshold=None
+        ).collect()
+    ]
+
+    sq8_idx, mins, scales = build_ivf_sq8_index(
+        emb, path=str(tmp_path / "sq8"), nlist=8
+    )
+    assert ivf_delete_lazy(spark, sq8_idx, [11]) == 1
+    got = [
+        (r.vec_id, round(r.distance, 9))
+        for r in ivf_sq8_search(
+            spark, sq8_idx, mins, scales, q, k=10, nprobe=8, overfetch=5
+        ).collect()
+    ]
+    assert got == live_exact
+
+    pq_idx, codebook = build_ivf_pq_index(emb, path=str(tmp_path / "pq"), nlist=8)
+    assert ivf_delete_lazy(spark, pq_idx, [11]) == 1
+    got = [
+        (r.vec_id, round(r.distance, 9))
+        for r in ivf_pq_search(
+            spark, pq_idx, codebook, q, k=10, nprobe=8, overfetch=n
+        ).collect()
+    ]
+    assert got == live_exact

@@ -201,11 +201,16 @@ def ivf_pq_search(
     nearest cells reading only the code column (ADC approximate top-
     (k·overfetch)), then exact rerank of just those candidates against
     the float vectors (broadcast candidate-id semi-join into the same
-    pruned cells)."""
-    from .ivf import nearest_cells
+    pruned cells). Deletion vectors are honored exactly like the
+    flat/batched IVF paths (the pruned scan is wrapped in the live
+    view) — a lazily-deleted row must not resurface via the quantized
+    route."""
+    from .ivf import _ivf_live, _read_layout, nearest_cells
 
     probe = nearest_cells(index, query_vec, nprobe)
-    pruned = spark.read.parquet(index.path).filter(F.col("cell_id").isin(probe))
+    pruned = _ivf_live(
+        index, _read_layout(spark, index).filter(F.col("cell_id").isin(probe))
+    )
     approx = (
         pruned.select(index.id_col, "pq_codes")
         .withColumn(

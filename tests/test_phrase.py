@@ -97,3 +97,35 @@ def test_positional_append_equals_full_build(spark, tmp_path):
         got = phrase_search_positional(spark, idx, phrase, k=10_000).collect()
         want = phrase_search_positional(spark, full, phrase, k=10_000).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_positional_delete_rides_shared_tombstones(spark, tmp_path):
+    """delete_from_inverted_index on a POSITIONAL-ONLY layout (no
+    doclens/stats side-tables) resolves victims against the postings'
+    live ids, is idempotent, and phrase search hides the tombstoned doc
+    — equal to a fresh build without it."""
+    from vector_db_example_spark.index.inverted import (
+        delete_from_inverted_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = build_positional_index(docs, str(tmp_path / "pos"), n_buckets=16)
+    phrase = ("table", "hash")
+    before = [
+        r.doc_id
+        for r in phrase_search_positional(spark, idx, phrase, k=10_000).collect()
+    ]
+    assert before, "need a matching doc for the test to bite"
+    victim = before[0]
+
+    assert delete_from_inverted_index(idx, [victim]) == 1
+    assert delete_from_inverted_index(idx, [victim]) == 0  # idempotent
+    assert delete_from_inverted_index(idx, [10**12]) == 0  # unknown id
+
+    survivors = build_positional_index(
+        docs.filter(F.col("doc_id") != victim), str(tmp_path / "fresh"), n_buckets=16
+    )
+    got = phrase_search_positional(spark, idx, phrase, k=10_000).collect()
+    want = phrase_search_positional(spark, survivors, phrase, k=10_000).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert victim not in {r.doc_id for r in got}

@@ -363,11 +363,32 @@ def delete_from_inverted_index(index: InvertedIndex, ids) -> int:
     against existing tombstones), so re-deleting an already-deleted id is
     a no-op — no duplicate tombstone row, no second stats decrement.
 
+    Works on POSITIONAL-ONLY layouts too (build_positional_index writes
+    no doclens/stats side-tables — the docstring there routes deletes
+    here): victims then resolve against the postings' live doc ids and
+    only the tombstone table is written. That resolve is a full postings
+    scan (no query terms to prune by), fine for an offline delete; the
+    tombstones persist until a rebuild, since compaction is a BM25-layout
+    operation.
+
     Returns the number of ids newly tombstoned."""
+    import os as _os
+
     ids = [int(i) for i in ids]
     if not ids:
         return 0
     spark = SparkSession.getActiveSession()
+    if not _os.path.isdir(index.doclens_path):
+        victims = (
+            _live(index, _read_postings(spark, index))
+            .select(index.id_col)
+            .filter(F.col(index.id_col).isin(ids))
+            .distinct()
+        ).localCheckpoint(eager=True)
+        n = victims.count()
+        if n:
+            victims.write.mode("append").parquet(f"{index.path}/tombstones")
+        return n
     doclens = _live(index, spark.read.parquet(index.doclens_path))
     victims = doclens.filter(F.col(index.id_col).isin(ids))
     stats_delta = victims.select(

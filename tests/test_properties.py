@@ -896,3 +896,76 @@ def test_inverted_compaction_heals_replayed_appends(
         for r in bm25_search_inverted(spark, fresh, qterms, k=50).collect()
     ]
     assert got == want
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=40
+    )
+)
+def test_connected_components_both_algorithms_match_union_find(spark, edges):
+    """For ANY edge list (self-loops, duplicate/reversed edges, long
+    chains, dense blobs): min-label propagation and the
+    large-star/small-star algorithm must both label every node with the
+    union-find model's min-id component — identical outputs from two
+    independent algorithms, anchored to a third implementation."""
+    from vector_db_example_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got_minlabel = {r.id: r.comp for r in connected_components(df).collect()}
+    got_star = {r.id: r.comp for r in connected_components_star(df).collect()}
+    assert got_minlabel == want
+    assert got_star == want
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), texts), min_size=1, max_size=25
+    ),
+    budget=st.integers(1, 12),
+)
+def test_pack_sequences_matches_model(spark, rows, budget):
+    """Concat-and-chunk packing vs a direct per-stream model: for ANY
+    docs (including empty texts — one token under the engine's split
+    semantics) and ANY budget, pack_id = floor(cum_before / budget) with
+    id-ascending order, and the per-pack stats aggregate exactly."""
+    from vector_db_example_spark.operators.packing import pack_sequences
+
+    docs = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    model: dict[tuple[str, int], list] = {}
+    cum: dict[str, int] = {}
+    for i, s, t in docs:  # ids are already ascending per stream
+        stripped = t.strip()
+        ntok = 1 if stripped == "" else len(stripped.split())
+        pack = cum.get(s, 0) // budget
+        cur = model.setdefault((s, pack), [0, 0, i])
+        cur[0] += 1
+        cur[1] += ntok
+        cum[s] = cum.get(s, 0) + ntok
+    want = {k: tuple(v) for k, v in model.items()}
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {
+        (r.stream, r.pack_id): (r.n_docs, r.pack_tokens, r.first_doc)
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    assert got == want

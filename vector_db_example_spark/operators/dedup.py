@@ -463,9 +463,13 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
     )
+    # node set from the RAW edges, not the self-loop-filtered ones: the
+    # contract is one row per node APPEARING in edges, and a node whose
+    # only edge is a self-loop is its own singleton cluster (caught by
+    # the union-find property test in tests/test_properties.py)
     nodes = (
-        e.select(F.col("u").alias("id"))
-        .unionByName(e.select(F.col("v").alias("id")))
+        edges.select(F.col(a_col).cast("long").alias("id"))
+        .unionByName(edges.select(F.col(b_col).cast("long").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -969,3 +969,72 @@ def test_pack_sequences_matches_model(spark, rows, budget):
         for r in pack_sequences(df, budget=budget).collect()
     }
     assert got == want
+
+
+@PROP
+@given(
+    docs=st.lists(texts, min_size=1, max_size=12),
+    w=st.integers(1, 5),
+)
+def test_corpus_line_dedup_matches_model(spark, docs, w):
+    """C4-style global line dedup vs a direct model: for ANY corpus and
+    window size, every distinct token-window line survives exactly once,
+    at its lexicographically-first (doc_id, line_no) occurrence —
+    including empty documents (one empty-string line under the engine's
+    split semantics)."""
+    import re
+
+    from vector_db_example_spark.operators.dedup import corpus_line_dedup
+
+    def windows(text: str) -> list[str]:
+        stripped = text.strip()
+        toks = [""] if stripped == "" else re.split(r"\s+", stripped)
+        k = max((len(toks) - 1) // w, 0)
+        return [" ".join(toks[i * w : i * w + w]) for i in range(k + 1)]
+
+    first: dict[str, tuple[int, int]] = {}
+    for i, t in enumerate(docs):
+        for ln, line in enumerate(windows(t)):
+            if line not in first or (i, ln) < first[line]:
+                first[line] = (i, ln)
+    want = {(i, ln, line) for line, (i, ln) in first.items()}
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.line_no, r.line)
+        for r in corpus_line_dedup(df, tokens_per_line=w).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(tokens=st.lists(words, min_size=1, max_size=60))
+def test_cms_estimate_dominates_true_count(spark, tokens):
+    """The count-min invariant, for ANY token stream: every point
+    estimate is >= the true count (collisions only ever ADD), and a
+    token absent from the stream estimates >= 0 (its buckets may still
+    collide with real mass, but the coalesce floor holds)."""
+    from collections import Counter
+
+    from vector_db_example_spark.operators.sketch import (
+        cms_estimates,
+        count_min_sketch,
+    )
+
+    true = Counter(tokens)
+    df = spark.createDataFrame([(t,) for t in tokens], "t string")
+    sketch = count_min_sketch(df, depth=3, width=8)
+    queries = spark.createDataFrame(
+        [(t,) for t in sorted(true)] + [("__never_seen__",)], "t string"
+    )
+    got = {
+        r.t: r.cms_estimate
+        for r in cms_estimates(sketch, queries, depth=3, width=8).collect()
+    }
+    for t, n in true.items():
+        assert got[t] >= n, (t, got[t], n)
+    assert got["__never_seen__"] >= 0
+    # total mass conservation per hash row: sum of estimates can exceed,
+    # but no single estimate can exceed the stream length
+    for t, est in got.items():
+        assert est <= len(tokens)

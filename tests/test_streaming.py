@@ -429,3 +429,37 @@ def test_hypertable_drop_chunks_retention(spark, tmp_path):
     # the report still runs over the retained window
     rep = hypertable_report(spark, ht, tail_from="2024-01-25")
     assert rep.agg(F.min("event_date")).collect()[0][0] >= "2024-01-10"
+
+
+def test_rollup_from_empty_stream_is_readable(spark, tmp_path):
+    """A maintenance run over a zero-event stream writes no data file;
+    read_rollup must still return a well-typed EMPTY rollup (the sink
+    persists the rollup schema up front), and a later run with real
+    events upserts into the same layout normally."""
+    from vector_db_example_spark.sources.tables import load_table, restore_event_ts
+    from vector_db_example_spark.streaming.rollup import (
+        read_rollup,
+        stream_rollup_maintenance,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ev.filter(F.lit(False)).write.parquet(src)  # schema'd, zero rows
+
+    def run(ckpt: str) -> None:
+        stream = restore_event_ts(
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        )
+        stream_rollup_maintenance(
+            spark, stream, rollup_path=rollup, checkpoint_path=str(tmp_path / ckpt)
+        )
+
+    run("ckpt_empty")
+    out = read_rollup(spark, rollup)
+    assert out.count() == 0
+    assert "hour_ts" in out.columns and "value_sum" in out.columns
+
+    ev.write.mode("append").parquet(src)  # now feed the real events
+    run("ckpt_full")
+    assert read_rollup(spark, rollup).count() > 0

@@ -76,6 +76,16 @@ def stream_rollup_maintenance(
     ).hexdigest()[:16]
     marker_dir = os.path.join(rollup_path, "_committed_batches", ckpt_token)
     os.makedirs(marker_dir, exist_ok=True)
+    # Persist the rollup schema up front (derivable from the stream's
+    # schema through the partials plan, no execution needed): a run over
+    # an all-empty stream writes no data file, and read_rollup's schema
+    # inference would crash on the fileless layout (the delete-to-empty
+    # class, SCALING.md round 6).
+    schema_file = os.path.join(rollup_path, "_rollup_schema.json")
+    if not os.path.exists(schema_file):
+        empty = spark.createDataFrame([], events_stream.schema)
+        with open(schema_file, "w") as fh:
+            fh.write(_hourly_partials(empty).schema.json())
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
         marker = os.path.join(marker_dir, f"batch_{batch_id}")
@@ -122,8 +132,21 @@ def stream_rollup_maintenance(
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The maintained rollup, with the repo's string date/time output
     conventions applied (raw doubles stay unrounded — consumers round at
-    their output edge)."""
-    return spark.read.parquet(rollup_path).select(
+    their output edge). Reads with the schema the sink persisted, so a
+    rollup maintained from an all-empty stream (no data file yet) is a
+    well-typed empty frame rather than an inference error."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    schema_file = os.path.join(rollup_path, "_rollup_schema.json")
+    if os.path.exists(schema_file):
+        with open(schema_file) as fh:
+            schema = StructType.fromJson(json.loads(fh.read()))
+        base = spark.read.schema(schema).parquet(rollup_path)
+    else:
+        base = spark.read.parquet(rollup_path)
+    return base.select(
         F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
         F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
         "event_type",

@@ -1038,3 +1038,74 @@ def test_cms_estimate_dominates_true_count(spark, tokens):
     # but no single estimate can exceed the stream length
     for t, est in got.items():
         assert est <= len(tokens)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word_freqs=st.lists(
+        st.tuples(st.text(alphabet="abcde", min_size=1, max_size=6), st.integers(1, 5)),
+        min_size=1,
+        max_size=10,
+    ),
+    num_merges=st.integers(0, 30),
+    probe=st.text(alphabet="abcde", min_size=1, max_size=8),
+)
+def test_bpe_segmentation_lossless_and_equals_merge_replay(
+    word_freqs, num_merges, probe
+):
+    """Pure-Python BPE invariants, checked densely: (1) segmentation is
+    LOSSLESS — concatenating the tokens restores word + </w> for any
+    trained merge table and any word, seen or unseen; (2) the encoder's
+    greedy lowest-rank-first loop equals replaying the merges in
+    training order (the bpe_segment_word docstring's claim that encode
+    segments exactly as training did)."""
+    from vector_db_example_spark.operators.bpe import (
+        END_OF_WORD,
+        _merge_word,
+        bpe_segment_word,
+        bpe_train,
+    )
+
+    merges = bpe_train(word_freqs, num_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in [w for w, _ in word_freqs] + [probe]:
+        seg = bpe_segment_word(w, ranks)
+        assert "".join(seg) == w + END_OF_WORD
+        replay = tuple(w) + (END_OF_WORD,)
+        for pair in merges:
+            replay = _merge_word(replay, pair)
+        assert tuple(seg) == replay, (w, seg, replay)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_ppm_roundtrip_and_resize_invariants(data):
+    """Pure-Python multimodal kernels, checked densely: PPM encode →
+    decode is lossless for any RGB array; nearest-neighbor resize
+    yields exactly the requested shape, blends nothing (every output
+    pixel IS an input pixel), and same-size resize is the identity."""
+    import numpy as np
+
+    from vector_db_example_spark.operators.multimodal import (
+        _resize_nearest,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    h = data.draw(st.integers(1, 6), label="h")
+    w = data.draw(st.integers(1, 6), label="w")
+    px = data.draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3),
+        label="pixels",
+    )
+    arr = np.asarray(px, dtype=np.uint8).reshape(h, w, 3)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+
+    H = data.draw(st.integers(1, 6), label="H")
+    W = data.draw(st.integers(1, 6), label="W")
+    out = _resize_nearest(arr, width=W, height=H)
+    assert out.shape == (H, W, 3)
+    in_px = {tuple(int(c) for c in p) for p in arr.reshape(-1, 3)}
+    assert all(tuple(int(c) for c in p) in in_px for p in out.reshape(-1, 3))
+    assert (_resize_nearest(arr, width=w, height=h) == arr).all()
+    assert decode_ppm(encode_ppm(out)).shape == (H, W, 3)

@@ -447,7 +447,10 @@ def split_hot_cells(
     before the hot directory is removed); as with the streaming sink's
     commit markers, a crash between the two leaves a recoverable
     duplicate window that a real deployment closes with a transactional
-    table format. Single-writer assumption, documented.
+    table format — and that ``compact_ivf_index`` now clears offline
+    (its full-row distinct() runs after dropping cell_id, so the same
+    row duplicated across an old cell and its sub-cell collapses).
+    Single-writer assumption, documented.
 
     Returns a NEW IVFIndex (same path, extended centroid matrix); the
     old in-memory index object is stale after this call.

@@ -1109,3 +1109,98 @@ def test_ppm_roundtrip_and_resize_invariants(data):
     assert all(tuple(int(c) for c in p) in in_px for p in out.reshape(-1, 3))
     assert (_resize_nearest(arr, width=w, height=h) == arr).all()
     assert decode_ppm(encode_ppm(out)).shape == (H, W, 3)
+
+
+@PROP
+@given(
+    corpus=st.lists(_inv_docs, min_size=1, max_size=8),
+    q1=st.lists(words, min_size=1, max_size=2, unique=True),
+    q2=st.lists(words, min_size=1, max_size=3, unique=True),
+)
+def test_bm25_batch_equals_sequential(spark, corpus, q1, q2, tmp_path_factory):
+    """The batched BM25 path (one pruned scan, per-query score columns,
+    stack + rank window) must be row-identical to N sequential searches
+    for ANY corpus and query pair — including queries sharing terms,
+    single-term queries, and queries matching nothing."""
+    from vector_db_example_spark.index.inverted import (
+        bm25_search_inverted,
+        bm25_search_inverted_batch,
+        build_inverted_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("bm25_batch"))
+    idx = build_inverted_index(
+        spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string"),
+        f"{root}/idx",
+        n_buckets=4,
+    )
+    batch = bm25_search_inverted_batch(spark, idx, {0: q1, 1: q2}, k=50)
+    got = {
+        qid: sorted((r.doc_id, r.bm25) for r in rows)
+        for qid, rows in (
+            (0, batch.filter(F.col("query_id") == 0).collect()),
+            (1, batch.filter(F.col("query_id") == 1).collect()),
+        )
+    }
+    for qid, terms in ((0, q1), (1, q2)):
+        want = sorted(
+            (r.doc_id, r.bm25)
+            for r in bm25_search_inverted(spark, idx, terms, k=50).collect()
+        )
+        assert got[qid] == want, (qid, terms)
+
+
+@PROP
+@given(
+    docs=st.lists(texts, min_size=1, max_size=8),
+    phrases=st.lists(
+        st.lists(words, min_size=1, max_size=3).map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_maxsim_topk_matches_model(spark, docs, phrases):
+    """ColBERT-style MaxSim vs a direct Python model: for ANY corpus and
+    query phrases, score(d) = sum_i max_j <q_i, chunk_j> with the
+    engine's exact fold (left-to-right double dot over float32
+    components, per-phrase maxima, left-to-right sum, HALF_UP round to
+    6), ranked desc / id asc."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from vector_db_example_spark.functions.embedding import hash_embed_one
+    from vector_db_example_spark.operators.late_interaction import maxsim_topk
+
+    W, DIM = 16, 16
+
+    def windows(text: str) -> list[str]:
+        stripped = text.strip()
+        toks = [""] if stripped == "" else re.split(r"\s+", stripped)
+        k = max((len(toks) - 1) // W, 0)
+        return [" ".join(toks[i * W : i * W + W]) for i in range(k + 1)]
+
+    def dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    qvecs = [hash_embed_one(p, DIM) for p in phrases]
+    scores: dict[int, float] = {}
+    for i, t in enumerate(docs):
+        wvecs = [hash_embed_one(wt, DIM) for wt in windows(t)]
+        total = None
+        for qv in qvecs:
+            m = max(dot(wv, qv) for wv in wvecs)
+            total = m if total is None else total + m
+        scores[i] = float(
+            Decimal(repr(total)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = [
+        (r.doc_id, r.maxsim)
+        for r in maxsim_topk(df, phrases, k=5, dim=DIM, window=W).collect()
+    ]
+    assert got == [(i, s) for i, s in want]

@@ -1204,3 +1204,66 @@ def test_maxsim_topk_matches_model(spark, docs, phrases):
         for r in maxsim_topk(df, phrases, k=5, dim=DIM, window=W).collect()
     ]
     assert got == [(i, s) for i, s in want]
+
+
+@PROP
+@given(
+    corpus=st.lists(int_vectors, min_size=2, max_size=8),
+    queries=st.lists(int_vectors, min_size=1, max_size=3),
+    nz_queries=st.lists(_nz_vectors, min_size=1, max_size=3),
+)
+def test_batch_search_multi_query_matches_model(
+    spark, corpus, queries, nz_queries, tmp_path_factory
+):
+    """The shared batch scaffold under a MULTI-query load: with full
+    probes, every query's ranked top-k must equal the brute-force model
+    independently — exercises the probe-union pruning and the
+    tile/repeat emission alignment across query subsets, on both the
+    IVF (L2) and LSH (cosine) kernels."""
+    from vector_db_example_spark.index.ivf import build_ivf_index, ivf_search_batch
+    from vector_db_example_spark.index.lsh import (
+        build_lsh_layout,
+        lsh_layout_search_batch,
+    )
+
+    root = str(tmp_path_factory.mktemp("batch_prop"))
+    schema = "vec_id long, embedding array<float>"
+    df = spark.createDataFrame(list(enumerate(map(list, corpus))), schema)
+    k = 3
+
+    idx = build_ivf_index(df, f"{root}/ivf", nlist=2, train_sample=100)
+    batch = ivf_search_batch(
+        spark, idx, [(qi, list(q)) for qi, q in enumerate(queries)], k=k, nprobe=10**6
+    ).collect()
+    for qi, q in enumerate(queries):
+        want = sorted(
+            ((i, _fold_l2(v, q)) for i, v in enumerate(corpus)),
+            key=lambda t: (t[1], t[0]),
+        )[:k]
+        got = sorted(
+            ((r.vec_id, r.distance) for r in batch if r.query_id == qi),
+            key=lambda t: (t[1], t[0]),
+        )
+        assert got == want, (qi, q)
+
+    nz_corpus = [v for v in corpus if any(x != 0.0 for x in v)]
+    if nz_corpus:
+        nz_df = spark.createDataFrame(list(enumerate(map(list, nz_corpus))), schema)
+        lidx = build_lsh_layout(nz_df, f"{root}/lsh", dim=4, n_planes=3)
+        lbatch = lsh_layout_search_batch(
+            spark,
+            lidx,
+            [(qi, list(q)) for qi, q in enumerate(nz_queries)],
+            k=k,
+            probe_radius=3,
+        ).collect()
+        for qi, q in enumerate(nz_queries):
+            want = sorted(
+                ((i, _fold_cosine(v, q)) for i, v in enumerate(nz_corpus)),
+                key=lambda t: (t[1], t[0]),
+            )[:k]
+            got = sorted(
+                ((r.vec_id, r.distance) for r in lbatch if r.query_id == qi),
+                key=lambda t: (t[1], t[0]),
+            )
+            assert got == want, (qi, q)

@@ -1267,3 +1267,36 @@ def test_batch_search_multi_query_matches_model(
                 key=lambda t: (t[1], t[0]),
             )
             assert got == want, (qi, q)
+
+
+@PROP
+@given(
+    docs=st.lists(texts, min_size=1, max_size=8),
+    phrases=st.lists(
+        st.lists(words, min_size=1, max_size=3).map(" ".join),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_maxsim_layout_path_equals_inline(spark, docs, phrases, tmp_path_factory):
+    """The materialized chunk-embedding layout (embed once at ingest,
+    score many queries) must be row-identical to the inline MaxSim path
+    for ANY corpus and phrases — two code paths, one semantic."""
+    from vector_db_example_spark.operators.late_interaction import (
+        build_chunk_embedding_layout,
+        maxsim_topk,
+        maxsim_topk_from_layout,
+    )
+
+    root = str(tmp_path_factory.mktemp("maxsim_layout"))
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    inline = [
+        (r.doc_id, r.maxsim)
+        for r in maxsim_topk(df, phrases, k=5, dim=16, window=16).collect()
+    ]
+    path = build_chunk_embedding_layout(df, f"{root}/chunks", dim=16, window=16)
+    layout = [
+        (r.doc_id, r.maxsim)
+        for r in maxsim_topk_from_layout(path, spark, phrases, k=5, dim=16).collect()
+    ]
+    assert layout == inline

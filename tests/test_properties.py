@@ -651,6 +651,7 @@ _nz_vectors = int_vectors.filter(lambda v: any(x != 0.0 for x in v))
 _lsh_op = st.one_of(
     st.tuples(st.just("append"), st.lists(_nz_vectors, min_size=1, max_size=3)),
     st.tuples(st.just("delete"), st.lists(st.integers(0, 40), min_size=1, max_size=4)),
+    st.tuples(st.just("compact"), st.none()),
 )
 
 
@@ -661,13 +662,15 @@ _lsh_op = st.one_of(
     qv=_nz_vectors,
 )
 def test_lsh_lifecycle_matches_brute_force(spark, corpus, ops, qv, tmp_path_factory):
-    """ANY append/delete interleaving on the bucket-partitioned LSH
-    layout vs a dict model: deletes return exactly the live-victim
-    count, and a full-radius search (probes = every bucket => exact) —
-    sequential AND batch — returns the model's cosine ranking. Covers
-    delete-to-empty followed by search and append (LSHIndex.schema_json)."""
+    """ANY append/delete/compact interleaving on the bucket-partitioned
+    LSH layout vs a dict model: deletes return exactly the live-victim
+    count, compaction preserves the live set, and a full-radius search
+    (probes = every bucket => exact) — sequential AND batch — returns
+    the model's cosine ranking. Covers delete-to-empty followed by
+    search and append (LSHIndex.schema_json)."""
     from vector_db_example_spark.index.lsh import (
         build_lsh_layout,
+        compact_lsh_layout,
         lsh_append,
         lsh_delete,
         lsh_layout_search,
@@ -680,18 +683,22 @@ def test_lsh_lifecycle_matches_brute_force(spark, corpus, ops, qv, tmp_path_fact
     next_id = len(corpus)
     df = spark.createDataFrame([(i, list(v)) for i, v in sorted(model.items())], schema)
     idx = build_lsh_layout(df, f"{root}/layout", dim=4, n_planes=3)
+    gen = 0
     for op, arg in ops:
         if op == "append":
             rows = [(next_id + j, list(v)) for j, v in enumerate(arg)]
             lsh_append(idx, spark.createDataFrame(rows, schema))
             model.update((i, tuple(v)) for i, v in rows)
             next_id += len(rows)
-        else:
+        elif op == "delete":
             targets = sorted({i % next_id for i in arg})
             expected = sum(1 for t in targets if t in model)
             assert lsh_delete(spark, idx, targets) == expected
             for t in targets:
                 model.pop(t, None)
+        else:
+            gen += 1
+            idx = compact_lsh_layout(spark, idx, f"{root}/gen{gen}")
     want = sorted(
         ((i, _fold_cosine(v, qv)) for i, v in model.items()),
         key=lambda t: (t[1], t[0]),
@@ -1300,3 +1307,61 @@ def test_maxsim_layout_path_equals_inline(spark, docs, phrases, tmp_path_factory
         for r in maxsim_topk_from_layout(path, spark, phrases, k=5, dim=16).collect()
     ]
     assert layout == inline
+
+
+@PROP
+@given(
+    seed_vecs=st.lists(_nz_vectors, min_size=1, max_size=4),
+    batches=st.lists(
+        st.tuples(st.lists(_nz_vectors, min_size=1, max_size=3), st.booleans()),
+        min_size=1,
+        max_size=3,
+    ),
+    qv=_nz_vectors,
+)
+def test_lsh_compaction_heals_replayed_appends(
+    spark, seed_vecs, batches, qv, tmp_path_factory
+):
+    """The at-least-once crash window on the LSH layout: replayed
+    append batches lay down byte-identical rows twice; compaction's
+    full-row distinct must restore the model's exact full-radius
+    ranking with each id EXACTLY ONCE (the IVF replay-heal twin)."""
+    from vector_db_example_spark.index.lsh import (
+        build_lsh_layout,
+        compact_lsh_layout,
+        lsh_append,
+        lsh_layout_search,
+    )
+
+    root = str(tmp_path_factory.mktemp("lsh_replay"))
+    schema = "vec_id long, embedding array<float>"
+    model = {i: tuple(v) for i, v in enumerate(seed_vecs)}
+    next_id = len(seed_vecs)
+    idx = build_lsh_layout(
+        spark.createDataFrame(
+            sorted((i, list(v)) for i, v in model.items()), schema
+        ),
+        f"{root}/layout",
+        dim=4,
+        n_planes=3,
+    )
+    for vecs, replayed in batches:
+        rows = [(next_id + j, list(v)) for j, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, schema)
+        lsh_append(idx, df)
+        if replayed:
+            lsh_append(idx, df)
+        model.update((i, tuple(v)) for i, v in rows)
+        next_id += len(rows)
+    idx = compact_lsh_layout(spark, idx, f"{root}/compacted")
+    want = sorted(
+        ((i, _fold_cosine(v, qv)) for i, v in model.items()),
+        key=lambda t: (t[1], t[0]),
+    )
+    got = [
+        (r.vec_id, r.distance)
+        for r in lsh_layout_search(
+            spark, idx, list(qv), k=len(model) + 3, probe_radius=3
+        ).collect()
+    ]
+    assert got == want

@@ -261,6 +261,36 @@ def lsh_layout_search(
     )
 
 
+def compact_lsh_layout(
+    spark: SparkSession, index: LSHIndex, new_path: str
+) -> LSHIndex:
+    """Offline compaction — completes the LSH maintenance trio
+    (append / delete / compact) to parity with the IVF and inverted
+    layouts: collapses the small files a long append history leaves in
+    each bucket directory, and CLEARS AT-LEAST-ONCE REPLAY DUPLICATES
+    (full-row ``distinct()``, the same healing contract as
+    ``compact_ivf_index`` — the engine has no row-update op, so a
+    repeated row IS a replay of the same insert).
+
+    Unlike the IVF compactor there is NOTHING to refit: buckets are a
+    pure function of the fixed hyperplanes, so the stored assignments
+    are reused as-is and the rewrite is one distinct + partitioned
+    write — no re-hash, no training pass. Write-new-then-swap-pointer
+    like every compactor here; readers of the old path stay consistent
+    and the caller swaps the serving pointer (index/manifest.py)."""
+    corpus = _read_layout(spark, index).distinct()
+    corpus.write.partitionBy("bucket").mode("overwrite").parquet(new_path)
+    out = LSHIndex(
+        path=new_path,
+        planes=index.planes,
+        vector_col=index.vector_col,
+        id_col=index.id_col,
+        schema_json=index.schema_json,
+    )
+    out.save_meta()
+    return out
+
+
 def lsh_delete(spark: SparkSession, index: LSHIndex, ids) -> int:
     """Delete rows by id from the bucket-partitioned layout — the LSH
     twin of ``ivf_delete``'s eager per-partition rewrite (a vector lives

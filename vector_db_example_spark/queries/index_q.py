@@ -632,9 +632,10 @@ def vector_lsh_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket-rewrite delete of the query's own top-3
     (index/lsh.py::lsh_delete touches only the victims' bucket
     directories) → full-radius search must equal brute-force cosine
-    top-k over the corpus minus those top-3. No compaction step exists
-    for LSH by design — deletes rewrite eagerly, so the search plan
-    stays join-free, which this parity also witnesses."""
+    top-k over the corpus minus those top-3. Deletes rewrite eagerly,
+    so the search plan stays join-free, which this parity also
+    witnesses; the offline compactor's replay-heal side is the
+    vector_lsh_compact_parity twin below."""
     import shutil
     import tempfile
 
@@ -660,6 +661,87 @@ def vector_lsh_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_delete(spark, index, victims)
         hits = lsh_layout_search(
             spark, index, qv, k=10, probe_radius=index.n_planes
+        )
+        out = hits.select(
+            "vec_id",
+            "label",
+            (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "vector_lsh_compact_parity",
+    # same self-parametrizing victim shape as the delete twin (vec_id=31
+    # this time): the oracle states brute-force cosine minus the query's
+    # own top-3 — a replayed duplicate surviving compaction would put
+    # the same (vec_id, distance) row in the top-10 twice and break the
+    # hash, as would a victim copy the delete missed.
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 31),
+d AS (
+  SELECT e.vec_id, e.label,
+         1.0 - ({_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')}))) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+victims AS (SELECT vec_id FROM d ORDER BY dist, vec_id LIMIT 3)
+SELECT vec_id, label, round(dist, 6) + 0.0 AS distance
+FROM d WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "lsh", "index", "maintenance", "compaction"),
+)
+def vector_lsh_compact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH offline compactor (index/lsh.py::compact_lsh_layout),
+    hash-checked through the at-least-once crash window it exists to
+    heal: build on 70% of the embeddings → append the rest → compute
+    the query's top-3 victims on the clean state → REPLAY the whole
+    append (byte-identical rows land twice, the streaming-sink crash
+    window) → per-bucket-rewrite delete of the victims (removes every
+    copy) → compact into a fresh layout (full-row distinct, no refit —
+    buckets are a pure function of the fixed hyperplanes) →
+    full-radius search must equal brute-force cosine top-10 over the
+    corpus minus the victims, each id EXACTLY once. Scale shape:
+    compaction is one distinct shuffle + partitioned write, offline;
+    the search plan over the compacted layout is the same join-free
+    pruned scan as ever."""
+    import shutil
+    import tempfile
+
+    from ..index.lsh import (
+        build_lsh_layout,
+        compact_lsh_layout,
+        lsh_append,
+        lsh_delete,
+        lsh_layout_search,
+    )
+    from .vector_q import DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 31)
+    base = tempfile.mkdtemp(prefix="spark_graft_lshcompact_")
+    try:
+        index = build_lsh_layout(
+            emb.filter(F.col("vec_id") % 10 < 7), f"{base}/idx", dim=DIM, n_planes=8
+        )
+        tail = emb.filter(F.col("vec_id") % 10 >= 7)
+        lsh_append(index, tail)
+        victims = [
+            r.vec_id
+            for r in lsh_layout_search(
+                spark, index, qv, k=3, probe_radius=index.n_planes
+            ).collect()
+        ]
+        lsh_append(index, tail)  # at-least-once replay of the same batch
+        lsh_delete(spark, index, victims)
+        compacted = compact_lsh_layout(spark, index, f"{base}/compacted")
+        hits = lsh_layout_search(
+            spark, compacted, qv, k=10, probe_radius=compacted.n_planes
         )
         out = hits.select(
             "vec_id",

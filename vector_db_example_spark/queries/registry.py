@@ -242,6 +242,14 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
+        # --- registered mid-round-6 (after the r6 surface froze):
+        # rotate to the front of DRIVER_CRITICAL in round 7 per the
+        # zero-row-first rule, exactly like the mid-round-4/-5 blocks.
+        # Oracle-checked locally by tests/test_oracle_parity.py and
+        # hash-verified vs DuckDB at sf1.0 on arrival (SCALING.md). ---
+        "vector_lsh_compact_parity",  # offline LSH compaction: replay
+                                      # heal + small-file collapse
+                                      # (index/lsh.py::compact_lsh_layout)
         # --- rotated OUT in round 6: hash-green in THREE rounds each
         # (r01+r04+r05 for the first four, r03+r04+r05 for the rest),
         # yielding their slots to the eleven zero-row lifecycle/BPE

@@ -1365,3 +1365,35 @@ def test_lsh_compaction_heals_replayed_appends(
         ).collect()
     ]
     assert got == want
+
+
+@PROP
+@given(
+    corpus=st.lists(int_vectors, min_size=2, max_size=8),
+    maxd=st.sampled_from([1.0, 2.0, 4.0]),
+)
+def test_ivf_bucketed_pairs_nlist1_equals_all_pairs(
+    spark, corpus, maxd, tmp_path_factory
+):
+    """With nlist=1 (one cell = the whole corpus) the bucketed
+    near-dup pair generator must equal the brute-force all-pairs model:
+    every a<b pair within max_distance, with the engine's exact L2 —
+    the identity that justifies trusting the nlist>1 path's per-cell
+    semantics."""
+    from vector_db_example_spark.index.ivf import build_ivf_index, ivf_bucketed_pairs
+
+    root = str(tmp_path_factory.mktemp("pairs_prop"))
+    schema = "vec_id long, embedding array<float>"
+    df = spark.createDataFrame(list(enumerate(map(list, corpus))), schema)
+    idx = build_ivf_index(df, f"{root}/idx", nlist=1, train_sample=100)
+    want = {
+        (a, b, _fold_l2(corpus[a], corpus[b]))
+        for a in range(len(corpus))
+        for b in range(a + 1, len(corpus))
+        if _fold_l2(corpus[a], corpus[b]) <= maxd
+    }
+    got = {
+        (r.a_id, r.b_id, r.distance)
+        for r in ivf_bucketed_pairs(spark, idx, max_distance=maxd).collect()
+    }
+    assert got == want

@@ -342,3 +342,24 @@ def test_stream_segment_ingest_then_merge_equals_full_build(spark, tmp_path):
     got = bm25_search_inverted(spark, merged, terms, k=10).collect()
     want = bm25_search_inverted(spark, full, terms, k=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_handle_reloads_from_meta(spark, tmp_path):
+    """InvertedIndex.load reopens a layout across processes from
+    _inverted_meta.json (same handle story as IVFIndex.load /
+    LSHIndex.load): a search through the reloaded handle is
+    row-identical to the builder's, and the persisted postings schema
+    rides along (non-default n_buckets and custom columns included)."""
+    from vector_db_example_spark.index.inverted import InvertedIndex
+
+    docs = load_table(spark, SF_SMOKE, "documents").withColumnRenamed(
+        "text", "body"
+    )
+    path = str(tmp_path / "reload")
+    idx = build_inverted_index(docs, path, n_buckets=16, text_col="body")
+    reloaded = InvertedIndex.load(path)
+    assert reloaded == idx  # frozen dataclass equality covers every field
+    terms = ("vector", "table")
+    got = bm25_search_inverted(spark, reloaded, terms, k=10).collect()
+    want = bm25_search_inverted(spark, idx, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -129,3 +129,43 @@ def test_positional_delete_rides_shared_tombstones(spark, tmp_path):
     want = phrase_search_positional(spark, survivors, phrase, k=10_000).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert victim not in {r.doc_id for r in got}
+
+
+def test_positional_compaction_folds_tombstones_and_heals_replay(spark, tmp_path):
+    """compact_positional_index completes the positional lifecycle:
+    build → append → REPLAY the same append (at-least-once crash
+    window) → tombstone-delete a matching doc → compact. The compacted
+    layout must answer phrase queries identically to a fresh build
+    over the survivors, with no tombstone table left behind."""
+    import os
+
+    from vector_db_example_spark.index.inverted import (
+        append_to_positional_index,
+        compact_positional_index,
+        delete_from_inverted_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    head = docs.filter(F.col("doc_id") % 10 < 7)
+    tail = docs.filter(F.col("doc_id") % 10 >= 7)
+    idx = build_positional_index(head, str(tmp_path / "pos"), n_buckets=16)
+    append_to_positional_index(idx, tail)
+    phrase = ("table", "hash")
+    clean = phrase_search_positional(spark, idx, phrase, k=10_000).collect()
+    append_to_positional_index(idx, tail)  # at-least-once replay
+    # reads must SURVIVE the crash window, identically (the replayed
+    # rows are byte-identical, so the read-side distinct absorbs them;
+    # without it map_from_entries throws DUPLICATED_MAP_KEY)
+    dirty = phrase_search_positional(spark, idx, phrase, k=10_000).collect()
+    assert sorted(map(tuple, dirty)) == sorted(map(tuple, clean))
+    victim = dirty[0].doc_id
+    assert delete_from_inverted_index(idx, [victim]) == 1
+
+    compacted = compact_positional_index(spark, idx, str(tmp_path / "compacted"))
+    assert not os.path.isdir(str(tmp_path / "compacted" / "tombstones"))
+    fresh = build_positional_index(
+        docs.filter(F.col("doc_id") != victim), str(tmp_path / "fresh"), n_buckets=16
+    )
+    got = phrase_search_positional(spark, compacted, phrase, k=10_000).collect()
+    want = phrase_search_positional(spark, fresh, phrase, k=10_000).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

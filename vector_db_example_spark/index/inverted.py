@@ -367,9 +367,8 @@ def delete_from_inverted_index(index: InvertedIndex, ids) -> int:
     no doclens/stats side-tables — the docstring there routes deletes
     here): victims then resolve against the postings' live doc ids and
     only the tombstone table is written. That resolve is a full postings
-    scan (no query terms to prune by), fine for an offline delete; the
-    tombstones persist until a rebuild, since compaction is a BM25-layout
-    operation.
+    scan (no query terms to prune by), fine for an offline delete;
+    ``compact_positional_index`` folds the tombstones in for real.
 
     Returns the number of ids newly tombstoned."""
     import os as _os
@@ -489,6 +488,33 @@ def append_to_positional_index(index: InvertedIndex, docs: DataFrame) -> None:
     )
 
 
+def compact_positional_index(
+    spark: SparkSession, index: InvertedIndex, new_path: str
+) -> InvertedIndex:
+    """Offline compaction for POSITIONAL-ONLY layouts — folds the
+    shared tombstones in for real (restoring the join-free read plan)
+    and collapses at-least-once replay duplicates (full-row distinct:
+    a replayed append's (term, doc, positions) rows are byte-identical,
+    the same no-row-update contract as every compactor here). BM25
+    layouts use ``compact_inverted_index``, which also heals their
+    doclens/stats side-tables; positional layouts have none, so
+    compaction is one distinct + partitioned write — the same plan
+    shape as the LSH compactor. Write-new-then-swap as everywhere."""
+    posts = _live(index, _read_postings(spark, index)).distinct()
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{new_path}/postings"
+    )
+    out = InvertedIndex(
+        path=new_path,
+        n_buckets=index.n_buckets,
+        id_col=index.id_col,
+        text_col=index.text_col,
+        postings_schema=index.postings_schema,
+    )
+    out.save_meta()
+    return out
+
+
 def phrase_search_positional(
     spark: SparkSession,
     index: InvertedIndex,
@@ -519,7 +545,14 @@ def phrase_search_positional(
         index,
         _read_postings(spark, index)
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(uniq)),
+        .filter(F.col("term").isin(uniq))
+        # distinct: a replayed append (the at-least-once crash window)
+        # lays down byte-identical (term, doc, positions) rows twice,
+        # and map_from_entries below throws DUPLICATED_MAP_KEY on them —
+        # reads must survive the window, not crash until compaction
+        # folds it away. Cost is bounded by the query terms' postings,
+        # already pruned above.
+        .distinct(),
     )
     per_doc = posts.groupBy(id_col).agg(
         F.map_from_entries(

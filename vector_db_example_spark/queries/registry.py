@@ -253,6 +253,9 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "vector_lsh_compact_parity",  # offline LSH compaction: replay
                                       # heal + small-file collapse
                                       # (index/lsh.py::compact_lsh_layout)
+        "text_positional_compact_parity",  # positional-layout lifecycle:
+                                      # replay-tolerant reads + tombstone
+                                      # fold (compact_positional_index)
         # --- rotated OUT in round 6: hash-green in THREE rounds each
         # (r01+r04+r05 for the first four, r03+r04+r05 for the rest),
         # yielding their slots to the eleven zero-row lifecycle/BPE

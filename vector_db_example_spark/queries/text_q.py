@@ -762,6 +762,74 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search_positional(spark, _POSITIONAL_CACHE[sf_dir], _PHRASE, k=10)
 
 
+@register(
+    "text_positional_compact_parity",
+    # self-parametrizing victim: the phrase's own top-1 match. The
+    # oracle restates phrase counting over documents MINUS that victim —
+    # a replayed posting row surviving compaction would double a match
+    # count, and a missed tombstone would resurrect the victim; either
+    # breaks the hash.
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '{{TOKEN_PATTERN}}') AS ts FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(ts) - {len(_PHRASE) - 1} + 1),
+             i -> {" AND ".join(f"ts[i+{j}] = '{t}'" for j, t in enumerate(_PHRASE))}
+         ))::INTEGER AS phrase_matches
+  FROM tok
+),
+victim AS (
+  SELECT doc_id FROM m WHERE phrase_matches > 0
+  ORDER BY phrase_matches DESC, doc_id ASC LIMIT 1
+)
+SELECT doc_id, phrase_matches FROM m
+WHERE phrase_matches > 0 AND doc_id NOT IN (SELECT doc_id FROM victim)
+ORDER BY phrase_matches DESC, doc_id ASC LIMIT 10
+""".replace("{TOKEN_PATTERN}", TOKEN_PATTERN),
+    tags=("text", "phrase", "positional", "index", "maintenance", "compaction"),
+)
+def text_positional_compact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional layout's full maintenance lifecycle, hash-checked
+    (the phrase-index sibling of vector_lsh_compact_parity): build on
+    70% of the documents → append the rest → REPLAY the whole append
+    (at-least-once crash window; reads survive it via the pruned-scan
+    distinct, index/inverted.py::phrase_search_positional) → tombstone-
+    delete the phrase's top-1 match → compact
+    (index/inverted.py::compact_positional_index folds tombstones in
+    and collapses the replay duplicates) → phrase top-10 must equal
+    sliding-window counting over the raw corpus minus the victim."""
+    import shutil
+    import tempfile
+
+    from ..index.inverted import (
+        append_to_positional_index,
+        build_positional_index,
+        compact_positional_index,
+        delete_from_inverted_index,
+        phrase_search_positional,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="spark_graft_poscompact_")
+    try:
+        idx = build_positional_index(
+            docs.filter(F.col("doc_id") % 10 < 7), f"{base}/idx", n_buckets=64
+        )
+        tail = docs.filter(F.col("doc_id") % 10 >= 7)
+        append_to_positional_index(idx, tail)
+        append_to_positional_index(idx, tail)  # at-least-once replay
+        victim = phrase_search_positional(spark, idx, _PHRASE, k=1).head().doc_id
+        delete_from_inverted_index(idx, [int(victim)])
+        compacted = compact_positional_index(spark, idx, f"{base}/compacted")
+        out = phrase_search_positional(spark, compacted, _PHRASE, k=10)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 #: Dyadic query weights (exactly representable doubles), so every
 #: product with an integer tf — and their fixed-order sum — is EXACT.
 _SPARSE_WEIGHTS = {"vector": 1.5, "spark": 0.75, "stream": 1.25}

@@ -169,3 +169,24 @@ def test_positional_compaction_folds_tombstones_and_heals_replay(spark, tmp_path
     got = phrase_search_positional(spark, compacted, phrase, k=10_000).collect()
     want = phrase_search_positional(spark, fresh, phrase, k=10_000).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_phrase_scan_prunes_buckets_through_distinct(spark, tmp_path):
+    """The replay-tolerance distinct must not widen the scan: the
+    phrase query's postings read still prunes to its terms' bucket
+    partitions (PartitionFilters) with the term filter pushed down."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = build_positional_index(docs, str(tmp_path / "plan"), n_buckets=64)
+    plan = (
+        phrase_search_positional(spark, idx, ("table", "hash"), k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans
+    assert all(
+        "PartitionFilters" in ln and "bucket" in ln.split("PartitionFilters")[1][:80]
+        for ln in scans
+    ), scans
+    assert any("term" in ln and "IN (table,hash)" in ln for ln in scans), scans

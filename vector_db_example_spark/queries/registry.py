@@ -71,9 +71,10 @@ QUERIES: dict[str, Query] = {}
 #:    excludable.
 #: 2. If a new registration lands mid-round-6, hold it in
 #:    DRIVER_EXCLUDED's mid-round block and rotate it to the front here,
-#:    exactly like the mid-round-4/-5 blocks were. (One did:
-#:    vector_lsh_compact_parity, the LSH offline compactor's crash-window
-#:    parity — sf0.01 + sf1.0 hash-verified on arrival; rotate it in
+#:    exactly like the mid-round-4/-5 blocks were. (Two did:
+#:    vector_lsh_compact_parity and text_positional_compact_parity —
+#:    the LSH and positional offline compactors' crash-window parities,
+#:    each sf0.01 + sf1.0 hash-verified on arrival; rotate them in
 #:    FIRST, ahead of the second-green bookkeeping.)
 DRIVER_CRITICAL: tuple[str, ...] = (
     # --- round-6 rotation: zero driver rows until now (nine registered

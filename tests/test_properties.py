@@ -1397,3 +1397,39 @@ def test_ivf_bucketed_pairs_nlist1_equals_all_pairs(
         for r in ivf_bucketed_pairs(spark, idx, max_distance=maxd).collect()
     }
     assert got == want
+
+
+@PROP
+@given(
+    batches=st.lists(
+        st.lists(st.tuples(words, texts), min_size=1, max_size=4),
+        min_size=1,
+        max_size=4,
+    ),
+    drops=st.booleans(),
+)
+def test_catalog_insert_lifecycle_matches_model(spark, batches, drops, tmp_path_factory):
+    """The collection catalog under ANY insert sequence: every insert
+    returns its batch size, engine-assigned ids stay globally unique
+    and disjoint from existing rows across batches, the stored
+    (chapter, content) multiset equals the model, create is idempotent
+    (existing data survives a second create), and force_recreate wipes."""
+    from collections import Counter
+
+    from vector_db_example_spark.catalog import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path_factory.mktemp("catalog_prop")))
+    assert cat.create("kb") is True
+    assert cat.create("kb") is False  # idempotent reuse
+    model: Counter = Counter()
+    for batch in batches:
+        df = spark.createDataFrame(batch, "chapter string, content string")
+        assert cat.insert("kb", df) == len(batch)
+        model.update(batch)
+        rows = cat.read("kb").collect()
+        assert len({r.id for r in rows}) == len(rows)  # ids globally unique
+        assert Counter((r.chapter, r.content) for r in rows) == model
+        assert cat.stats("kb")["row_count"] == sum(model.values())
+    if drops:
+        assert cat.create("kb", force_recreate=True) is True
+        assert cat.stats("kb")["row_count"] == 0

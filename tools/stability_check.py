@@ -31,6 +31,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep EVERY registered query (the full registry), not just "
+        "the ~50-entry driver surface — the excluded entries get oracle "
+        "checks from tests/test_oracle_parity.py but a single oracle run "
+        "cannot distinguish deterministic from got-lucky",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -40,7 +48,12 @@ def main() -> int:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
+    if args.all:
+        from vector_db_example_spark.queries.registry import QUERIES
+
+        qs = {name: q.fn for name, q in QUERIES.items()}
+    else:
+        qs = entry_mod.queries()
 
     baseline: dict[str, str] = {}
     unstable: set[str] = set()

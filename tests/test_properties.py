@@ -1433,3 +1433,49 @@ def test_catalog_insert_lifecycle_matches_model(spark, batches, drops, tmp_path_
     if drops:
         assert cat.create("kb", force_recreate=True) is True
         assert cat.stats("kb")["row_count"] == 0
+
+
+def _winnow_model(text: str, k: int = 5, w: int = 4) -> list[int]:
+    """Direct Python winnowing: same md5-prefix hash family, same
+    window minima, first-occurrence distinct order."""
+    import hashlib
+
+    grams = [text[i : i + k] for i in range(max(len(text) - k + 1, 1))]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    out: list[int] = []
+    for j in range(max(len(hs) - w + 1, 1)):
+        m = min(hs[j : j + w])
+        if m not in out:
+            out.append(m)
+    return out
+
+
+@PROP
+@given(docs=st.lists(texts, min_size=1, max_size=10))
+def test_winnow_fingerprints_match_model_and_guarantee(spark, docs):
+    """Winnowing vs a direct Python model for ANY corpus (bit-identical
+    fingerprint arrays, order included), plus the Schleimer et al.
+    guarantee on a planted pair: two documents sharing a substring of
+    length >= k + w - 1 (here 8) must share a fingerprint."""
+    from pyspark.sql import functions as F
+
+    from vector_db_example_spark.operators.fingerprint import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == _winnow_model(t), (i, t)
+
+    shared = "winnowing guarantee substring"  # len >= 8
+    a, b = "prefix one " + shared, shared + " suffix two"
+    pair = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    ).select("doc_id", winnow_fingerprints(F.col("text")).alias("fps"))
+    fps = {r.doc_id: set(r.fps) for r in pair.collect()}
+    assert fps[0] & fps[1], "shared substring of length >= k+w-1 must collide"
+    assert set(_winnow_model(a)) & set(_winnow_model(b))

@@ -257,6 +257,9 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "text_positional_compact_parity",  # positional-layout lifecycle:
                                       # replay-tolerant reads + tombstone
                                       # fold (compact_positional_index)
+        "text_winnow_fingerprint_overlap",  # rolling-gram winnowing
+                                      # fingerprints + overlap audit
+                                      # (operators/fingerprint.py)
         # --- rotated OUT in round 6: hash-green in THREE rounds each
         # (r01+r04+r05 for the first four, r03+r04+r05 for the rest),
         # yielding their slots to the eleven zero-row lifecycle/BPE

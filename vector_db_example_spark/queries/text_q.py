@@ -830,6 +830,53 @@ def text_positional_compact_parity(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(base, ignore_errors=True)
 
 
+@register(
+    "text_winnow_fingerprint_overlap",
+    # the winnowing pipeline is hash-CHECKABLE end to end: gram hashes
+    # use the portable first-8-md5-hex family (same as the CMS oracle),
+    # window minima and the per-fingerprint document counts are integer
+    # math, so DuckDB rebuilds identical fingerprints and identical
+    # overlap counts.
+    oracle="""
+WITH l AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+           i -> ('0x' || substring(md5(substr(text, i::INTEGER, 5)), 1, 8))::BIGINT
+         ) AS hs
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - 3, 1) + 1),
+           j -> list_min(hs[j:j+3]))) AS fps
+  FROM l
+),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+c AS (SELECT fp, count(*) AS n_docs FROM f GROUP BY fp)
+SELECT f.doc_id,
+       count(*)::BIGINT AS n_fingerprints,
+       sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+FROM f JOIN c USING (fp)
+GROUP BY f.doc_id
+""",
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
+def text_winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03 —
+    the MOSS overlap detector; the brief's rolling-hash fingerprinting
+    operator): hash every 5-char gram, keep each 4-window's minimum,
+    and audit per document how many of its fingerprints occur in other
+    documents too. Fingerprinting is per-doc expression work (no
+    shuffle); the overlap audit is ONE shuffle keyed by fingerprint —
+    carrying the winnowed ~2/(w+1) fraction of gram count, never the
+    text (operators/fingerprint.py)."""
+    from ..operators.fingerprint import fingerprint_overlap_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_overlap_stats(docs, k=5, window=4)
+
+
 #: Dyadic query weights (exactly representable doubles), so every
 #: product with an integer tf — and their fixed-order sum — is EXACT.
 _SPARSE_WEIGHTS = {"vector": 1.5, "spark": 0.75, "stream": 1.25}

@@ -643,3 +643,21 @@ def test_count_min_never_undercounts_and_merges(spark):
     full = {(r["d"], r["bucket"]): r["c"] for r in sketch.collect()}
     got = {(r["d"], r["bucket"]): r["c"] for r in merged.collect()}
     assert got == full
+
+
+def test_winnow_arrow_kernel_equals_expression_path(spark):
+    """The Arrow fingerprint kernel must be row-identical to the
+    pure-expression winnowing path on the real corpus (same md5-prefix
+    family, same window minima) — the knn_batch impl-parity discipline
+    applied to the fingerprint operator."""
+    from tests.conftest import SF_SMOKE
+
+    from vector_db_example_spark.operators.fingerprint import (
+        fingerprint_overlap_stats,
+    )
+    from vector_db_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(map(tuple, fingerprint_overlap_stats(docs, impl="arrow").collect()))
+    b = sorted(map(tuple, fingerprint_overlap_stats(docs, impl="expr").collect()))
+    assert a == b and len(a) > 0

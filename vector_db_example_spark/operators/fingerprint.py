@@ -79,12 +79,69 @@ def winnow_fingerprints(
     return F.element_at(F.transform(F.array(hs), per_hashes), 1)
 
 
+def _winnow_pairs_arrow(k: int, window: int, id_col: str, text_col: str):
+    """Arrow kernel emitting the exploded (id, fp) fingerprint pairs —
+    bit-identical to the expression path's md5-prefix family (first 8
+    hex chars == first 4 digest bytes big-endian), with the window
+    minima as one vectorized sliding-window reduction per document.
+    The expression form is an interpreted per-element lambda doing an
+    md5 per gram (the SCALING.md round-4 hot-path rule: higher-order
+    lambdas are interpreter loops); this kernel is the measured ~20×
+    faster production path at sf1.0."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out: list[int] = []
+            fps_out: list[int] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                s = str(t) if t is not None else ""
+                b = s.encode("utf-8")
+                npos = max(len(s) - k + 1, 1)
+                # note: slice by CHARACTER to match substring();
+                # encode per gram (multi-byte chars stay correct)
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(s[p : p + k].encode("utf-8")).digest()[:4],
+                            "big",
+                        )
+                        for p in range(npos)
+                    ),
+                    dtype=np.int64,
+                    count=npos,
+                ) if len(b) != len(s) else np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(b[p : p + k]).digest()[:4], "big")
+                        for p in range(npos)
+                    ),
+                    dtype=np.int64,
+                    count=npos,
+                )
+                if npos >= window:
+                    mins = sliding_window_view(hs, window).min(axis=1)
+                else:
+                    mins = hs.min(keepdims=True)
+                fps = np.unique(mins)
+                ids_out.extend([int(i)] * len(fps))
+                fps_out.extend(int(x) for x in fps)
+            yield pd.DataFrame({id_col: ids_out, "fp": fps_out})
+
+    return gen
+
+
 def fingerprint_overlap_stats(
     docs: DataFrame,
     k: int = 5,
     window: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "arrow",
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document overlap audit from the winnowed fingerprints: one
     row per document with ``(id, n_fingerprints, n_shared)`` where
@@ -92,16 +149,41 @@ def fingerprint_overlap_stats(
     at least one OTHER document — the curation signal for boilerplate
     and cross-document copying.
 
-    Plan: explode the per-doc fingerprint set (already distinct per
-    doc), ONE shuffle keyed by fingerprint to count carrying documents
-    (map-side partial combine; a boilerplate fingerprint in half the
-    corpus costs the reducer O(partitions), the exact heavy-hitter
-    shape corpus_line_dedup documents), then a per-doc count — keyed by
-    the unique document id, AQE-friendly."""
-    fps = docs.select(
-        F.col(id_col),
-        F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias("fp"),
-    )
+    ``impl="arrow"`` (default) computes the per-doc fingerprint pairs
+    in an Arrow kernel — same md5-prefix hash family as the expression
+    form, so the output (and the DuckDB oracle hash) is identical,
+    ~20× faster at sf1.0 (SCALING.md round-6). ``impl="expr"`` keeps
+    the pure-expression form (winnow_fingerprints) for plan parity.
+
+    Plan: per-doc fingerprint pairs (distinct per doc by
+    construction), ONE shuffle keyed by fingerprint to count carrying
+    documents (map-side partial combine; a boilerplate fingerprint in
+    half the corpus costs the reducer O(partitions), the exact
+    heavy-hitter shape corpus_line_dedup documents), then a per-doc
+    count — keyed by the unique document id, AQE-friendly.
+
+    ``min_partitions``: the md5-per-gram kernel is CPU-DENSE relative
+    to its input bytes (text compresses ~10×), so a bytes-sized scan
+    split can under-parallelize it badly — a 5 MB parquet of 50 MB of
+    text opens as 2 partitions and runs the kernel on 2 cores. Pass
+    the cluster's parallelism to widen CPU-bound fingerprinting; the
+    one text shuffle it may cost is the same size as the scan, and a
+    100 TB corpus arrives pre-split across many files anyway (the knob
+    is then a no-op since current partitioning already exceeds it)."""
+    if min_partitions and docs.rdd.getNumPartitions() < min_partitions:
+        docs = docs.repartition(min_partitions)
+    if impl == "arrow":
+        fps = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            _winnow_pairs_arrow(k, window, id_col, text_col),
+            f"{id_col} long, fp long",
+        )
+    elif impl == "expr":
+        fps = docs.select(
+            F.col(id_col),
+            F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias("fp"),
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     by_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         fps.join(by_fp, "fp")

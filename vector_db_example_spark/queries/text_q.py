@@ -874,7 +874,12 @@ def text_winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.fingerprint import fingerprint_overlap_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    return fingerprint_overlap_stats(docs, k=5, window=4)
+    return fingerprint_overlap_stats(
+        docs,
+        k=5,
+        window=4,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 #: Dyadic query weights (exactly representable doubles), so every

@@ -22,7 +22,7 @@ from ..functions.embedding import hashing_embedder
 from ..functions.text import STOPWORDS
 from ..operators.multi_strategy import multi_strategy_search
 from ..sources.csv_source import load_knowledge_csv
-from ..sources.tables import load_table
+from ..sources.tables import load_table, widen_cpu_dense
 from .registry import register
 
 
@@ -262,7 +262,10 @@ def pipeline_multi_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically-derived questions, in one DAG."""
     docs = load_table(spark, sf_dir, "documents")
     embed = hashing_embedder(64)
-    corpus = docs.select(
+    # CPU-dense embed over ~10×-compressed text: widen beyond the
+    # bytes-sized scan split (sources/tables.py::widen_cpu_dense —
+    # sf1.0 flagship 4.6 s → 2.4 s, sf0.1 unchanged).
+    corpus = widen_cpu_dense(docs).select(
         F.col("doc_id").alias("id"),
         F.col("source").alias("chapter"),
         F.col("text").alias("content"),

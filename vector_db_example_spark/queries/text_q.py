@@ -20,7 +20,7 @@ from ..functions.text import (
     token_windows,
 )
 from ..operators.textstats import with_text_stats
-from ..sources.tables import load_table
+from ..sources.tables import load_table, widen_cpu_dense
 from .registry import register
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
@@ -287,7 +287,9 @@ def text_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star text analysis in one narrow projection: token counts
     (3 notions), marker-word language ID, composite quality score,
     md5 fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-dense per-row stage over ~10x-compressed text: widen beyond
+    # the bytes-sized scan split (sources/tables.py::widen_cpu_dense)
+    docs = widen_cpu_dense(load_table(spark, sf_dir, "documents"))
     return with_text_stats(docs, "text").select(
         "doc_id",
         "n_ws_tokens",
@@ -509,7 +511,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles per document (1 - distinct/total); documents above 0.2 are
     flagged for removal. Pure higher-order expressions, map-side only —
     the canonical cheap quality gate before any dedup pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-dense per-row stage over ~10x-compressed text: widen beyond
+    # the bytes-sized scan split (sources/tables.py::widen_cpu_dense)
+    docs = widen_cpu_dense(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     grams = F.transform(
@@ -1000,7 +1004,9 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape)."""
     from ..operators.textstats import bigram_lm_scores
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-dense per-row stage over ~10x-compressed text: widen beyond
+    # the bytes-sized scan split (sources/tables.py::widen_cpu_dense)
+    docs = widen_cpu_dense(load_table(spark, sf_dir, "documents"))
     out = bigram_lm_scores(docs)
     return out.select(
         "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
@@ -1232,7 +1238,9 @@ def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py::naive_bayes_lang_predictions)."""
     from ..operators.textstats import naive_bayes_lang_predictions
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-dense per-row stage over ~10x-compressed text: widen beyond
+    # the bytes-sized scan split (sources/tables.py::widen_cpu_dense)
+    docs = widen_cpu_dense(load_table(spark, sf_dir, "documents"))
     preds = naive_bayes_lang_predictions(docs)
     return preds.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")

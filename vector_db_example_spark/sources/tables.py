@@ -34,6 +34,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def widen_cpu_dense(df: DataFrame) -> DataFrame:
+    """Widen a CPU-DENSE map stage's input beyond its bytes-sized scan
+    split (SCALING.md round-6 rule): text compresses ~10×, so a 5 MB
+    parquet of 50 MB text opens as 2 partitions and any heavy per-row
+    stage over it (embedders, tokenize/gram expressions, Arrow
+    kernels) runs on 2 cores. Repartitions to the cluster's default
+    parallelism ONLY when the scan is narrower than that — a no-op on
+    pre-split 100 TB corpora (many files ⇒ partitioning already
+    exceeds it); the one text shuffle it costs is the same bytes the
+    scan already moves, repaid many times over by the widened map
+    stage. Apply to the input of the dense stage only, never to
+    pruned/filter-first reads (it would defeat pushdown)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def restore_event_ts(df: DataFrame) -> DataFrame:
     """Normalize events.ts to Spark's microsecond TimestampType.
 

@@ -280,13 +280,23 @@ def test_partition_key_search_prunes_tenant_partition(spark):
 
 
 def test_maxsim_broadcast_query_single_doc_shuffle(spark):
-    """Late interaction must broadcast the query vectors (never shuffle
-    the chunk-embedding side on the pair dimension) and reduce per-doc
-    maxima through a partial+final aggregation ending in TakeOrdered."""
+    """Late interaction must never shuffle the chunk side on the pair
+    dimension: the Arrow kernel (default) carries the query matrix in
+    its closure — no join AT ALL, the centroid-matrix pattern — with
+    one hash exchange (the per-doc maxima groupBy) and TakeOrdered
+    top-k; the expression form keeps the broadcast-crossJoin shape."""
     plan = _plan(QUERIES["vector_late_interaction_topk"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+    from vector_db_example_spark.operators.late_interaction import maxsim_topk
+    from vector_db_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    eplan = _plan(maxsim_topk(docs, ("alpha beta",), impl="expr"))
+    assert "BroadcastNestedLoopJoin" in eplan or "BroadcastExchange" in eplan
+    assert eplan.count("Exchange hashpartitioning") <= 1, eplan[:1500]
 
 
 def test_sparse_weighted_prunes_posting_partitions(spark):

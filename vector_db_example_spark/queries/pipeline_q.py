@@ -390,7 +390,9 @@ def vector_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape."""
     from ..operators.late_interaction import maxsim_topk
 
-    docs = load_table(spark, sf_dir, "documents")
+    # chunk embed is CPU-dense over ~10x-compressed text: widen beyond
+    # the bytes-sized scan split (sources/tables.py::widen_cpu_dense)
+    docs = widen_cpu_dense(load_table(spark, sf_dir, "documents"))
     return maxsim_topk(docs, _MAXSIM_PHRASES, k=10)
 
 
@@ -432,7 +434,8 @@ def vector_late_interaction_layout_topk(
     if sf_dir not in _CHUNK_LAYOUT_CACHE:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         _CHUNK_LAYOUT_CACHE[sf_dir] = build_chunk_embedding_layout(
-            load_table(spark, sf_dir, "documents"),
+            # embed-at-ingest is the CPU-dense stage: widen its input
+            widen_cpu_dense(load_table(spark, sf_dir, "documents")),
             f"/tmp/spark_graft_chunks_{tag}",
         )
     return maxsim_topk_from_layout(

@@ -183,6 +183,38 @@ def test_append_then_compact(spark, ivf, tmp_path):
     assert hits[0]["vec_id"] == 7_000_001 and hits[0]["distance"] == 0.0
 
 
+def test_compact_fully_tombstoned_layout(spark, tmp_path):
+    """Delete-to-empty lifecycle closes for IVF compaction too (advisor
+    finding, round 6): compacting a layout whose every row is lazily
+    tombstoned must write a searchable EMPTY layout reusing the old
+    centroids — not crash in the sample trainer's np.vstack over zero
+    collected vectors. The inverted and LSH compactors already handle
+    empty; this pins the IVF one."""
+    import numpy as np
+
+    from vector_db_example_spark.index.ivf import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_delete_lazy,
+        ivf_search,
+    )
+
+    rows = [(i, [float(i), float(i % 3)], i % 2) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    idx = build_ivf_index(df, path=str(tmp_path / "ivf"), nlist=2)
+    assert ivf_delete_lazy(spark, idx, list(range(10))) == 10
+
+    compacted = compact_ivf_index(spark, idx, str(tmp_path / "ivf_v2"))
+    assert np.array_equal(compacted.centroids, idx.centroids)
+    assert spark.read.schema(
+        spark.read.parquet(idx.path).schema
+    ).parquet(compacted.path).count() == 0
+    hits = ivf_search(spark, compacted, [0.0, 0.0], k=5, nprobe=2)
+    assert hits.count() == 0
+
+
 def test_mllib_trainer_exact_identity(spark, tmp_path):
     """The distributed-MLlib-trained layout satisfies the same
     nprobe=nlist ⇒ exact invariant (centroid quality affects recall,

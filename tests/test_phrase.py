@@ -131,6 +131,38 @@ def test_positional_delete_rides_shared_tombstones(spark, tmp_path):
     assert victim not in {r.doc_id for r in got}
 
 
+def test_layout_kind_persisted_not_probed(spark, tmp_path):
+    """Delete routing reads the PERSISTED layout kind, never a local
+    os.path.isdir(doclens) probe (advisor finding, round 6 — the probe
+    silently misroutes layouts on s3://or hdfs://). Pins: (a) the flag
+    round-trips through save_meta/load for both layout kinds; (b) legacy
+    meta files without the key infer positional from the persisted
+    postings schema (positions array vs tf)."""
+    import json
+    import os
+
+    from vector_db_example_spark.index.inverted import (
+        InvertedIndex,
+        build_inverted_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    pos = build_positional_index(docs, str(tmp_path / "pos"), n_buckets=8)
+    bm25 = build_inverted_index(docs, str(tmp_path / "bm25"), n_buckets=8)
+    assert pos.positional and not bm25.positional
+    assert InvertedIndex.load(pos.path).positional
+    assert not InvertedIndex.load(bm25.path).positional
+
+    for idx, want in ((pos, True), (bm25, False)):
+        meta_path = os.path.join(idx.path, "_inverted_meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        del meta["positional"]  # legacy meta written before the flag
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        assert InvertedIndex.load(idx.path).positional is want
+
+
 def test_positional_compaction_folds_tombstones_and_heals_replay(spark, tmp_path):
     """compact_positional_index completes the positional lifecycle:
     build → append → REPLAY the same append (at-least-once crash

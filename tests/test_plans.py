@@ -471,3 +471,21 @@ def test_nb_classifier_broadcasts_model_tables(spark):
     plan = _plan(QUERIES["text_nb_lang_confusion"].fn(spark, SF_SMOKE), execute=True)
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 4
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fingerprint_overlap_kernel_runs_once(spark):
+    """fingerprint_overlap_stats feeds its fingerprint table to both the
+    groupBy side and the join probe side; the exchange subtrees differ
+    (partial combine before the groupBy's shuffle), so without an
+    explicit materialization the md5-per-gram kernel executes TWICE
+    (advisor finding, round 6). Pin: the returned plan scans the
+    checkpointed RDD — zero Python-kernel nodes survive in it."""
+    from vector_db_example_spark.operators.fingerprint import (
+        fingerprint_overlap_stats,
+    )
+    from vector_db_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    plan = _plan(fingerprint_overlap_stats(docs, impl="arrow"))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan

@@ -56,6 +56,13 @@ class InvertedIndex:
     #: (doclens/stats are non-partitioned; an empty write still leaves a
     #: schema footer). ``None`` falls back to inference.
     postings_schema: str | None = None
+    #: True for POSITIONAL-ONLY layouts (build_positional_index): no
+    #: doclens/stats side-tables exist, so deletes must not attempt the
+    #: BM25 stats decrement. Persisted in ``_inverted_meta.json`` —
+    #: routing on a local-filesystem ``os.path.isdir(doclens_path)``
+    #: probe would silently misroute layouts on s3://, hdfs://, or any
+    #: non-local store (advisor finding, round 6).
+    positional: bool = False
 
     @property
     def postings_path(self) -> str:
@@ -75,6 +82,7 @@ class InvertedIndex:
             "id_col": self.id_col,
             "text_col": self.text_col,
             "postings_schema": self.postings_schema,
+            "positional": self.positional,
         }
         with open(os.path.join(self.path, "_inverted_meta.json"), "w") as f:
             json.dump(meta, f)
@@ -85,6 +93,12 @@ class InvertedIndex:
         handle story as IVFIndex.load / LSHIndex.load."""
         with open(os.path.join(path, "_inverted_meta.json")) as f:
             meta = json.load(f)
+        if "positional" not in meta:
+            # Meta predating the flag: a positional layout is the one
+            # whose persisted postings schema carries the positions
+            # array (BM25 postings carry tf instead).
+            schema = meta.get("postings_schema") or ""
+            meta["positional"] = '"positions"' in schema
         return cls(path=path, **meta)
 
 
@@ -371,13 +385,15 @@ def delete_from_inverted_index(index: InvertedIndex, ids) -> int:
     ``compact_positional_index`` folds the tombstones in for real.
 
     Returns the number of ids newly tombstoned."""
-    import os as _os
-
     ids = [int(i) for i in ids]
     if not ids:
         return 0
     spark = SparkSession.getActiveSession()
-    if not _os.path.isdir(index.doclens_path):
+    # Route on the PERSISTED layout kind, never a filesystem probe: an
+    # os.path.isdir(doclens_path) check is local-FS-only — a BM25 layout
+    # on s3:// or hdfs:// would silently take the positional branch and
+    # skip the doclens/stats decrement, corrupting BM25's N/avgdl.
+    if index.positional:
         victims = (
             _live(index, _read_postings(spark, index))
             .select(index.id_col)
@@ -460,6 +476,7 @@ def build_positional_index(
         id_col=id_col,
         text_col=text_col,
         postings_schema=postings.schema.json(),
+        positional=True,
     )
     index.save_meta()
     return index
@@ -510,6 +527,7 @@ def compact_positional_index(
         id_col=index.id_col,
         text_col=index.text_col,
         postings_schema=index.postings_schema,
+        positional=True,
     )
     out.save_meta()
     return out

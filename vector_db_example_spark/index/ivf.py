@@ -398,6 +398,28 @@ def compact_ivf_index(
     corpus = (
         _ivf_live(index, _read_layout(spark, index)).drop("cell_id").distinct()
     )
+    if corpus.isEmpty():
+        # Delete-to-empty lifecycle: a fully-tombstoned layout has zero
+        # training vectors, so delegating to build_ivf_index would crash
+        # in the sample trainer (np.vstack over nothing). Write an empty
+        # layout reusing the OLD centroids and schema instead — searches
+        # over it return zero rows through the same well-typed
+        # schema-persisted read path the inverted and LSH compactors
+        # already use for their empty cases. The one isEmpty probe is a
+        # limit-1 job, noise next to the full rewrite it gates.
+        assigned = corpus.withColumn(
+            "cell_id", cell_assigner(index.centroids)(F.col(index.vector_col))
+        )
+        assigned.write.partitionBy("cell_id").mode("overwrite").parquet(new_path)
+        out = IVFIndex(
+            path=new_path,
+            centroids=index.centroids,
+            vector_col=index.vector_col,
+            id_col=index.id_col,
+            schema_json=index.schema_json or assigned.schema.json(),
+        )
+        out.save_meta()
+        return out
     return build_ivf_index(
         corpus,
         path=new_path,

@@ -184,6 +184,16 @@ def fingerprint_overlap_stats(
         )
     else:
         raise ValueError(f"unknown impl {impl!r}")
+    # Materialize the fingerprint table ONCE before the self-join: `fps`
+    # feeds both the groupBy side and the join probe side, and their
+    # exchange subtrees differ (the groupBy's partial combine runs before
+    # its shuffle), so Catalyst cannot ReusedExchange them — without this
+    # the md5-per-gram kernel (or the expression winnow) executes twice
+    # per query. Same idiom as the dedup shingle tables
+    # (operators/dedup.py:190). A window over fp would also run the
+    # kernel once but would lose the map-side combine AND AQE's
+    # skew-join splitting on the boilerplate-fingerprint hot key.
+    fps = fps.localCheckpoint(eager=True)
     by_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         fps.join(by_fp, "fp")

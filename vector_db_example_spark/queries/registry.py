@@ -62,21 +62,30 @@ QUERIES: dict[str, Query] = {}
 #:    but slots allow keeping them for a third green), eight r01-backlog
 #:    anchors, eleven r03-block anchors, and pipeline_multi_strategy.
 #:
-#: ROUND-7 ROTATION PLAN (execute once CORRECTNESS_r06 lands):
-#: 1. After r6 every registered query has at least one driver verdict
-#:    (the first time the backlog is empty). Unless new operators are
-#:    registered mid-round-6, round 7 is pure bookkeeping: the eleven
-#:    r6-front entries need their second green (keep them surfaced);
-#:    the ten r5-rotated-in entries reach two greens in r6 and become
-#:    excludable.
-#: 2. If a new registration lands mid-round-6, hold it in
-#:    DRIVER_EXCLUDED's mid-round block and rotate it to the front here,
-#:    exactly like the mid-round-4/-5 blocks were. (Two did:
-#:    vector_lsh_compact_parity and text_positional_compact_parity —
-#:    the LSH and positional offline compactors' crash-window parities,
-#:    each sf0.01 + sf1.0 hash-verified on arrival; rotate them in
-#:    FIRST, ahead of the second-green bookkeeping.)
+#: ROUND-7 ROTATION (executed 2026-08-14, per the plan recorded here in
+#: round 6):
+#: 1. Rotated IN, at the front: the three zero-row entries registered
+#:    mid-round-6 after the r6 surface froze (vector_lsh_compact_parity,
+#:    text_positional_compact_parity — the LSH and positional offline
+#:    compactors' crash-window parities — and
+#:    text_winnow_fingerprint_overlap, the winnowing fingerprint audit),
+#:    each sf0.01 + sf1.0 hash-verified on arrival (SCALING.md).
+#: 2. Rotated OUT, three entries, per-entry anchors documented in
+#:    DRIVER_EXCLUDED: text_bpe_vocab_merges (the last rows-only surface
+#:    row — its exact-checkable twin text_bpe_word_freqs is hash-green
+#:    r6 and stays, the same anchoring pattern that retired the sketch
+#:    and IVF/LSH rows-only rows; the surface is now 100% hash-checked),
+#:    text_inverted_merge_parity and dedup_line_first_occurrence (two
+#:    greens r5+r6 each, families multiply anchored).
+#: 3. Kept: the eleven r6-front entries (one green — two-green rule),
+#:    the remaining eight r5-first-green entries (r5+r6 greens; slots
+#:    allow a third), and every anchor block unchanged.
 DRIVER_CRITICAL: tuple[str, ...] = (
+    # --- round-7 rotation: zero driver rows until now (registered
+    # mid-round-6 after the r6 surface froze) ---
+    "vector_lsh_compact_parity",
+    "text_positional_compact_parity",
+    "text_winnow_fingerprint_overlap",
     # --- round-6 rotation: zero driver rows until now (nine registered
     # mid-round-5 after the r5 surface froze; two registered round-6
     # pre-freeze). The index-lifecycle story lands here: delete→compact,
@@ -95,17 +104,11 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "text_bpe_word_freqs",            # SQL-expressible tiers of BPE: word
                                       # freqs + first merge, hash-checked
     "vector_ivf_hot_split_parity",    # split_hot_cells lifecycle anchor
-    # --- r5-first-green: exactly one driver row (r05) — the two-green
-    # rule keeps them surfaced ---
-    "dedup_line_first_occurrence",
+    # --- r5-first-green block, now r5+r6 two-green (three of the ten
+    # rotated out in round 7, documented in DRIVER_EXCLUDED) ---
     "dedup_dup_span_fraction",
-    "text_inverted_merge_parity",
     "events_exact_quantiles",
     "events_retention_cohorts",
-    "text_bpe_vocab_merges",          # rows-only: merge loop pinned to the
-                                      # Sennrich/GPT-2 paper example in
-                                      # pytest; hash-anchored by
-                                      # text_bpe_word_freqs above
     "multimodal_image_feature_knn",
     "text_nb_lang_confusion",
     "agg_count_min_heavy_hitters",
@@ -246,20 +249,25 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
-        # --- registered mid-round-6 (after the r6 surface froze):
-        # rotate to the front of DRIVER_CRITICAL in round 7 per the
-        # zero-row-first rule, exactly like the mid-round-4/-5 blocks.
-        # Oracle-checked locally by tests/test_oracle_parity.py and
-        # hash-verified vs DuckDB at sf1.0 on arrival (SCALING.md). ---
-        "vector_lsh_compact_parity",  # offline LSH compaction: replay
-                                      # heal + small-file collapse
-                                      # (index/lsh.py::compact_lsh_layout)
-        "text_positional_compact_parity",  # positional-layout lifecycle:
-                                      # replay-tolerant reads + tombstone
-                                      # fold (compact_positional_index)
-        "text_winnow_fingerprint_overlap",  # rolling-gram winnowing
-                                      # fingerprints + overlap audit
-                                      # (operators/fingerprint.py)
+        # --- rotated OUT in round 7: per the round-7 rotation note
+        # above. Each remains registered and oracle-checked locally by
+        # tests/test_oracle_parity.py. ---
+        "text_bpe_vocab_merges",     # permanent rows-only (iterated greedy
+                                     # merges are not closed-form SQL; loop
+                                     # pinned to the Sennrich worked example
+                                     # in tests/test_operators.py). Its
+                                     # exact-checkable twin
+                                     # text_bpe_word_freqs (word freqs +
+                                     # first merge) is surfaced hash-green —
+                                     # the surface is now 100% hash-checked.
+        "text_inverted_merge_parity",  # two greens (r5+r6); inverted
+                                     # lifecycle anchored by the surfaced
+                                     # text_inverted_compaction_parity and
+                                     # the positional compactor rotating in
+        "dedup_line_first_occurrence",  # two greens (r5+r6); line-dedup
+                                     # anchored by dedup_line_kept_fraction
+                                     # (same operator, per-doc survival
+                                     # report) + dedup_dup_span_fraction
         # --- rotated OUT in round 6: hash-green in THREE rounds each
         # (r01+r04+r05 for the first four, r03+r04+r05 for the rest),
         # yielding their slots to the eleven zero-row lifecycle/BPE

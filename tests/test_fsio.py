@@ -1,0 +1,162 @@
+"""fsio (Hadoop FileSystem layer) + storage-portable layout lifecycles.
+
+Before fsio, every layout's driver-side state (meta JSON, commit
+markers, tombstone probes, manifest pointers, chunk drops) used
+`open()` / `os.path` — local-filesystem-only. A layout addressed by ANY
+URI (s3://, hdfs://, even file://) either crashed on the meta write or,
+worse, silently skipped a tombstone anti-join and resurrected deleted
+rows (the advisor's round-6 `os.path.isdir` routing finding,
+generalized to the whole package).
+
+The `file://` scheme is the portability proxy available in this
+container: it exercises the exact Hadoop FileSystem code path every
+remote scheme goes through (Path→getFileSystem→open/create/delete),
+while `os.path`/`open()` on a `file:///x` string fails — so every
+lifecycle below was RED before the fsio migration and green after.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from vector_db_example_spark import fsio
+from vector_db_example_spark.sources.tables import load_table
+
+
+@pytest.fixture
+def uri_root(tmp_path):
+    return f"file://{tmp_path}"
+
+
+def test_fsio_roundtrip_plain_and_uri(spark, tmp_path):
+    for root in (str(tmp_path / "plain"), f"file://{tmp_path}/uri"):
+        p = f"{root}/meta.json"
+        fsio.write_text(p, '{"a": 1}')
+        assert fsio.exists(p) and fsio.read_text(p) == '{"a": 1}'
+        fsio.touch(f"{root}/marker")
+        assert fsio.exists(f"{root}/marker")
+        assert fsio.is_dir(root) and not fsio.is_dir(p)
+        assert {"meta.json", "marker"} <= set(fsio.list_names(root))
+        assert fsio.delete(root) and not fsio.exists(root)
+    assert fsio.list_names(str(tmp_path / "absent")) == []
+    assert fsio.delete(str(tmp_path / "absent")) is False
+
+
+def test_fsio_atomic_write_overwrites_and_cleans_tmp(spark, tmp_path):
+    p = f"file://{tmp_path}/m.json"
+    fsio.atomic_write_text(p, "v1")
+    fsio.atomic_write_text(p, "v2")  # the rename-over-existing path
+    assert fsio.read_text(p) == "v2"
+    leftovers = [n for n in fsio.list_names(f"file://{tmp_path}") if "tmp" in n]
+    assert leftovers == [], leftovers
+
+
+def test_ivf_lifecycle_on_uri_path(spark, uri_root):
+    """build → load → lazy-delete (tombstone probe!) → search → compact,
+    all on a file:// layout. The tombstone-presence check is the
+    highest-stakes migration: a local-FS probe on a URI layout returns
+    False and silently RESURRECTS deleted rows."""
+    import numpy as np
+
+    from vector_db_example_spark.index.ivf import (
+        IVFIndex,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_delete_lazy,
+        ivf_search,
+    )
+
+    rows = [(i, [float(i), float(i % 5)], i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    idx = build_ivf_index(df, path=f"{uri_root}/ivf", nlist=4)
+    reloaded = IVFIndex.load(idx.path)
+    assert np.array_equal(reloaded.centroids, idx.centroids)
+
+    assert ivf_delete_lazy(spark, idx, [0, 1]) == 2
+    hits = ivf_search(spark, idx, [0.0, 0.0], k=5, nprobe=4)
+    got = {r["vec_id"] for r in hits.collect()}
+    assert got.isdisjoint({0, 1}), f"tombstoned rows resurfaced: {got}"
+
+    compacted = compact_ivf_index(spark, idx, f"{uri_root}/ivf_v2")
+    hits2 = {r["vec_id"] for r in ivf_search(spark, compacted, [0.0, 0.0], k=5, nprobe=4).collect()}
+    assert hits2 == got
+
+
+def test_inverted_lifecycle_on_uri_path(spark, uri_root):
+    from vector_db_example_spark.index.inverted import (
+        InvertedIndex,
+        bm25_search_inverted,
+        build_inverted_index,
+        delete_from_inverted_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    idx = build_inverted_index(docs, f"{uri_root}/bm25", n_buckets=8)
+    assert not InvertedIndex.load(idx.path).positional
+    before = bm25_search_inverted(spark, idx, ["spark", "join"], k=5).collect()
+    assert before
+    victim = int(before[0]["doc_id"])
+    assert delete_from_inverted_index(idx, [victim]) == 1
+    after = {int(r["doc_id"]) for r in bm25_search_inverted(spark, idx, ["spark", "join"], k=5).collect()}
+    assert victim not in after
+
+
+def test_manifest_on_uri_root(spark, uri_root):
+    from vector_db_example_spark.index import manifest
+
+    root = f"{uri_root}/manifests"
+    assert manifest.publish(root, "docs", "/layouts/v1") == 1
+    assert manifest.publish(root, "docs", "/layouts/v2") == 2
+    assert manifest.current(root, "docs") == "/layouts/v2"
+    assert manifest.rollback(root, "docs", 1) == 3
+    assert manifest.current(root, "docs") == "/layouts/v1"
+    assert [e.version for e in manifest.history(root, "docs")] == [1, 2, 3]
+
+
+def test_hypertable_retention_on_uri_path(spark, uri_root):
+    from vector_db_example_spark.index.hypertable import (
+        build_hypertable,
+        drop_chunks,
+        hypertable_report,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    days = sorted(
+        r[0].isoformat()
+        for r in ev.selectExpr("to_date(ts) d").distinct().collect()
+    )
+    table = build_hypertable(ev, f"{uri_root}/ht")
+    cutoff = days[1]
+    dropped = drop_chunks(spark, table, older_than=cutoff)
+    assert dropped == 2  # day 0 in raw AND rollup
+    report_days = {
+        r["event_date"]
+        for r in hypertable_report(spark, table, tail_from=days[-1]).collect()
+    }
+    assert days[0] not in report_days
+    assert days[1] in report_days
+
+
+def test_catalog_on_uri_root(spark, uri_root):
+    from vector_db_example_spark.catalog import CollectionCatalog
+
+    cat = CollectionCatalog(spark, f"{uri_root}/collections")
+    assert cat.create("kb", dim=4)
+    assert cat.exists("kb") and not cat.create("kb")
+    rows = spark.createDataFrame(
+        [("c1", "alpha beta"), ("c2", "gamma")], "chapter string, content string"
+    )
+    assert cat.insert("kb", rows) == 2
+    assert cat.stats("kb")["row_count"] == 2
+    assert cat.drop("kb") and not cat.exists("kb")
+
+
+def test_csv_fallback_probe_on_uri_path(spark, uri_root):
+    from vector_db_example_spark.sources.csv_source import (
+        EXAMPLE_ROWS,
+        load_knowledge_csv,
+    )
+
+    out = load_knowledge_csv(spark, f"{uri_root}/missing.csv", preprocess=False)
+    assert out.count() == len(EXAMPLE_ROWS)

@@ -19,13 +19,13 @@ reader goes through ``spark.read.parquet`` so pruning and pushdown hold.
 
 from __future__ import annotations
 
-import os
-import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import fsio
 
 DEFAULT_DIM = 384  # reference DIMENSION, src/app.py:22
 
@@ -51,22 +51,20 @@ class CollectionCatalog:
     root: str
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return f"{self.root}/{name}"
 
     # -- S8: DDL ---------------------------------------------------------
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._path(name), "_SUCCESS")) or (
-            os.path.isdir(self._path(name)) and any(
-                f.endswith(".parquet") for f in os.listdir(self._path(name))
-            )
+        # fsio (Hadoop FS), not os.path: the catalog root can be an
+        # object-store prefix, exactly as the class docstring promises.
+        return fsio.exists(f"{self._path(name)}/_SUCCESS", self.spark) or any(
+            f.endswith(".parquet")
+            for f in fsio.list_names(self._path(name), self.spark)
         )
 
     def drop(self, name: str) -> bool:
-        if os.path.isdir(self._path(name)):
-            shutil.rmtree(self._path(name))
-            return True
-        return False
+        return fsio.delete(self._path(name), spark=self.spark)
 
     def create(
         self, name: str, dim: int = DEFAULT_DIM, force_recreate: bool = False

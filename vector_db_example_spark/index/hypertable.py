@@ -51,9 +51,9 @@ class Hypertable:
     def load(path: str) -> "Hypertable":
         import json
 
-        with open(f"{path}/meta.json") as fh:
-            meta = json.load(fh)
-        return Hypertable(**meta)
+        from .. import fsio
+
+        return Hypertable(**json.loads(fsio.read_text(f"{path}/meta.json")))
 
 
 def build_hypertable(events: DataFrame, path: str) -> Hypertable:
@@ -100,16 +100,21 @@ def build_hypertable(events: DataFrame, path: str) -> Hypertable:
         raw_schema=with_date.schema.json(),
         rollup_schema=rollup.schema.json(),
     )
-    with open(f"{path}/meta.json", "w") as fh:
-        json.dump(
+    from .. import fsio
+
+    # Hadoop-FS IO (fsio): table meta lives wherever the chunks live —
+    # any scheme, not just the local filesystem.
+    fsio.write_text(
+        f"{path}/meta.json",
+        json.dumps(
             {
                 "raw_path": raw_path,
                 "rollup_path": rollup_path,
                 "raw_schema": table.raw_schema,
                 "rollup_schema": table.rollup_schema,
-            },
-            fh,
-        )
+            }
+        ),
+    )
     return table
 
 
@@ -185,15 +190,19 @@ def drop_chunks(spark: SparkSession, table: Hypertable, older_than: str) -> int:
     would make the drop atomic against concurrent readers.
     """
     import datetime
-    import shutil
-    from pathlib import Path
+
+    from .. import fsio
 
     cutoff = datetime.date.fromisoformat(older_than)
     dropped = 0
     for root in (table.raw_path, table.rollup_path):
-        for part in Path(root).glob("event_date=*"):
-            day = datetime.date.fromisoformat(part.name.split("=", 1)[1])
+        # One driver-side LIST per chunk root (O(days), not O(table)) —
+        # through the Hadoop FS so retention works on any scheme.
+        for name in fsio.list_names(root):
+            if not name.startswith("event_date="):
+                continue
+            day = datetime.date.fromisoformat(name.split("=", 1)[1])
             if day < cutoff:
-                shutil.rmtree(part)
+                fsio.delete(f"{root}/{name}")
                 dropped += 1
     return dropped

@@ -27,13 +27,13 @@ buckets with zlib and they match the layout's partition values exactly.
 from __future__ import annotations
 
 import json
-import os
 import zlib
 from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import fsio
 from ..functions.text import extract_tokens
 from ..operators.bm25 import bm25_score_expr, bm25_score_expr_for
 
@@ -84,15 +84,15 @@ class InvertedIndex:
             "postings_schema": self.postings_schema,
             "positional": self.positional,
         }
-        with open(os.path.join(self.path, "_inverted_meta.json"), "w") as f:
-            json.dump(meta, f)
+        # Hadoop-FS IO (fsio): layout meta lives wherever the layout's
+        # parquet lives — any scheme, not just the local filesystem.
+        fsio.write_text(f"{self.path}/_inverted_meta.json", json.dumps(meta))
 
     @classmethod
     def load(cls, path: str) -> "InvertedIndex":
         """Reopen a layout from its persisted meta — same cross-process
         handle story as IVFIndex.load / LSHIndex.load."""
-        with open(os.path.join(path, "_inverted_meta.json")) as f:
-            meta = json.load(f)
+        meta = json.loads(fsio.read_text(f"{path}/_inverted_meta.json"))
         if "positional" not in meta:
             # Meta predating the flag: a positional layout is the one
             # whose persisted postings schema carries the positions

@@ -30,7 +30,6 @@ AQE handles moderate skew at read time.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -39,6 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsio
 from ..operators.knn import knn_exact
 
 
@@ -67,13 +67,13 @@ class IVFIndex:
             "centroids": self.centroids.tolist(),
             "schema": self.schema_json,
         }
-        with open(os.path.join(self.path, "_ivf_meta.json"), "w") as f:
-            json.dump(meta, f)
+        # Hadoop-FS IO (fsio): layout meta lives wherever the layout's
+        # parquet lives — any scheme, not just the local filesystem.
+        fsio.write_text(f"{self.path}/_ivf_meta.json", json.dumps(meta))
 
     @classmethod
     def load(cls, path: str) -> "IVFIndex":
-        with open(os.path.join(path, "_ivf_meta.json")) as f:
-            meta = json.load(f)
+        meta = json.loads(fsio.read_text(f"{path}/_ivf_meta.json"))
         return cls(
             path=path,
             centroids=np.asarray(meta["centroids"], dtype=np.float64),
@@ -219,7 +219,10 @@ def _ivf_live(index: IVFIndex, df: DataFrame) -> DataFrame:
     sibling table (absent ⇒ identity — the plan is unchanged until the
     first lazy delete, checked in tests/test_plans.py)."""
     tomb = _tombstone_path(index)
-    if not os.path.isdir(tomb):
+    # fsio.exists, not os.path.isdir: a local-FS probe on an s3://hdfs://
+    # layout would silently skip the anti-join and resurrect deleted rows
+    # (the advisor's round-6 routing finding, same class).
+    if not fsio.exists(tomb):
         return df
     spark = df.sparkSession
     return df.join(
@@ -477,8 +480,6 @@ def split_hot_cells(
     Returns a NEW IVFIndex (same path, extended centroid matrix); the
     old in-memory index object is stale after this call.
     """
-    import shutil
-
     counts = {
         int(r["cell_id"]): int(r["n"])
         for r in _read_layout(spark, index)
@@ -513,7 +514,7 @@ def split_hot_cells(
             "cell_id", cell_assigner(sub)(F.col(index.vector_col)) + F.lit(base_id)
         )
         assigned.write.partitionBy("cell_id").mode("append").parquet(index.path)
-        shutil.rmtree(os.path.join(index.path, f"cell_id={cell}"))
+        fsio.delete(f"{index.path}/cell_id={cell}")
         centroids[cell] = _DEAD_CENTROID_COORD  # retire; never nearest again
 
     out = IVFIndex(
@@ -635,13 +636,10 @@ def ivf_delete(spark: SparkSession, index: IVFIndex, ids) -> int:
     )
     # a cell emptied entirely writes no partition back — remove its dir so
     # the dangling directory doesn't linger (readers would see it as empty)
-    import shutil
-    from pathlib import Path
-
     remaining = {
         int(r["cell_id"])
         for r in survivors.select("cell_id").distinct().collect()
     }
     for cell in set(cells) - remaining:
-        shutil.rmtree(Path(index.path) / f"cell_id={cell}", ignore_errors=True)
+        fsio.delete(f"{index.path}/cell_id={cell}")
     return n_before - survivors.count()

@@ -26,7 +26,6 @@ Scale design:
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass
 from itertools import combinations
 
@@ -36,6 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsio
 from ..operators.knn import knn_exact
 
 
@@ -140,13 +140,13 @@ class LSHIndex:
             "planes": self.planes.tolist(),
             "schema": self.schema_json,
         }
-        with open(os.path.join(self.path, "_lsh_meta.json"), "w") as f:
-            json.dump(meta, f)
+        # Hadoop-FS IO (fsio): layout meta lives wherever the layout's
+        # parquet lives — any scheme, not just the local filesystem.
+        fsio.write_text(f"{self.path}/_lsh_meta.json", json.dumps(meta))
 
     @classmethod
     def load(cls, path: str) -> "LSHIndex":
-        with open(os.path.join(path, "_lsh_meta.json")) as f:
-            meta = json.load(f)
+        meta = json.loads(fsio.read_text(f"{path}/_lsh_meta.json"))
         return cls(
             path=path,
             planes=np.asarray(meta["planes"], dtype=np.float64),
@@ -302,9 +302,6 @@ def lsh_delete(spark: SparkSession, index: LSHIndex, ids) -> int:
     every layout mutation here.
 
     Returns the number of rows deleted."""
-    import shutil
-    from pathlib import Path
-
     ids = [int(i) for i in ids]
     if not ids:
         return 0
@@ -331,7 +328,7 @@ def lsh_delete(spark: SparkSession, index: LSHIndex, ids) -> int:
         int(r["bucket"]) for r in survivors.select("bucket").distinct().collect()
     }
     for bucket in set(buckets) - remaining:
-        shutil.rmtree(Path(index.path) / f"bucket={bucket}", ignore_errors=True)
+        fsio.delete(f"{index.path}/bucket={bucket}")
     return n_before - survivors.count()
 
 

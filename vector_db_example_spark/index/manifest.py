@@ -12,9 +12,10 @@ Semantics (the Iceberg/Delta snapshot idea, reduced to what a layout
 pointer needs):
 
 * ``publish(root, name, path)`` — append a new version entry and
-  atomically repoint ``current`` via write-temp-then-rename (POSIX
-  rename is atomic; on object stores the same role is played by a
-  conditional PUT). Readers never observe a half-written manifest.
+  repoint ``current`` via write-temp-then-rename (atomic on POSIX and
+  HDFS; on object stores the same role is played by a conditional PUT —
+  see fsio.atomic_write_text for the exact per-store contract). Readers
+  never observe a half-written manifest.
 * ``current(root, name)`` — the serving path. A reader resolves once
   per query; an in-flight query keeps reading the layout path it
   resolved, so compaction/merge can publish underneath it with zero
@@ -24,6 +25,10 @@ pointer needs):
   version for audits/rollback ("what did search serve yesterday").
 * ``rollback(root, name, v)`` — publish an OLD path as a new version
   (history is append-only; rollback is a new pointer, not an erase).
+
+All manifest IO goes through fsio (the Hadoop FileSystem layer), so the
+manifest root can live on the same store as the layouts it points to —
+s3/hdfs/file URIs or plain local paths alike.
 
 Caveat on historical reads: layout DIRECTORIES are immutable under the
 never-rewrite-in-place policy, but deletion vectors append tombstone
@@ -42,9 +47,9 @@ done inline, so readers of any retained version stay safe.
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 from dataclasses import dataclass
+
+from .. import fsio
 
 
 @dataclass(frozen=True)
@@ -54,22 +59,20 @@ class ManifestEntry:
 
 
 def _manifest_file(root: str, name: str) -> str:
-    return os.path.join(root, f"{name}.manifest.json")
+    return f"{root}/{name}.manifest.json"
 
 
 def _load(root: str, name: str) -> list[ManifestEntry]:
     f = _manifest_file(root, name)
-    if not os.path.exists(f):
+    if not fsio.exists(f):
         return []
-    with open(f) as fh:
-        data = json.load(fh)
+    data = json.loads(fsio.read_text(f))
     return [ManifestEntry(int(e["version"]), e["path"]) for e in data["versions"]]
 
 
 def publish(root: str, name: str, path: str) -> int:
     """Append ``path`` as the next version of ``name`` and atomically
     repoint ``current``. Returns the new version number."""
-    os.makedirs(root, exist_ok=True)
     entries = _load(root, name)
     v = entries[-1].version + 1 if entries else 1
     entries.append(ManifestEntry(v, path))
@@ -78,14 +81,7 @@ def publish(root: str, name: str, path: str) -> int:
         "current": v,
         "versions": [{"version": e.version, "path": e.path} for e in entries],
     }
-    fd, tmp = tempfile.mkstemp(dir=root, prefix=f".{name}.manifest.")
-    try:
-        with os.fdopen(fd, "w") as fh:
-            json.dump(payload, fh)
-        os.replace(tmp, _manifest_file(root, name))  # atomic swap
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    fsio.atomic_write_text(_manifest_file(root, name), json.dumps(payload))
     return v
 
 

@@ -17,11 +17,10 @@ Reproduces the reference's ingestion semantics Spark-first:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import fsio
 from ..functions.text import clean_content, is_chapter_header
 
 #: S4 fallback corpus — engine-original example rows (the reference ships
@@ -72,7 +71,9 @@ def load_knowledge_csv(
     empties, optionally clean + length-filter (F1 + P4). Falls back to
     the example rows when the file is missing or yields no usable rows
     (reference _load_initial_data, src/app.py:120-142)."""
-    if not os.path.exists(path):
+    # fsio (Hadoop FS), not os.path: knowledge CSVs can live on any
+    # scheme the cluster reads (the missing-file fallback still fires).
+    if not fsio.exists(path, spark):
         return example_data(spark)
     df = spark.read.csv(path, header=True, multiLine=True, quote='"', escape='"')
     if len(df.columns) < 2:

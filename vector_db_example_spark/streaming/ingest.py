@@ -129,26 +129,28 @@ def stream_ingest_embeddings_into_ivf(
     import hashlib
     import os
 
+    from .. import fsio
     from ..index.ivf import assign_cells
 
-    ckpt_token = hashlib.sha256(
-        os.path.abspath(checkpoint_path).encode()
-    ).hexdigest()[:16]
-    marker_dir = os.path.join(index.path, "_committed_batches", ckpt_token)
-    os.makedirs(marker_dir, exist_ok=True)
+    # URI checkpoint paths are already canonical; only schemeless local
+    # paths need abspath for a stable token. Markers go through fsio so
+    # the layout (and its commit state) can live on any scheme.
+    ckpt = checkpoint_path if "://" in checkpoint_path else os.path.abspath(checkpoint_path)
+    ckpt_token = hashlib.sha256(ckpt.encode()).hexdigest()[:16]
+    marker_dir = f"{index.path}/_committed_batches/{ckpt_token}"
+    fsio.mkdirs(marker_dir)
     appended = {"n": 0}
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):
+        marker = f"{marker_dir}/batch_{batch_id}"
+        if fsio.exists(marker):
             return
         assigned = batch.withColumn(
             "cell_id", assign_cells(index, F.col(index.vector_col))
         ).localCheckpoint(eager=True)  # one evaluation for write AND count
         assigned.write.partitionBy("cell_id").mode("append").parquet(index.path)
         n = assigned.count()
-        with open(marker, "w") as fh:
-            fh.write(str(n))
+        fsio.write_text(marker, str(n))
         appended["n"] += n
 
     stream = (
@@ -194,24 +196,24 @@ def stream_ingest_documents_into_inverted(
     import hashlib
     import os
 
+    from .. import fsio
     from ..index.inverted import append_to_inverted_index
 
-    ckpt_token = hashlib.sha256(
-        os.path.abspath(checkpoint_path).encode()
-    ).hexdigest()[:16]
-    marker_dir = os.path.join(index.path, "_committed_batches", ckpt_token)
-    os.makedirs(marker_dir, exist_ok=True)
+    ckpt = checkpoint_path if "://" in checkpoint_path else os.path.abspath(checkpoint_path)
+    ckpt_token = hashlib.sha256(ckpt.encode()).hexdigest()[:16]
+    marker_dir = f"{index.path}/_committed_batches/{ckpt_token}"
+    fsio.mkdirs(marker_dir)
     indexed = {"n": 0}
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):
+        marker = f"{marker_dir}/batch_{batch_id}"
+        if fsio.exists(marker):
             return
         n = batch.count()
         if n:
             append_to_inverted_index(index, batch)
         indexed["n"] += n
-        open(marker, "w").close()
+        fsio.touch(marker)
 
     q = (
         read_documents_stream(spark, sf_dir)

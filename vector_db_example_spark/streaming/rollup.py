@@ -23,8 +23,10 @@ regardless of corpus history size.
 Delivery: foreachBatch is at-least-once and a merge is NOT naturally
 idempotent (re-merging a delivered batch double-counts), so batches are
 guarded by commit markers namespaced per checkpoint — the same
-exactly-once recipe as the IVF streaming sink (streaming/ingest.py),
-with the same documented single-driver-filesystem assumption.
+exactly-once recipe as the IVF streaming sink (streaming/ingest.py).
+Markers and the persisted schema go through fsio (the Hadoop FS layer),
+so the rollup layout can live on any scheme the cluster supports; the
+single-writer-per-layout assumption is documented there too.
 """
 
 from __future__ import annotations
@@ -35,6 +37,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
+
+from .. import fsio
 
 #: Rollup row schema shared with index/hypertable.py's offline build.
 _ROLLUP_AGGS = (
@@ -71,31 +75,31 @@ def stream_rollup_maintenance(
     """Drive `events_stream` to completion (availableNow), upserting
     hourly rollup rows into the date-partitioned layout at
     `rollup_path`."""
-    ckpt_token = hashlib.sha256(
-        os.path.abspath(checkpoint_path).encode()
-    ).hexdigest()[:16]
-    marker_dir = os.path.join(rollup_path, "_committed_batches", ckpt_token)
-    os.makedirs(marker_dir, exist_ok=True)
+    # URI checkpoint paths (s3://, file://) are already canonical; only
+    # schemeless local paths need abspath for a stable token.
+    ckpt = checkpoint_path if "://" in checkpoint_path else os.path.abspath(checkpoint_path)
+    ckpt_token = hashlib.sha256(ckpt.encode()).hexdigest()[:16]
+    marker_dir = f"{rollup_path}/_committed_batches/{ckpt_token}"
+    fsio.mkdirs(marker_dir)
     # Persist the rollup schema up front (derivable from the stream's
     # schema through the partials plan, no execution needed): a run over
     # an all-empty stream writes no data file, and read_rollup's schema
     # inference would crash on the fileless layout (the delete-to-empty
     # class, SCALING.md round 6).
-    schema_file = os.path.join(rollup_path, "_rollup_schema.json")
-    if not os.path.exists(schema_file):
+    schema_file = f"{rollup_path}/_rollup_schema.json"
+    if not fsio.exists(schema_file):
         empty = spark.createDataFrame([], events_stream.schema)
-        with open(schema_file, "w") as fh:
-            fh.write(_hourly_partials(empty).schema.json())
+        fsio.write_text(schema_file, _hourly_partials(empty).schema.json())
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):  # re-delivered batch: already merged
+        marker = f"{marker_dir}/batch_{batch_id}"
+        if fsio.exists(marker):  # re-delivered batch: already merged
             return
         partials = _hourly_partials(batch)
         # Touched days: a tiny driver list (one row per day in the batch).
         days = [r[0] for r in partials.select("event_date").distinct().collect()]
         if not days:
-            open(marker, "w").close()
+            fsio.touch(marker)
             return
         try:
             existing = (
@@ -118,7 +122,7 @@ def stream_rollup_maintenance(
             .partitionBy("event_date")
             .parquet(rollup_path)
         )
-        open(marker, "w").close()
+        fsio.touch(marker)
 
     q = (
         events_stream.writeStream.foreachBatch(sink_batch)
@@ -139,10 +143,9 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
 
     from pyspark.sql.types import StructType
 
-    schema_file = os.path.join(rollup_path, "_rollup_schema.json")
-    if os.path.exists(schema_file):
-        with open(schema_file) as fh:
-            schema = StructType.fromJson(json.loads(fh.read()))
+    schema_file = f"{rollup_path}/_rollup_schema.json"
+    if fsio.exists(schema_file):
+        schema = StructType.fromJson(json.loads(fsio.read_text(schema_file)))
         base = spark.read.schema(schema).parquet(rollup_path)
     else:
         base = spark.read.parquet(rollup_path)

@@ -60,8 +60,18 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
         )
 
-    qs, oracles = e.queries(), e.oracle_sql()
-    names = list(qs) if args.all else list(qs)[:50]
+    if args.all:
+        # The driver surface (e.queries()) is capped at 50; --all sweeps
+        # the FULL registry, exactly like tools/stability_check.py.
+        from vector_db_example_spark.queries.registry import QUERIES
+
+        qs = {name: q.fn for name, q in QUERIES.items()}
+        oracles = {
+            name: q.oracle for name, q in QUERIES.items() if q.oracle is not None
+        }
+    else:
+        qs, oracles = e.queries(), e.oracle_sql()
+    names = list(qs)
     if args.only:
         names = [n for n in names if n in set(args.only)]
     names = sorted(n for n in names if n not in set(args.skip))

@@ -605,6 +605,58 @@ def vector_ivf_delete_compact_parity(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "vector_ivf_uri_layout_parity",
+    # same self-parametrizing victim set as the maintenance twin, but
+    # searched from the TOMBSTONED (uncompacted) layout on a file:// URI
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 31),
+d AS (
+  SELECT e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+victims AS (SELECT vec_id FROM d ORDER BY dist, vec_id LIMIT 3)
+SELECT vec_id, round(dist, 6) AS distance
+FROM d WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+ORDER BY dist, vec_id LIMIT 10
+""",
+    tags=("vector", "ivf", "index", "portability", "fsio"),
+)
+def vector_ivf_uri_layout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage portability, driver-checked: the IVF lifecycle on a
+    ``file://`` URI layout — the scheme-addressed path every remote
+    store (s3://, hdfs://) shares, which plain open()/os.path IO cannot
+    touch. Build → tombstone-delete the query's own top-3
+    (ivf_delete_lazy) → exhaustive-probe search from the UNCOMPACTED
+    layout: the tombstone anti-join only fires if the presence probe
+    goes through the Hadoop FileSystem (fsio) — before the fsio
+    migration a local-FS probe on this layout silently returned False
+    and the deleted rows RESURFACED, which is exactly the hash mismatch
+    this oracle would catch. Brute-force-minus-victims is the oracle;
+    parity states deletion vectors work wherever the layout lives."""
+    import shutil
+    import tempfile
+
+    from ..index.ivf import ivf_delete_lazy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 31)
+    base = tempfile.mkdtemp(prefix="spark_graft_ivfuri_")
+    try:
+        index = build_ivf_index(emb, f"file://{base}/idx", nlist=8)
+        victims = [
+            r.vec_id
+            for r in ivf_search(spark, index, qv, k=3, nprobe=8).collect()
+        ]
+        ivf_delete_lazy(spark, index, victims)
+        hits = ivf_search(spark, index, qv, k=10, nprobe=8)
+        out = hits.select("vec_id", F.round("distance", 6).alias("distance"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "vector_lsh_delete_parity",
     # same self-parametrizing victim set as the IVF maintenance twin:
     # the query's own top-3 under the full-radius (exact) probe

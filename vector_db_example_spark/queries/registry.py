@@ -249,6 +249,19 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
+        # --- registered mid-round-7 (after the r7 surface froze):
+        # rotate to the front of DRIVER_CRITICAL in round 8 per the
+        # zero-row-first rule, exactly like the mid-round-4/-5/-6
+        # blocks. Oracle-checked locally by tests/test_oracle_parity.py
+        # and hash-verified vs DuckDB at sf0.01 AND sf1.0 on arrival
+        # (SCALING.md round 7). ---
+        "vector_ivf_uri_layout_parity",  # storage portability: IVF
+                                     # tombstone lifecycle on a file://
+                                     # URI layout (the fsio migration's
+                                     # driver anchor — pre-fsio the
+                                     # tombstone probe silently failed
+                                     # on scheme-addressed layouts and
+                                     # deleted rows resurfaced)
         # --- rotated OUT in round 7: per the round-7 rotation note
         # above. Each remains registered and oracle-checked locally by
         # tests/test_oracle_parity.py. ---

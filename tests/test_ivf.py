@@ -905,3 +905,117 @@ def test_quantized_searches_honor_tombstones(spark, tmp_path):
         ).collect()
     ]
     assert got == live_exact
+
+
+def test_declare_empty_then_ingest_search_compact(spark, tmp_path):
+    """The reference's create-collection + create-index BEFORE any insert
+    (src/app.py: collection schema with dim declared up front): an IVF
+    layout declared over an EMPTY corpus (dim= required — there are no
+    rows to infer it from) must search to zero rows, accept appends into
+    its single zero-centroid cell, search those exactly, and retrain
+    real centroids at the first compaction."""
+    import numpy as np
+
+    from vector_db_example_spark.index.ivf import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_append,
+        ivf_search,
+    )
+    from vector_db_example_spark.operators.knn import knn_exact
+    from vector_db_example_spark.sources.tables import load_table
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    idx = build_ivf_index(empty, path=str(tmp_path / "declared"), dim=64)
+    assert idx.nlist == 1 and not np.any(idx.centroids)
+
+    q = _qvec(spark, 3)
+    assert ivf_search(spark, idx, q, k=5, nprobe=1).count() == 0
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    ivf_append(idx, emb)
+    exact = [
+        (r.vec_id, round(r.distance, 9))
+        for r in knn_exact(emb, q, k=5, score_threshold=None).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.distance, 9))
+        for r in ivf_search(spark, idx, q, k=5, nprobe=1).collect()
+    ]
+    assert got == exact  # one cell holds everything ⇒ search is exact
+
+    compacted = compact_ivf_index(spark, idx, str(tmp_path / "compacted"), nlist=8)
+    assert compacted.nlist == 8  # real centroids, not the declaration stub
+    got2 = [
+        (r.vec_id, round(r.distance, 9))
+        for r in ivf_search(spark, compacted, q, k=5, nprobe=8).collect()
+    ]
+    assert got2 == exact
+
+
+def test_declare_empty_without_dim_raises(spark, tmp_path):
+    from vector_db_example_spark.index.ivf import build_ivf_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        build_ivf_index(empty, path=str(tmp_path / "x"))
+
+
+def test_compact_after_delete_below_nlist(spark, tmp_path):
+    """Delete-down-to-few: compacting a layout whose LIVE corpus has
+    fewer rows than the old nlist must clamp the retrain (a layout
+    cannot have more cells than training vectors), not crash the
+    trainer — while a direct undersized build stays a loud error
+    (test_build_rejects_undersized_training_set)."""
+    from vector_db_example_spark.index.ivf import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_delete_lazy,
+        ivf_search,
+    )
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(40)
+    idx = build_ivf_index(emb, path=str(tmp_path / "idx"), nlist=16)
+    survivors = [r.vec_id for r in emb.select("vec_id").collect()][:5]
+    victims = [r.vec_id for r in emb.select("vec_id").collect()][5:]
+    ivf_delete_lazy(spark, idx, victims)
+
+    compacted = compact_ivf_index(spark, idx, str(tmp_path / "c"))
+    assert compacted.nlist == 5  # clamped to the surviving row count
+    q = _qvec(spark, survivors[0])
+    hits = ivf_search(spark, compacted, q, k=5, nprobe=5)
+    assert sorted(r.vec_id for r in hits.collect()) == sorted(survivors)
+
+
+def test_sq8_declare_empty_and_reject_without_dim(spark, tmp_path):
+    from vector_db_example_spark.index.sq8 import build_ivf_sq8_index, ivf_sq8_search
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        build_ivf_sq8_index(empty, path=str(tmp_path / "no"))
+
+    idx, mins, scales = build_ivf_sq8_index(
+        empty, path=str(tmp_path / "sq8"), dim=64
+    )
+    assert len(mins) == 64 and len(scales) == 64
+    q = _qvec(spark, 3)
+    assert ivf_sq8_search(spark, idx, mins, scales, q, k=5).count() == 0
+
+
+def test_pq_empty_raises_and_explicit_codebook_skips_training(spark, tmp_path):
+    from vector_db_example_spark.index.pq import build_ivf_pq_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="codebook sample incomplete"):
+        build_ivf_pq_index(empty, path=str(tmp_path / "no"))
+
+    # Declare-then-ingest for PQ: a pre-trained codebook (here any
+    # deterministic 32×64 matrix) + dim= builds the empty layout without
+    # touching the (empty) corpus for training.
+    codebook = [[float(k + d) for d in range(64)] for k in range(32)]
+    idx, cb = build_ivf_pq_index(
+        empty, path=str(tmp_path / "pq"), codebook=codebook, dim=64
+    )
+    assert cb is codebook
+    assert idx.nlist == 1

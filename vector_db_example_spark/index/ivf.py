@@ -165,6 +165,8 @@ def build_ivf_index(
     max_iter: int = 20,
     train_sample: int = 25_600,
     trainer: str = "sample",
+    dim: int | None = None,
+    clamp_nlist: bool = False,
 ) -> IVFIndex:
     """Train centroids, assign cells distributed, write the corpus
     partitioned by cell_id.
@@ -176,21 +178,42 @@ def build_ivf_index(
     (BLAS matmul per Arrow batch) nearest-centroid map feeding the
     partitioned write. No per-iteration Spark jobs over 100 TB, no
     shuffle beyond the one layout write. ``trainer="mllib"`` trains
-    distributed instead, for when no driver-sized sample is acceptable."""
+    distributed instead, for when no driver-sized sample is acceptable.
+
+    Declare-then-ingest lifecycle (the reference's create-collection +
+    create-index before any insert, src/app.py): an EMPTY corpus with
+    ``dim=`` given writes an empty layout with a single zero centroid —
+    every later append lands in cell 0, searches are exact over it, and
+    the first ``compact_ivf_index(nlist=...)`` after data arrives
+    retrains real centroids. An empty corpus without ``dim`` raises a
+    ValueError naming that contract instead of crashing in the trainer.
+    ``clamp_nlist=True`` clamps ``nlist`` to the training-sample size (a
+    layout cannot have more cells than training vectors): compaction
+    passes it, because it delegates here with the OLD nlist, which may
+    exceed the surviving row count after deletes — while direct builds
+    keep the loud undersized-training-set error (an explicit nlist
+    bigger than the corpus is a config mistake, pinned in
+    tests/test_ivf.py)."""
     from pyspark.sql.functions import pandas_udf
 
     if trainer == "mllib":
-        centroids = _train_centroids_mllib(
-            df, vector_col, nlist=nlist, seed=seed, max_iter=max_iter
-        )
+        head = df.select(vector_col).head(1)
+        if not head:
+            centroids = _declared_empty_centroids(dim)
+        else:
+            centroids = _train_centroids_mllib(
+                df, vector_col, nlist=nlist, seed=seed, max_iter=max_iter
+            )
     elif trainer == "sample":
-        train = np.vstack(
-            [
-                np.asarray(r[0], dtype=np.float64)
-                for r in df.select(vector_col).limit(train_sample).collect()
-            ]
-        )
-        centroids = _train_centroids(train, nlist=nlist, seed=seed, max_iter=max_iter)
+        rows = df.select(vector_col).limit(train_sample).collect()
+        if not rows:
+            centroids = _declared_empty_centroids(dim)
+        else:
+            train = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+            nlist_eff = min(nlist, len(train)) if clamp_nlist else nlist
+            centroids = _train_centroids(
+                train, nlist=nlist_eff, seed=seed, max_iter=max_iter
+            )
     else:
         raise ValueError(f"unknown trainer {trainer!r}")
 
@@ -205,6 +228,22 @@ def build_ivf_index(
     )
     index.save_meta()
     return index
+
+
+def _declared_empty_centroids(dim: int | None) -> np.ndarray:
+    """Centroids for a declare-empty build: one zero centroid so every
+    future append assigns to cell 0 (searches over the single cell are
+    exact). The trainer cannot learn ``dim`` from zero rows, so it must
+    be declared — exactly like the reference collection schema's
+    FieldSchema(dim=...) that exists before any insert."""
+    if dim is None:
+        raise ValueError(
+            "cannot build an IVF layout over an empty corpus without dim= — "
+            "declare the layout with dim (single zero centroid; first "
+            "compaction after data arrives retrains), or build after the "
+            "first insert"
+        )
+    return np.zeros((1, int(dim)), dtype=np.float64)
 
 
 def _tombstone_path(index: IVFIndex) -> str:
@@ -430,6 +469,10 @@ def compact_ivf_index(
         vector_col=index.vector_col,
         id_col=index.id_col,
         seed=seed,
+        # Delete-down-to-few: the surviving corpus may hold fewer rows
+        # than the old nlist; compaction clamps rather than crashing the
+        # trainer (direct builds stay strict).
+        clamp_nlist=True,
     )
 
 

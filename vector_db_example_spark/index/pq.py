@@ -169,6 +169,7 @@ def build_ivf_pq_index(
     sample_ids: tuple[int, ...] = DEFAULT_SAMPLE_IDS,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    codebook: list[list[float]] | None = None,
     **build_kw,
 ):
     """IVF_PQ proper (Milvus's ``index_type="IVF_PQ"``): train the PQ
@@ -179,7 +180,13 @@ def build_ivf_pq_index(
     the 32× IO cut where IVF_PQ's scale win actually lands."""
     from .ivf import build_ivf_index
 
-    codebook = train_pq_codebook(df, sample_ids, vector_col, id_col)
+    if codebook is None:
+        # Training needs corpus rows; an empty corpus raises the clear
+        # "codebook sample incomplete: 0/N" error here. Declare-then-
+        # ingest instead passes a pre-trained codebook= (+ dim= for the
+        # IVF builder) — a PQ codebook, unlike the zero centroid, has no
+        # meaningful data-free default.
+        codebook = train_pq_codebook(df, sample_ids, vector_col, id_col)
     coded = df.withColumn("pq_codes", pq_codes(F.col(vector_col), codebook, m))
     index = build_ivf_index(
         coded, path, nlist=nlist, vector_col=vector_col, id_col=id_col, **build_kw

@@ -124,10 +124,23 @@ def build_ivf_sq8_index(
     (IVFIndex, mins, scales). The approximate search stage then scans
     ONLY (cell_id, id, codes) — partition pruning cuts rows, column
     pruning cuts the float vectors, which is where the 4x IO saving
-    actually lands at scale."""
+    actually lands at scale.
+
+    Declare-then-ingest: an empty corpus with ``dim=`` (forwarded to the
+    IVF builder) writes the empty layout with trivial per-dimension
+    params (mins 0, scales 1 — any real corpus retrains them at the
+    first compaction/rebuild, same contract as the zero centroid)."""
     from .ivf import build_ivf_index
 
     mins, scales = train_sq8_params(df, vector_col)
+    if not mins:  # zero-dimension stats ⇒ empty corpus
+        d = build_kw.get("dim")
+        if d is None:
+            raise ValueError(
+                "cannot train SQ8 params over an empty corpus without dim= — "
+                "declare the layout with dim, or build after the first insert"
+            )
+        mins, scales = [0.0] * int(d), [1.0] * int(d)
     coded = df.withColumn("sq8_codes", sq8_codes(F.col(vector_col), mins, scales))
     index = build_ivf_index(
         coded, path, nlist=nlist, vector_col=vector_col, id_col=id_col, **build_kw

@@ -262,6 +262,14 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                      # tombstone probe silently failed
                                      # on scheme-addressed layouts and
                                      # deleted rows resurfaced)
+        "vector_ivf_declared_empty_ingest_parity",  # declare-then-ingest:
+                                     # the reference creates collection +
+                                     # index BEFORE any insert; the layout
+                                     # declared over an empty corpus
+                                     # (dim=, zero-centroid stub) must
+                                     # stream-ingest, search brute-force-
+                                     # exact, and retrain at first compact
+                                     # (both stages in one hash verdict)
         # --- rotated OUT in round 7: per the round-7 rotation note
         # above. Each remains registered and oracle-checked locally by
         # tests/test_oracle_parity.py. ---

@@ -445,3 +445,80 @@ def stream_ivf_ingest_search_parity(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "vector_ivf_declared_empty_ingest_parity",
+    # both lifecycle stages must answer EXACTLY like brute force over
+    # everything ever ingested: 'streamed' hash-pins the declared-empty
+    # layout (zero-centroid cell 0) after the full corpus arrived
+    # through the at-least-once sink, 'compacted' hash-pins the first
+    # retrain (stub centroid -> real nlist=8 cells, distinct() healing)
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 47),
+d AS (
+  SELECT e.vec_id, e.label, {_l2('e.embedding', 'q.qv')} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+topk AS (
+  SELECT vec_id, label, round(dist, 6) AS distance
+  FROM d ORDER BY dist, vec_id LIMIT 10
+)
+SELECT s.stage, t.vec_id, t.label, t.distance
+FROM topk t CROSS JOIN (VALUES ('streamed'), ('compacted')) AS s(stage)
+""",
+    tags=("streaming", "vector", "ivf", "ingest", "lifecycle"),
+)
+def vector_ivf_declared_empty_ingest_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's full collection lifecycle — declare the schema
+    (dim) and index BEFORE any insert (create_collection +
+    create_index precede the first insert in src/app.py), then ingest,
+    search, and compact:
+
+    1. ``build_ivf_index(dim=64)`` over an EMPTY frame declares the
+       layout (single zero centroid — the data-free stub).
+    2. The whole embeddings table replays through the Structured
+       Streaming ingest sink; every batch assigns to cell 0.
+    3. A k=10 search over the streamed layout must equal brute-force L2
+       over the full corpus (one cell ⇒ the pruned scan IS exact).
+    4. ``compact_ivf_index(nlist=8)`` retrains real centroids from the
+       ingested corpus; the exhaustive-probe search must STILL equal
+       brute force.
+
+    Both stages' top-10 are returned under a ``stage`` column, so one
+    hash verdict covers the declared-empty read path, the streamed
+    appends' integrity, and the stub→real-centroid retrain."""
+    from ..index.ivf import build_ivf_index, compact_ivf_index, ivf_search
+    from ..streaming.ingest import stream_ingest_embeddings_into_ivf
+    from .vector_q import _query_vec
+
+    qv = _query_vec(spark, sf_dir, 47)
+    work = tempfile.mkdtemp(prefix="stream_ivf_declared_")
+    try:
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+        index = build_ivf_index(empty, f"{work}/idx", dim=64)
+        stream_ingest_embeddings_into_ivf(
+            spark, sf_dir, index, checkpoint_path=f"{work}/ckpt"
+        )
+        streamed = ivf_search(spark, index, qv, k=10, nprobe=1).select(
+            F.lit("streamed").alias("stage"),
+            "vec_id",
+            "label",
+            F.round("distance", 6).alias("distance"),
+        )
+        compacted_idx = compact_ivf_index(spark, index, f"{work}/idx_c", nlist=8)
+        compacted = ivf_search(spark, compacted_idx, qv, k=10, nprobe=8).select(
+            F.lit("compacted").alias("stage"),
+            "vec_id",
+            "label",
+            F.round("distance", 6).alias("distance"),
+        )
+        out = streamed.unionByName(compacted)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

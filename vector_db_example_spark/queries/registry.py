@@ -80,6 +80,23 @@ QUERIES: dict[str, Query] = {}
 #: 3. Kept: the eleven r6-front entries (one green — two-green rule),
 #:    the remaining eight r5-first-green entries (r5+r6 greens; slots
 #:    allow a third), and every anchor block unchanged.
+#:
+#: ROUND-8 ROTATION PLAN (execute once CORRECTNESS_r07 lands):
+#: 1. Rotate IN, at the front: the two entries registered mid-round-7
+#:    after the r7 surface froze (vector_ivf_uri_layout_parity — the
+#:    fsio storage-portability anchor; and
+#:    vector_ivf_declared_empty_ingest_parity — the declare-then-ingest
+#:    lifecycle anchor), both sf0.01 + sf1.0 hash-verified on arrival
+#:    (SCALING.md round 7).
+#: 2. Rotate OUT two entries to hold the surface at 50: pick from the
+#:    r5-first-green block (three greens each after r7 — e.g.
+#:    events_exact_quantiles, anchored by events_retention_cohorts +
+#:    events_sliding_window + the range join; or
+#:    multimodal_image_feature_knn, anchored by
+#:    multimodal_audio_waveform_stats), documenting each exclusion's
+#:    family anchor per entry as always.
+#: 3. Keep: the three r7-rotated-in entries (one green — two-green
+#:    rule) and every anchor block unchanged.
 DRIVER_CRITICAL: tuple[str, ...] = (
     # --- round-7 rotation: zero driver rows until now (registered
     # mid-round-6 after the r6 surface froze) ---

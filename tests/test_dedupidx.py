@@ -1,0 +1,172 @@
+"""Persisted incremental-dedup layout (index/dedupidx.py): the
+build → filter → append → re-filter lifecycle must match a pure-Python
+model of the documented semantics for ANY corpus/batch, and the filter's
+layout-side scan must never re-read corpus text."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_db_example_spark.index.dedupidx import (
+    DedupIndex,
+    build_dedup_index,
+    dedup_index_append,
+    dedup_index_filter,
+)
+
+PROP = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+texts = st.lists(words, min_size=0, max_size=10).map(" ".join)
+
+
+# --- pure-Python model of the layout's documented semantics -------------
+
+
+def model_bands(text: str, k: int = 3, n_hashes: int = 16, bands: int = 8):
+    toks = text.strip().split(" ") if text.strip() else [""]
+    if len(toks) - (k - 1) >= 1:
+        sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    else:
+        sh = {" ".join(toks)}
+    sig = [
+        min(hashlib.md5(f"{s}|{x}".encode()).hexdigest() for x in sh)
+        for s in range(1, n_hashes + 1)
+    ]
+    rpb = n_hashes // bands
+    return {
+        (b, hashlib.md5("".join(sig[b * rpb : (b + 1) * rpb]).encode()).hexdigest())
+        for b in range(bands)
+    }
+
+
+def model_filter(corpus_keys: set, batch: list[tuple[int, str]]):
+    """The module-docstring semantics: corpus_dup = any band hit on the
+    layout; within_dup = shares a band with a lower-id non-corpus-dup
+    batch doc (pessimistic one-pass — the suppressor need not itself
+    survive)."""
+    bands = {i: model_bands(t) for i, t in batch}
+    corpus_dup = {i for i in bands if bands[i] & corpus_keys}
+    new = [i for i, _ in batch if i not in corpus_dup]
+    within = {
+        i
+        for i in new
+        if any(min(j for j in new if bk in bands[j]) < i for bk in bands[i])
+    }
+    return {
+        i: (i in corpus_dup, i in within) for i, _ in batch
+    }
+
+
+def _verdicts(spark, index, batch_df):
+    return {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+        for r in dedup_index_filter(spark, index, batch_df).collect()
+    }
+
+
+@PROP
+@given(
+    corpus=st.lists(texts, min_size=0, max_size=6),
+    batch1=st.lists(texts, min_size=1, max_size=6),
+    batch2=st.lists(texts, min_size=1, max_size=4),
+)
+def test_lifecycle_matches_model(spark, corpus, batch1, batch2, tmp_path_factory):
+    """build → filter → append-survivors → re-filter equals the model at
+    every stage, for any word-soup corpus (duplicate texts across and
+    within frames arise naturally from the 8-word vocabulary)."""
+    d = str(tmp_path_factory.mktemp("dedupidx"))
+    cdocs = [(i, t) for i, t in enumerate(corpus)]
+    b1 = [(100 + i, t) for i, t in enumerate(batch1)]
+    b2 = [(200 + i, t) for i, t in enumerate(batch2)]
+
+    cdf = spark.createDataFrame(cdocs or [], "doc_id long, text string")
+    index = build_dedup_index(cdf, f"{d}/idx")
+
+    keys = set().union(*(model_bands(t) for _, t in cdocs)) if cdocs else set()
+    expect1 = model_filter(keys, b1)
+    b1df = spark.createDataFrame(b1, "doc_id long, text string")
+    assert _verdicts(spark, index, b1df) == expect1
+
+    surv1 = [(i, t) for i, t in b1 if expect1[i] == (False, False)]
+    dedup_index_append(
+        index, spark.createDataFrame(surv1 or [], "doc_id long, text string")
+    )
+    keys2 = keys.union(*(model_bands(t) for _, t in surv1)) if surv1 else keys
+    expect2 = model_filter(keys2, b2)
+    b2df = spark.createDataFrame(b2, "doc_id long, text string")
+    assert _verdicts(spark, DedupIndex.load(f"{d}/idx"), b2df) == expect2
+
+
+def test_exact_copies_always_flagged(spark, tmp_path_factory):
+    """Identical text ⇒ identical signature ⇒ every band collides: an
+    exact copy of an indexed doc is ALWAYS corpus_dup, and an exact
+    within-batch copy is ALWAYS within_dup on the higher id —
+    deterministically, not probabilistically."""
+    d = str(tmp_path_factory.mktemp("dedupidx_exact"))
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "spark writes band partitioned parquet layouts for dedup"),
+            (12, "spark writes band partitioned parquet layouts for dedup"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _verdicts(spark, index, batch)
+    assert got == {10: (True, False), 11: (False, False), 12: (False, True)}
+
+
+def test_declared_empty_bootstrap(spark, tmp_path_factory):
+    """First-crawl bootstrap: a layout built over ZERO documents filters
+    its first batch (nothing is corpus_dup; within-batch still applies),
+    and the reloaded handle behaves identically."""
+    d = str(tmp_path_factory.mktemp("dedupidx_empty"))
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_dedup_index(empty, f"{d}/idx")
+    index = DedupIndex.load(f"{d}/idx")
+    batch = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four"), (3, "five six")],
+        "doc_id long, text string",
+    )
+    assert _verdicts(spark, index, batch) == {
+        1: (False, False),
+        2: (False, True),
+        3: (False, False),
+    }
+
+
+def test_filter_never_rereads_corpus_text(spark, tmp_path_factory):
+    """The whole point of persisting band keys: checking a batch reads
+    ONLY (band, key) from the layout — the accepted corpus's text is
+    never re-shingled. Every parquet scan in the filter plan must be
+    band/key-only."""
+    d = str(tmp_path_factory.mktemp("dedupidx_plan"))
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} alpha beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    batch = spark.createDataFrame(
+        [(100, "document number 3 alpha beta gamma")], "doc_id long, text string"
+    )
+    plan = dedup_index_filter(spark, index, batch)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, "expected a parquet scan of the layout"
+    assert all("text" not in ln for ln in scans), scans

@@ -150,6 +150,34 @@ def test_declared_empty_bootstrap(spark, tmp_path_factory):
     }
 
 
+def test_post_append_filter_sees_appends_in_one_action(spark, tmp_path_factory):
+    """The exchange-reuse hazard from the module docstring: a pre-append
+    filter MATERIALIZED via localCheckpoint, unioned with a post-append
+    filter and collected in ONE action, must still show the post-append
+    side the appended bands (file scans canonicalize by root path, so an
+    unmaterialized pre-append scan can be substituted for the fresh one
+    and silently hide the append)."""
+    d = str(tmp_path_factory.mktemp("dedupidx_reuse"))
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    batch1 = spark.createDataFrame(
+        [(10, "one two three four five six seven")], "doc_id long, text string"
+    )
+    v1 = dedup_index_filter(spark, index, batch1).localCheckpoint(eager=True)
+    dedup_index_append(index, batch1)  # 10 survived; accept it
+    batch2 = spark.createDataFrame(
+        [(20, "one two three four five six seven")], "doc_id long, text string"
+    )
+    v2 = dedup_index_filter(spark, index, batch2)
+    rows = {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+        for r in v1.unionByName(v2).collect()  # ONE action over both stages
+    }
+    assert rows == {10: (False, False), 20: (True, False)}
+
+
 def test_filter_never_rereads_corpus_text(spark, tmp_path_factory):
     """The whole point of persisting band keys: checking a batch reads
     ONLY (band, key) from the layout — the accepted corpus's text is

@@ -50,6 +50,17 @@ Same lifecycle conventions as the IVF/LSH/inverted layouts: meta via
 fsio (any filesystem scheme), persisted layout schema so a declared
 EMPTY index (first-crawl bootstrap: build over zero documents, filter
 the very first batch against nothing) reads well-typed.
+
+Append-visibility hazard (regression-pinned in tests/test_dedupidx.py):
+each ``dedup_index_filter`` call lists the layout's files when the
+DataFrame is CREATED, so a filter built after an append sees it — but
+file scans canonicalize by root path, NOT by file listing, so if a
+pre-append filter and a post-append filter of the same layout execute
+in ONE action (a union collected once), exchange reuse can substitute
+the pre-append scan for the post-append one and the appended bands
+silently vanish. Materialize pre-append verdicts (``localCheckpoint`` /
+collect) before combining them with post-append reads — in a real
+pipeline the stages are separate jobs and the hazard cannot arise.
 """
 
 from __future__ import annotations

@@ -756,3 +756,154 @@ def dedup_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dup_span_stats(docs, n=13)
+
+
+def _bands_sql(rel: str) -> str:
+    """Band keys of a (id, text) relation — the EXACT SQL mirror of
+    index/dedupidx.py::band_rows (same shingle/minhash/band pipeline as
+    the dedup_minhash_lsh oracle above, k=3, 16 hashes, 8 bands x 2)."""
+    return f"""
+SELECT id, b::INTEGER AS band,
+       md5(array_to_string(sg[(b*2+1):(b*2+2)], '')) AS key
+FROM (
+  SELECT id, list_transform(range(1, 17),
+         s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sg
+  FROM (SELECT id, {_SHINGLE_SQL} AS sh
+        FROM (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM {rel}))
+) CROSS JOIN generate_series(0, 7) AS g(b)
+"""
+
+
+@register(
+    "dedup_incremental_index_filter",
+    # Two-stage lifecycle in one hash verdict: stage b1 filters a new
+    # batch against the persisted corpus bands (exact plants of corpus
+    # docs => corpus_dup; exact within-batch plants => within_dup on the
+    # higher id), survivors are APPENDED, and stage b2 re-filters copies
+    # of every b1 doc plus near-dup variants — proving the appended
+    # bands are live without any corpus recompute.
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+),
+b1 AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text
+  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS id, text
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+),
+cb AS ({_bands_sql('corpus')}),
+b1b AS ({_bands_sql('b1')}),
+hit1 AS (SELECT DISTINCT b.id FROM b1b b
+         JOIN cb c ON b.band = c.band AND b.key = c.key),
+new1 AS (SELECT * FROM b1b WHERE id NOT IN (SELECT id FROM hit1)),
+gm1 AS (SELECT band, key, min(id) AS min_id FROM new1 GROUP BY band, key),
+w1 AS (SELECT DISTINCT n.id FROM new1 n
+       JOIN gm1 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id),
+surv1 AS (SELECT id, text FROM b1
+          WHERE id NOT IN (SELECT id FROM hit1)
+            AND id NOT IN (SELECT id FROM w1)),
+b2 AS (
+  SELECT id + 3000000 AS id, text FROM b1
+  UNION ALL
+  SELECT doc_id + 4000000 AS id, text || ' zz' || doc_id AS text
+  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 13 = 0
+),
+sb AS ({_bands_sql('surv1')}),
+idx2 AS (SELECT band, key FROM cb UNION ALL SELECT band, key FROM sb),
+b2b AS ({_bands_sql('b2')}),
+hit2 AS (SELECT DISTINCT b.id FROM b2b b
+         JOIN idx2 c ON b.band = c.band AND b.key = c.key),
+new2 AS (SELECT * FROM b2b WHERE id NOT IN (SELECT id FROM hit2)),
+gm2 AS (SELECT band, key, min(id) AS min_id FROM new2 GROUP BY band, key),
+w2 AS (SELECT DISTINCT n.id FROM new2 n
+       JOIN gm2 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id)
+SELECT 'b1' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit1))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w1))::INTEGER AS within_dup
+FROM b1 b
+UNION ALL
+SELECT 'b2' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit2))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w2))::INTEGER AS within_dup
+FROM b2 b
+""",
+    tags=("dedup", "minhash", "lsh", "index", "lifecycle", "training-data"),
+)
+def dedup_incremental_index_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED band index — the crawl-
+    ingest loop a 100 TB pipeline actually runs (index/dedupidx.py):
+    shingle the accepted corpus once, then each new batch is one narrow
+    (band, key) scan + one shuffle join, and accepting survivors is a
+    blind partitioned append. Two filter stages share one hash verdict:
+    b1 (fresh docs + exact corpus plants + exact within-batch plants)
+    against the built index, then — after appending b1's survivors —
+    b2 (copies of every b1 doc + near-dup variants) must see the
+    appended bands, proving no corpus recompute is ever needed."""
+    import shutil
+    import tempfile
+
+    from ..index.dedupidx import (
+        build_dedup_index,
+        dedup_index_append,
+        dedup_index_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    b1 = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    b2 = b1.select((F.col("doc_id") + 3000000).alias("doc_id"), "text").unionByName(
+        corpus.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.concat("text", F.lit(" zz"), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+
+    def flags(df: DataFrame, stage: str) -> DataFrame:
+        return df.select(
+            F.lit(stage).alias("stage"),
+            "doc_id",
+            F.col("corpus_dup").cast("int").alias("corpus_dup"),
+            F.col("within_dup").cast("int").alias("within_dup"),
+        )
+
+    work = tempfile.mkdtemp(prefix="dedup_incr_")
+    try:
+        index = build_dedup_index(corpus, f"{work}/idx")
+        # Materialize the pre-append verdicts NOW (one evaluation feeding
+        # both the survivor join and the output): combining a pre-append
+        # scan with a post-append scan of the same layout root in ONE
+        # action lets exchange reuse silently substitute the stale file
+        # listing for the fresh one (index/dedupidx.py module docstring;
+        # regression-pinned in tests/test_dedupidx.py).
+        v1 = dedup_index_filter(spark, index, b1).localCheckpoint(eager=True)
+        surv1 = b1.join(
+            v1.filter(~F.col("corpus_dup") & ~F.col("within_dup")).select("doc_id"),
+            "doc_id",
+        )
+        dedup_index_append(index, surv1)
+        v2 = dedup_index_filter(spark, index, b2)
+        out = flags(v1, "b1").unionByName(flags(v2, "b2"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

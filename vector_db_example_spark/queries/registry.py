@@ -82,13 +82,14 @@ QUERIES: dict[str, Query] = {}
 #:    allow a third), and every anchor block unchanged.
 #:
 #: ROUND-8 ROTATION PLAN (execute once CORRECTNESS_r07 lands):
-#: 1. Rotate IN, at the front: the two entries registered mid-round-7
+#: 1. Rotate IN, at the front: the three entries registered mid-round-7
 #:    after the r7 surface froze (vector_ivf_uri_layout_parity — the
-#:    fsio storage-portability anchor; and
+#:    fsio storage-portability anchor;
 #:    vector_ivf_declared_empty_ingest_parity — the declare-then-ingest
-#:    lifecycle anchor), both sf0.01 + sf1.0 hash-verified on arrival
-#:    (SCALING.md round 7).
-#: 2. Rotate OUT two entries to hold the surface at 50: pick from the
+#:    lifecycle anchor; and dedup_incremental_index_filter — the
+#:    persisted incremental-dedup layout's two-stage lifecycle anchor),
+#:    each sf0.01 + sf1.0 hash-verified on arrival (SCALING.md round 7).
+#: 2. Rotate OUT three entries to hold the surface at 50: pick from the
 #:    r5-first-green block (three greens each after r7 — e.g.
 #:    events_exact_quantiles, anchored by events_retention_cohorts +
 #:    events_sliding_window + the range join; or
@@ -287,6 +288,13 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                      # stream-ingest, search brute-force-
                                      # exact, and retrain at first compact
                                      # (both stages in one hash verdict)
+        "dedup_incremental_index_filter",  # persisted incremental-dedup
+                                     # layout (index/dedupidx.py): filter a
+                                     # new batch against the corpus's
+                                     # persisted band keys, append the
+                                     # survivors, re-filter copies — the
+                                     # crawl-ingest loop, two stages in one
+                                     # hash verdict, no corpus recompute
         # --- rotated OUT in round 7: per the round-7 rotation note
         # above. Each remains registered and oracle-checked locally by
         # tests/test_oracle_parity.py. ---

@@ -8,7 +8,8 @@ single run matches the oracle. This sweep catches the class directly:
 same query, same data, N runs, value-hashes must be identical.
 
 Usage:
-    python tools/stability_check.py [--sf-dir DIR] [--runs N]
+    python tools/stability_check.py [--sf-dir DIR] [--runs N] [--all]
+        [--only name ...] [--skip name ...]
 
 Exit code 1 if any query is unstable. Round-6 baseline: 50/50 stable
 at sf0.01 and the full surface hash-exact vs DuckDB at sf1.0.
@@ -31,6 +32,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument(
         "--all",
         action="store_true",
@@ -54,6 +57,9 @@ def main() -> int:
         qs = {name: q.fn for name, q in QUERIES.items()}
     else:
         qs = entry_mod.queries()
+    if args.only:
+        qs = {n: f for n, f in qs.items() if n in set(args.only)}
+    qs = {n: f for n, f in qs.items() if n not in set(args.skip)}
 
     baseline: dict[str, str] = {}
     unstable: set[str] = set()

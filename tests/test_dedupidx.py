@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from vector_db_example_spark.index.dedupidx import (
+    dedup_index_filter_verified,
     DedupIndex,
     build_dedup_index,
     dedup_index_append,
@@ -33,16 +34,20 @@ texts = st.lists(words, min_size=0, max_size=10).map(" ".join)
 # --- pure-Python model of the layout's documented semantics -------------
 
 
-def model_bands(text: str, k: int = 3, n_hashes: int = 16, bands: int = 8):
+def model_sig(text: str, k: int = 3, n_hashes: int = 16):
     toks = text.strip().split(" ") if text.strip() else [""]
     if len(toks) - (k - 1) >= 1:
         sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
     else:
         sh = {" ".join(toks)}
-    sig = [
+    return [
         min(hashlib.md5(f"{s}|{x}".encode()).hexdigest() for x in sh)
         for s in range(1, n_hashes + 1)
     ]
+
+
+def model_bands(text: str, k: int = 3, n_hashes: int = 16, bands: int = 8):
+    sig = model_sig(text, k, n_hashes)
     rpb = n_hashes // bands
     return {
         (b, hashlib.md5("".join(sig[b * rpb : (b + 1) * rpb]).encode()).hexdigest())
@@ -148,6 +153,96 @@ def test_declared_empty_bootstrap(spark, tmp_path_factory):
         2: (False, True),
         3: (False, False),
     }
+
+
+def model_filter_verified(
+    corpus: list[tuple[int, str]],
+    batch: list[tuple[int, str]],
+    threshold: float,
+    cap: int,
+):
+    """dedup_index_filter_verified's documented semantics: band-collision
+    candidates verified by the signature-equality fraction, with
+    count-first mega-key routing (over-cap keys flag unverified)."""
+    from collections import defaultdict
+
+    bb = {i: model_bands(t) for i, t in batch}
+    bsig = {i: model_sig(t) for i, t in batch}
+    csig = {i: model_sig(t) for i, t in corpus}
+    keyowners = defaultdict(set)
+    for i, t in corpus:
+        for bk in model_bands(t):
+            keyowners[bk].add(i)
+    over = {bk for bk, o in keyowners.items() if len(o) > cap}
+
+    def sim(a, b):
+        return sum(x == y for x, y in zip(a, b)) / len(a)
+
+    corpus_dup = set()
+    for i, _ in batch:
+        if bb[i] & over:
+            corpus_dup.add(i)
+        elif any(
+            sim(bsig[i], csig[c]) >= threshold
+            for bk in bb[i]
+            for c in keyowners.get(bk, ())
+        ):
+            corpus_dup.add(i)
+    new = [i for i, _ in batch if i not in corpus_dup]
+    wowners = defaultdict(set)
+    for i in new:
+        for bk in bb[i]:
+            wowners[bk].add(i)
+    within = set()
+    for i in new:
+        for bk in bb[i]:
+            grp = wowners[bk]
+            if len(grp) > cap:
+                if i > min(grp):
+                    within.add(i)
+                    break
+            elif any(j < i and sim(bsig[i], bsig[j]) >= threshold for j in grp):
+                within.add(i)
+                break
+    return {i: (i in corpus_dup, i in within) for i, _ in batch}
+
+
+@PROP
+@given(
+    corpus=st.lists(texts, min_size=0, max_size=6),
+    batch=st.lists(texts, min_size=1, max_size=6),
+    threshold=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+    cap=st.sampled_from([0, 1, 64]),
+)
+def test_verified_filter_matches_model(
+    spark, corpus, batch, threshold, cap, tmp_path_factory
+):
+    """The verified filter equals the model for any corpus/batch,
+    threshold, and candidate cap — including cap=0, where every
+    colliding key routes through the unverified mega-key path and the
+    verdicts must collapse to the band-only filter's."""
+    d = str(tmp_path_factory.mktemp("dedupidx_v"))
+    cdocs = [(i, t) for i, t in enumerate(corpus)]
+    b = [(100 + i, t) for i, t in enumerate(batch)]
+    index = build_dedup_index(
+        spark.createDataFrame(cdocs or [], "doc_id long, text string"), f"{d}/idx"
+    )
+    bdf = spark.createDataFrame(b, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+        for r in dedup_index_filter_verified(
+            spark, index, bdf, threshold=threshold, candidate_cap=cap
+        ).collect()
+    }
+    assert got == model_filter_verified(cdocs, b, threshold, cap)
+    if cap == 0 or threshold == 0.0:
+        # collapses to the band-only semantics: cap=0 flags every
+        # collision unverified; threshold=0 passes every candidate.
+        band_only = {
+            r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+            for r in dedup_index_filter(spark, index, bdf).collect()
+        }
+        assert got == band_only
 
 
 def test_post_append_filter_sees_appends_in_one_action(spark, tmp_path_factory):

@@ -120,17 +120,51 @@ def _band_schema(index: DedupIndex) -> T.StructType:
     )
 
 
-def band_rows(index: DedupIndex, docs: DataFrame) -> DataFrame:
-    """``(id, band, key)`` — one row per (doc, band). One narrow pass:
-    shingle → minhash → band keys are a single JVM expression tree, then
-    an explode; nothing here leaves whole-stage codegen."""
+def signature_rows(index: DedupIndex, docs: DataFrame) -> DataFrame:
+    """``(id, sig)`` — the n_hashes-string MinHash signature per doc.
+    THE one expensive pass (shingle → minhash stays a single JVM
+    expression tree inside whole-stage codegen); everything else in this
+    module derives from signatures."""
     sig = minhash_signature(
         shingles(F.col(index.text_col), k=index.shingle_k), n_hashes=index.n_hashes
     )
     return docs.select(
-        F.col(index.id_col).cast("long").alias(index.id_col),
-        F.explode(lsh_band_keys(sig, index.bands, index.rows_per_band)).alias("bk"),
+        F.col(index.id_col).cast("long").alias(index.id_col), sig.alias("sig")
+    )
+
+
+def _bands_of_sigs(index: DedupIndex, sigs: DataFrame) -> DataFrame:
+    """``(id, band, key)`` from an ``(id, sig)`` frame — md5 of signature
+    slices, an explode away; never re-touches text."""
+    return sigs.select(
+        index.id_col,
+        F.explode(
+            lsh_band_keys(F.col("sig"), index.bands, index.rows_per_band)
+        ).alias("bk"),
     ).select(index.id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def band_rows(index: DedupIndex, docs: DataFrame) -> DataFrame:
+    """``(id, band, key)`` for a document frame (signature pass + slice
+    hashing fused in one plan)."""
+    return _bands_of_sigs(index, signature_rows(index, docs))
+
+
+def _sigs_path(index: DedupIndex) -> str:
+    """Sibling directory, NOT a subdirectory: the layout root holds the
+    ``band=`` partition dirs and Spark's partition discovery would trip
+    over a foreign child (same convention as the IVF tombstone table,
+    index/ivf.py::_tombstone_path)."""
+    return f"{index.path}_sigs"
+
+
+def _sig_schema(index: DedupIndex) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(index.id_col, T.LongType(), True),
+            T.StructField("sig", T.ArrayType(T.StringType()), True),
+        ]
+    )
 
 
 def _read_bands(spark: SparkSession, index: DedupIndex) -> DataFrame:
@@ -140,6 +174,37 @@ def _read_bands(spark: SparkSession, index: DedupIndex) -> DataFrame:
         spark.read.schema(_band_schema(index))
         .option("basePath", index.path)
         .parquet(index.path)
+    )
+
+
+def _read_sigs(spark: SparkSession, index: DedupIndex) -> DataFrame:
+    return spark.read.schema(_sig_schema(index)).parquet(_sigs_path(index))
+
+
+def _persist(index: DedupIndex, docs: DataFrame, mode: str) -> None:
+    """One shingle+minhash pass total; the band table derives from the
+    signatures, never from a second pass over the text (the
+    fingerprint_overlap_stats lesson — the two consumers' subtrees can't
+    ReusedExchange, so an unmaterialized sig frame would run the kernel
+    twice).
+
+    - build (overwrite): write sigs, then derive bands from a READ-BACK
+      of the sig table — streaming 512 B/doc back through the executors
+      scales to a corpus-sized build where no in-memory materialization
+      could.
+    - append: the batch is ingest-sized; localCheckpoint the batch sigs
+      once and feed both writes from the materialized rows (a read-back
+      can't isolate the new batch from the already-appended corpus).
+    """
+    spark = docs.sparkSession
+    if mode == "overwrite":
+        signature_rows(index, docs).write.mode(mode).parquet(_sigs_path(index))
+        sigs = _read_sigs(spark, index)
+    else:
+        sigs = signature_rows(index, docs).localCheckpoint(eager=True)
+        sigs.write.mode(mode).parquet(_sigs_path(index))
+    _bands_of_sigs(index, sigs).write.partitionBy("band").mode(mode).parquet(
+        index.path
     )
 
 
@@ -154,9 +219,10 @@ def build_dedup_index(
     text_col: str = "text",
 ) -> DedupIndex:
     """Shingle+minhash the accepted corpus ONCE and persist its band
-    keys partitioned by ``band``. An empty ``docs`` declares an empty
-    layout (first-crawl bootstrap) — the schema is meta-derived, so
-    reads and the first filter work before any append."""
+    keys partitioned by ``band`` plus the signature side-car table. An
+    empty ``docs`` declares an empty layout (first-crawl bootstrap) —
+    the schema is meta-derived, so reads and the first filter work
+    before any append."""
     if n_hashes % bands:
         raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
     index = DedupIndex(
@@ -167,7 +233,7 @@ def build_dedup_index(
         id_col=id_col,
         text_col=text_col,
     )
-    band_rows(index, docs).write.partitionBy("band").mode("overwrite").parquet(path)
+    _persist(index, docs, "overwrite")
     index.save_meta()
     return index
 
@@ -208,10 +274,121 @@ def dedup_index_filter(
     )
 
 
-def dedup_index_append(index: DedupIndex, docs: DataFrame) -> None:
-    """Persist the band rows of newly accepted documents — a blind
-    partitioned append, O(batch); the existing layout is never read or
-    rewritten."""
-    band_rows(index, docs).write.partitionBy("band").mode("append").parquet(
-        index.path
+def _est_sim(a, b, n_hashes: int):
+    """MinHash similarity estimate: the fraction of equal signature
+    positions — an unbiased Jaccard estimator, pure array expressions."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / float(
+        n_hashes
     )
+
+
+def dedup_index_filter_verified(
+    spark: SparkSession,
+    index: DedupIndex,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    candidate_cap: int = 64,
+) -> DataFrame:
+    """Band-collision candidates VERIFIED by the MinHash similarity
+    estimate (fraction of equal signature positions ≥ ``threshold``) —
+    8×2 banding alone false-positives on a single lucky band; real
+    curation pipelines verify candidates before dropping documents. The
+    verification joins the persisted signature side-car, so the corpus
+    text is STILL never re-touched.
+
+    Same verdict columns and the same pessimistic one-pass within-batch
+    ordering rule as ``dedup_index_filter``, with "shares a band key"
+    replaced by "shares a band key AND estimate ≥ threshold".
+
+    Mega-key routing (the count-first discipline of
+    operators/dedup.py:148): a ``(band, key)`` held by more than
+    ``candidate_cap`` corpus docs — boilerplate — auto-flags its batch
+    colliders as corpus_dup WITHOUT pair enumeration (over-suppression
+    is the safe direction, and a key that common is a duplicate factory
+    by construction); only under-cap keys enumerate (batch × corpus)
+    candidate pairs, so the pair count is bounded by
+    cap · batch_bands. Within-batch keys over the cap likewise flag
+    everything above the group min unverified."""
+    id_col = index.id_col
+    bsigs = signature_rows(index, batch).localCheckpoint(eager=True)
+    bands = _bands_of_sigs(index, bsigs)
+    layout = _read_bands(spark, index)
+    key_counts = layout.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+    over = key_counts.filter(F.col("_n") > candidate_cap).select("band", "key")
+    auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col).distinct()
+    cand = (
+        bands.alias("b")
+        .join(
+            layout.join(over, ["band", "key"], "left_anti").alias("c"),
+            ["band", "key"],
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col), F.col(f"c.{id_col}").alias("_cid"))
+        .distinct()
+    )
+    csigs = _read_sigs(spark, index)
+    verified_hits = (
+        cand.join(bsigs.withColumnRenamed("sig", "_bs"), id_col)
+        .join(
+            csigs.select(F.col(id_col).alias("_cid"), F.col("sig").alias("_cs")),
+            "_cid",
+        )
+        .filter(_est_sim(F.col("_bs"), F.col("_cs"), index.n_hashes) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    corpus_hits = auto_hits.unionByName(verified_hits).distinct()
+
+    new_bands = bands.join(corpus_hits, id_col, "left_anti")
+    wcounts = new_bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")
+    )
+    wover = wcounts.filter(F.col("_n") > candidate_cap)
+    wauto = (
+        new_bands.join(wover.select("band", "key", "_min_id"), ["band", "key"])
+        .filter(F.col(id_col) > F.col("_min_id"))
+        .select(id_col)
+        .distinct()
+    )
+    wunder = wcounts.filter(F.col("_n") <= candidate_cap).select("band", "key")
+    wpairs = (
+        new_bands.join(wunder, ["band", "key"], "left_semi")
+        .alias("l")
+        .join(
+            new_bands.join(wunder, ["band", "key"], "left_semi").alias("r"),
+            ["band", "key"],
+        )
+        .filter(F.col(f"l.{id_col}") > F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias(id_col), F.col(f"r.{id_col}").alias("_rid")
+        )
+        .distinct()
+    )
+    wverified = (
+        wpairs.join(bsigs.withColumnRenamed("sig", "_ls"), id_col)
+        .join(
+            bsigs.select(F.col(id_col).alias("_rid"), F.col("sig").alias("_rs")),
+            "_rid",
+        )
+        .filter(_est_sim(F.col("_ls"), F.col("_rs"), index.n_hashes) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    within_hits = wauto.unionByName(wverified).distinct()
+    return (
+        batch.select(F.col(id_col).cast("long").alias(id_col))
+        .join(corpus_hits.withColumn("_c", F.lit(True)), id_col, "left")
+        .join(within_hits.withColumn("_w", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_c", F.lit(False)).alias("corpus_dup"),
+            F.coalesce("_w", F.lit(False)).alias("within_dup"),
+        )
+    )
+
+
+def dedup_index_append(index: DedupIndex, docs: DataFrame) -> None:
+    """Persist the band rows AND signatures of newly accepted documents
+    — blind appends, O(batch); the existing layout is never read or
+    rewritten."""
+    _persist(index, docs, "append")

@@ -287,9 +287,15 @@ def test_filter_never_rereads_corpus_text(spark, tmp_path_factory):
     batch = spark.createDataFrame(
         [(100, "document number 3 alpha beta gamma")], "doc_id long, text string"
     )
-    plan = dedup_index_filter(spark, index, batch)._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert scans, "expected a parquet scan of the layout"
-    assert all("text" not in ln for ln in scans), scans
+    for frame in (
+        dedup_index_filter(spark, index, batch),
+        dedup_index_filter_verified(spark, index, batch, threshold=0.5),
+    ):
+        plan = frame._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scans, "expected a parquet scan of the layout"
+        assert all("text" not in ln for ln in scans), scans

@@ -247,9 +247,15 @@ def dedup_index_filter(
 
     Plan shape: the layout side is read as ``(band, key)`` only — the
     corpus text is never re-touched (ReadSchema pinned in
-    tests/test_plans.py). Both joins shuffle on the 16-byte band key."""
+    tests/test_dedupidx.py). Both joins shuffle on the 16-byte band
+    key. The batch's band frame feeds two join subtrees (the corpus
+    semi-join and the within-batch anti-join base) whose exchanges
+    cannot be reused, so it is materialized once — without this the
+    shingle+minhash kernel runs twice per filter (the
+    fingerprint_overlap_stats lesson; measured 1.7× on the sf1.0
+    crawl-batch benchmark in SCALING.md)."""
     id_col = index.id_col
-    bands = band_rows(index, batch)
+    bands = band_rows(index, batch).localCheckpoint(eager=True)
     layout = _read_bands(spark, index).select("band", "key")
     corpus_hits = (
         bands.join(layout, ["band", "key"], "left_semi").select(id_col).distinct()

@@ -907,3 +907,172 @@ def dedup_incremental_index_filter(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _sigs_sql(rel: str) -> str:
+    """MinHash signatures of a (id, text) relation — the shared head of
+    `_bands_sql`, exposed so the verified-filter oracle can join raw
+    signatures for the similarity estimate."""
+    return f"""
+SELECT id, list_transform(range(1, 17),
+       s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sg
+FROM (SELECT id, {_SHINGLE_SQL} AS sh
+      FROM (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM {rel}))
+"""
+
+
+_BANDS_OF_SIGS_SQL = """
+SELECT id, b::INTEGER AS band,
+       md5(array_to_string(sg[(b*2+1):(b*2+2)], '')) AS key
+FROM {sigs} CROSS JOIN generate_series(0, 7) AS g(b)
+"""
+
+_SIM_SQL = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> CASE WHEN bs.sg[i] = cs.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16.0"
+)
+
+
+@register(
+    "dedup_incremental_verified_filter",
+    # One filter stage, BOTH mega-key routes exercised deterministically:
+    # five exact copies of doc 0 planted in the corpus push its band
+    # keys over candidate_cap=2 (auto-flag, no pair enumeration), while
+    # every other collision routes through signature verification at
+    # threshold 0.5. Exact batch plants pin sim=1.0; suffix variants land
+    # wherever the estimator puts them — identically on both engines.
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+  UNION ALL
+  SELECT 500000 + g.i AS id, d.text
+  FROM (SELECT text FROM documents WHERE doc_id = 0) d
+  CROSS JOIN generate_series(1, 5) AS g(i)
+),
+batch AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text
+  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS id, text || ' zzq zzw' AS text
+  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS id, text
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+),
+csig AS ({_sigs_sql('corpus')}),
+bsig AS ({_sigs_sql('batch')}),
+cb AS ({_BANDS_OF_SIGS_SQL.format(sigs='csig')}),
+bb AS ({_BANDS_OF_SIGS_SQL.format(sigs='bsig')}),
+counts AS (SELECT band, key, count(*) AS n FROM cb GROUP BY band, key),
+over_keys AS (SELECT band, key FROM counts WHERE n > 2),
+auto_hits AS (
+  SELECT DISTINCT b.id FROM bb b
+  JOIN over_keys o ON b.band = o.band AND b.key = o.key
+),
+cand AS (
+  SELECT DISTINCT b.id AS bid, c.id AS cid
+  FROM bb b
+  JOIN (SELECT cb.* FROM cb
+        LEFT JOIN over_keys o ON cb.band = o.band AND cb.key = o.key
+        WHERE o.band IS NULL) c
+    ON b.band = c.band AND b.key = c.key
+),
+vhits AS (
+  SELECT DISTINCT cand.bid AS id
+  FROM cand
+  JOIN bsig bs ON bs.id = cand.bid
+  JOIN csig cs ON cs.id = cand.cid
+  WHERE {_SIM_SQL} >= 0.5
+),
+cdup AS (SELECT id FROM auto_hits UNION SELECT id FROM vhits),
+nb AS (SELECT * FROM bb WHERE id NOT IN (SELECT id FROM cdup)),
+wcounts AS (
+  SELECT band, key, count(*) AS n, min(id) AS min_id
+  FROM nb GROUP BY band, key
+),
+wauto AS (
+  SELECT DISTINCT n.id FROM nb n
+  JOIN wcounts w ON n.band = w.band AND n.key = w.key
+  WHERE w.n > 2 AND n.id > w.min_id
+),
+wpairs AS (
+  SELECT DISTINCT l.id AS lid, r.id AS rid
+  FROM nb l
+  JOIN nb r ON l.band = r.band AND l.key = r.key AND l.id > r.id
+  JOIN wcounts w ON l.band = w.band AND l.key = w.key
+  WHERE w.n <= 2
+),
+wver AS (
+  SELECT DISTINCT wpairs.lid AS id
+  FROM wpairs
+  JOIN bsig bs ON bs.id = wpairs.lid
+  JOIN bsig cs ON cs.id = wpairs.rid
+  WHERE {_SIM_SQL} >= 0.5
+),
+wdup AS (SELECT id FROM wauto UNION SELECT id FROM wver)
+SELECT b.id AS doc_id,
+       (b.id IN (SELECT id FROM cdup))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM wdup))::INTEGER AS within_dup
+FROM batch b
+""",
+    tags=("dedup", "minhash", "lsh", "index", "verified", "training-data"),
+)
+def dedup_incremental_verified_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified incremental-dedup filter
+    (index/dedupidx.py::dedup_index_filter_verified): band-collision
+    candidates must clear the MinHash similarity estimate (signature-
+    equality fraction ≥ 0.5) before a document is dropped, with
+    count-first mega-key routing — five exact copies of document 0
+    planted in the corpus push its band keys over candidate_cap=2, so
+    batch colliders on those keys flag WITHOUT pair enumeration while
+    everything else routes through signature verification. One hash
+    verdict covers the estimator, both routing paths, and the
+    pessimistic within-batch rule."""
+    import shutil
+    import tempfile
+
+    from ..index.dedupidx import build_dedup_index, dedup_index_filter_verified
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 < 2)
+    boiler = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(1, 6).select((F.col("id") + 500000).alias("new_id")))
+        .select(F.col("new_id").alias("doc_id"), "text")
+    )
+    corpus = base.unionByName(boiler)
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 < 2) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 < 2) & (F.col("doc_id") % 11 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" zzq zzw")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 == 0)).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    work = tempfile.mkdtemp(prefix="dedup_incr_v_")
+    try:
+        index = build_dedup_index(corpus, f"{work}/idx")
+        out = dedup_index_filter_verified(
+            spark, index, batch, threshold=0.5, candidate_cap=2
+        ).select(
+            "doc_id",
+            F.col("corpus_dup").cast("int").alias("corpus_dup"),
+            F.col("within_dup").cast("int").alias("within_dup"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -82,14 +82,16 @@ QUERIES: dict[str, Query] = {}
 #:    allow a third), and every anchor block unchanged.
 #:
 #: ROUND-8 ROTATION PLAN (execute once CORRECTNESS_r07 lands):
-#: 1. Rotate IN, at the front: the three entries registered mid-round-7
+#: 1. Rotate IN, at the front: the four entries registered mid-round-7
 #:    after the r7 surface froze (vector_ivf_uri_layout_parity — the
 #:    fsio storage-portability anchor;
 #:    vector_ivf_declared_empty_ingest_parity — the declare-then-ingest
-#:    lifecycle anchor; and dedup_incremental_index_filter — the
-#:    persisted incremental-dedup layout's two-stage lifecycle anchor),
+#:    lifecycle anchor; dedup_incremental_index_filter — the persisted
+#:    incremental-dedup layout's two-stage lifecycle anchor (also
+#:    sf5-verified on arrival); and dedup_incremental_verified_filter —
+#:    the verified-mode estimator + mega-key-routing anchor),
 #:    each sf0.01 + sf1.0 hash-verified on arrival (SCALING.md round 7).
-#: 2. Rotate OUT three entries to hold the surface at 50: pick from the
+#: 2. Rotate OUT four entries to hold the surface at 50: pick from the
 #:    r5-first-green block (three greens each after r7 — e.g.
 #:    events_exact_quantiles, anchored by events_retention_cohorts +
 #:    events_sliding_window + the range join; or
@@ -295,6 +297,12 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                      # survivors, re-filter copies — the
                                      # crawl-ingest loop, two stages in one
                                      # hash verdict, no corpus recompute
+        "dedup_incremental_verified_filter",  # the verified mode: band
+                                     # candidates must clear the MinHash
+                                     # similarity estimate (signature
+                                     # side-car join), count-first mega-key
+                                     # routing exercised both ways via
+                                     # planted corpus boilerplate
         # --- rotated OUT in round 7: per the round-7 rotation note
         # above. Each remains registered and oracle-checked locally by
         # tests/test_oracle_parity.py. ---

@@ -7,8 +7,9 @@ after the first global pass, every subsequent crawl batch needs "which of
 these NEW documents duplicate anything we already kept?", and
 re-shingling petabytes of accepted corpus per batch is exactly the
 recompute this layout exists to avoid (the reference's collection is the
-same shape: an accumulating store that every new insert batch is checked
-against, src/app.py insert-then-search flow).
+same shape: an accumulating store that new inserts extend and later
+queries are checked against — create_collection src/app.py:81, batched
+insert src/app.py:230, single insert src/app.py:409).
 
 The layout persists ONLY the corpus's LSH band keys — ``(id, band,
 key)``, 16 md5 strings per document via the same

@@ -160,3 +160,104 @@ def test_csv_fallback_probe_on_uri_path(spark, uri_root):
 
     out = load_knowledge_csv(spark, f"{uri_root}/missing.csv", preprocess=False)
     assert out.count() == len(EXAMPLE_ROWS)
+
+
+def test_fsio_does_not_mutate_cached_filesystem(spark, tmp_path):
+    """Advisor r7 (medium): _fs() used to call setWriteChecksum(False)/
+    setVerifyChecksum(False) on the JVM-wide CACHED FileSystem instance
+    Path.getFileSystem returns — silently disabling corruption detection
+    process-wide for every other user of that scheme, including Spark's
+    own driver-side IO. Pin the fix two ways: the source never touches
+    the toggles, and a write through fsio on the (checksummed) local FS
+    still produces its .crc sidecar — while list_names keeps filtering
+    it (the ChecksumFileSystem.listStatus contract callers rely on)."""
+    import inspect
+
+    src = inspect.getsource(fsio)
+    assert "fs.setWriteChecksum" not in src and "fs.setVerifyChecksum" not in src
+    root = tmp_path / "crc_probe"
+    fsio.write_text(str(root / "meta.json"), "{}")
+    raw = {p.name for p in root.iterdir()}
+    assert ".meta.json.crc" in raw, f"write checksums got disabled: {raw}"
+    assert set(fsio.list_names(str(root))) == {"meta.json"}
+
+
+def test_fsio_atomic_overwrite_leaves_no_aside_files(spark, tmp_path):
+    """Advisor r7 (low): the old overwrite fallback deleted the
+    destination before retrying the rename, and a second failure then
+    deleted the temp too — losing BOTH versions. The fix renames the old
+    file aside and restores it on failure; a SUCCESSFUL overwrite must
+    clean up the aside file and never leave a window where neither
+    version exists."""
+    p = f"file://{tmp_path}/m.json"
+    fsio.atomic_write_text(p, "v1")
+    for i in range(3):
+        fsio.atomic_write_text(p, f"v{i + 2}")
+    assert fsio.read_text(p) == "v4"
+    leftovers = [
+        n
+        for n in fsio.list_names(f"file://{tmp_path}")
+        if ".tmp-" in n or ".old-" in n
+    ]
+    assert leftovers == [], leftovers
+
+
+def test_drop_chunks_forwards_spark_handle(spark, uri_root, monkeypatch):
+    """Advisor r7 (low): drop_chunks received a SparkSession but called
+    fsio.list_names/delete without forwarding it, relying on
+    getActiveSession (RuntimeError when no session is active on the
+    calling thread). Pin: every fsio call inside drop_chunks carries the
+    in-scope handle."""
+    from vector_db_example_spark.index.hypertable import (
+        build_hypertable,
+        drop_chunks,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    days = sorted(
+        r[0].isoformat()
+        for r in ev.selectExpr("to_date(ts) d").distinct().collect()
+    )
+    table = build_hypertable(ev, f"{uri_root}/ht_fwd")
+
+    handles: list[object] = []
+    orig_list, orig_delete = fsio.list_names, fsio.delete
+
+    def spy_list(path, spark_arg=None):
+        handles.append(spark_arg)
+        return orig_list(path, spark_arg)
+
+    def spy_delete(path, recursive=True, spark=None):
+        handles.append(spark)
+        return orig_delete(path, recursive, spark)
+
+    monkeypatch.setattr(fsio, "list_names", spy_list)
+    monkeypatch.setattr(fsio, "delete", spy_delete)
+    assert drop_chunks(spark, table, older_than=days[1]) == 2
+    assert handles and all(h is spark for h in handles), handles
+
+
+def test_canonical_token_shared_and_stable(tmp_path, monkeypatch):
+    """Advisor r7 (low): the checkpoint→marker-namespace token was
+    derived by three separately-maintained sniffs (both ingest sinks and
+    rollup); a drift between them would orphan _committed_batches
+    namespaces and re-append re-delivered batches. Pin: one shared
+    helper, with the documented URI/local behavior, and no local sha256
+    re-derivations left in the sinks."""
+    import hashlib
+    import inspect
+
+    monkeypatch.chdir(tmp_path)
+    assert fsio.canonical_token("ckpt") == fsio.canonical_token(
+        str(tmp_path / "ckpt")
+    )
+    uri = "file:///anywhere/ckpt"
+    assert (
+        fsio.canonical_token(uri)
+        == hashlib.sha256(uri.encode()).hexdigest()[:16]
+    )
+    from vector_db_example_spark.streaming import ingest, rollup
+
+    for mod in (ingest, rollup):
+        src = inspect.getsource(mod)
+        assert "canonical_token" in src and "sha256" not in src, mod.__name__

@@ -22,11 +22,13 @@ path.
 Atomicity note (same contract as index/manifest.py): `atomic_write_text`
 is write-temp-then-rename. POSIX and HDFS renames are atomic; Hadoop's
 local/HDFS `rename` refuses to clobber an existing destination, so the
-overwrite case deletes the old file first — a crash between the delete
-and the rename leaves the temp file recoverable but the destination
-momentarily absent. Object stores want the conditional-PUT variant
-instead; single-writer-per-name callers (the package-wide convention)
-never observe a half-written file either way.
+overwrite case moves the current file aside first and restores it if the
+publish rename fails — no failure path loses both the old and the new
+content (the temp file always survives a failed publish). A crash
+between the aside-move and the rename leaves the destination momentarily
+absent but both versions on disk. Object stores want the
+conditional-PUT variant instead; single-writer-per-name callers (the
+package-wide convention) never observe a half-written file either way.
 """
 
 from __future__ import annotations
@@ -43,17 +45,14 @@ def _fs(path: str, spark: SparkSession | None = None):
         )
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
+    # Path.getFileSystem returns the JVM-wide CACHED instance for the
+    # scheme — the same object Spark's own driver-side IO uses. Never
+    # mutate it (setWriteChecksum/setVerifyChecksum here would disable
+    # corruption detection process-wide, not just for these small meta
+    # files). The .crc sidecars Hadoop's checksummed LocalFileSystem
+    # writes next to meta files are harmless: listStatus filters them,
+    # rename/delete move them with their file.
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    try:
-        # Match the plain-`open()` behavior this layer replaced: Hadoop's
-        # LocalFileSystem is checksum-wrapped by default, which would (a)
-        # drop .crc sidecars next to every meta/marker file and (b) fail
-        # reads of files an external tool edited in place. Remote stores
-        # checksum server-side; nothing is lost there.
-        fs.setWriteChecksum(False)
-        fs.setVerifyChecksum(False)
-    except Exception:
-        pass  # not every FileSystem implements the toggles
     return fs, jpath, jvm
 
 
@@ -107,15 +106,29 @@ def atomic_write_text(
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    try:
-        if not fs.rename(tmp, jpath):
-            # Hadoop rename refuses to clobber: delete-then-rename.
-            fs.delete(jpath, False)
-            if not fs.rename(tmp, jpath):
-                raise IOError(f"rename {tmp} -> {jpath} failed")
-    finally:
-        if fs.exists(tmp):
-            fs.delete(tmp, False)
+    if fs.rename(tmp, jpath):
+        return
+    # Hadoop rename refuses to clobber (local/HDFS). Move the current
+    # file ASIDE rather than deleting it, publish, then drop the old
+    # version — so no failure path ever loses BOTH versions: if the
+    # publish rename fails the old file is restored and the temp file
+    # (the new content) is left in place for recovery.
+    aside = jvm.org.apache.hadoop.fs.Path(
+        parent, f".{name}.old-{uuid.uuid4().hex[:12]}"
+    )
+    if not fs.rename(jpath, aside):
+        raise IOError(
+            f"rename {tmp} -> {jpath} failed and the destination could "
+            f"not be moved aside; new content preserved at {tmp}"
+        )
+    if fs.rename(tmp, jpath):
+        fs.delete(aside, False)
+        return
+    fs.rename(aside, jpath)  # restore the previous version
+    raise IOError(
+        f"rename {tmp} -> {jpath} failed; previous version restored, "
+        f"new content preserved at {tmp}"
+    )
 
 
 def touch(path: str, spark: SparkSession | None = None) -> None:
@@ -136,6 +149,21 @@ def delete(
     if not fs.exists(jpath):
         return False
     return bool(fs.delete(jpath, recursive))
+
+
+def canonical_token(path: str) -> str:
+    """Stable 16-hex token for a checkpoint/layout path, shared by every
+    marker-namespace derivation (streaming ingest sinks, rollup) so the
+    convention can't drift between sinks: a drift would orphan
+    pre-existing `_committed_batches` namespaces and re-append
+    re-delivered batches. URI paths (`scheme://...`) are already
+    canonical; schemeless local paths get `os.path.abspath` so relative
+    and absolute spellings of the same checkpoint share one namespace."""
+    import hashlib
+    import os
+
+    p = path if "://" in path else os.path.abspath(path)
+    return hashlib.sha256(p.encode()).hexdigest()[:16]
 
 
 def list_names(path: str, spark: SparkSession | None = None) -> list[str]:

@@ -198,11 +198,11 @@ def drop_chunks(spark: SparkSession, table: Hypertable, older_than: str) -> int:
     for root in (table.raw_path, table.rollup_path):
         # One driver-side LIST per chunk root (O(days), not O(table)) —
         # through the Hadoop FS so retention works on any scheme.
-        for name in fsio.list_names(root):
+        for name in fsio.list_names(root, spark):
             if not name.startswith("event_date="):
                 continue
             day = datetime.date.fromisoformat(name.split("=", 1)[1])
             if day < cutoff:
-                fsio.delete(f"{root}/{name}")
+                fsio.delete(f"{root}/{name}", spark=spark)
                 dropped += 1
     return dropped

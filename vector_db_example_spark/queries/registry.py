@@ -295,6 +295,14 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                      # compact must fold tombstones in
                                      # with identical verdicts — three
                                      # stages in one hash verdict
+        "dedup_incremental_batch_filter",  # bench=True twin of stage b1
+                                     # of the surfaced index_filter
+                                     # oracle: ONE batch filtered against
+                                     # the PREBUILT cached corpus index,
+                                     # so bench.py tracks the recurring
+                                     # per-batch crawl-ingest cost round
+                                     # over round (min-of-2 drops the
+                                     # one-time build)
         # --- rotated OUT in round 8: r5-first-green entries with three
         # greens each (r5+r6+r7), yielding their slots to the four
         # mid-round-7 zero-row registrations per the zero-row-first

@@ -153,13 +153,18 @@ def test_layout_kind_persisted_not_probed(spark, tmp_path):
     assert InvertedIndex.load(pos.path).positional
     assert not InvertedIndex.load(bm25.path).positional
 
+    # Simulate the legacy meta through fsio (the layer any writer of
+    # this file uses) — a plain open() rewrite would strand the Hadoop
+    # .crc sidecar and fail the next read with a ChecksumException,
+    # which is checksum verification working, not the scenario under
+    # test (real pre-flag metas carry no stale sidecar).
+    from vector_db_example_spark import fsio
+
     for idx, want in ((pos, True), (bm25, False)):
         meta_path = os.path.join(idx.path, "_inverted_meta.json")
-        with open(meta_path) as f:
-            meta = json.load(f)
+        meta = json.loads(fsio.read_text(meta_path))
         del meta["positional"]  # legacy meta written before the flag
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+        fsio.write_text(meta_path, json.dumps(meta))
         assert InvertedIndex.load(idx.path).positional is want
 
 

@@ -261,3 +261,48 @@ def test_canonical_token_shared_and_stable(tmp_path, monkeypatch):
     for mod in (ingest, rollup):
         src = inspect.getsource(mod)
         assert "canonical_token" in src and "sha256" not in src, mod.__name__
+
+
+def test_dedup_index_lifecycle_on_uri_path(spark, uri_root):
+    """The newest layout honors the same portability contract as
+    IVF/LSH/inverted: build → filter → append → DELETE (tombstone
+    probe through fsio!) → re-filter → compact, all on a file:// URI.
+    The delete probe is the high-stakes step — a local-FS probe on a
+    scheme-addressed layout would skip the tombstone anti-join and keep
+    suppressing batches that near-duplicate a deleted doc."""
+    from vector_db_example_spark.index.dedupidx import (
+        DedupIndex,
+        build_dedup_index,
+        dedup_index_append,
+        dedup_index_compact,
+        dedup_index_delete,
+        dedup_index_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{uri_root}/dedupidx")
+    reloaded = DedupIndex.load(index.path)
+
+    def verdict(idx, doc_id, text):
+        batch = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+        [r] = dedup_index_filter(spark, idx, batch).collect()
+        return (r["corpus_dup"], r["within_dup"])
+
+    copy = "the quick brown fox jumps over the lazy dog"
+    assert verdict(reloaded, 10, copy) == (True, False)
+    dedup_index_append(
+        index,
+        spark.createDataFrame(
+            [(2, "band partitioned parquet layouts on uri schemes")],
+            "doc_id long, text string",
+        ),
+    )
+    assert verdict(reloaded, 11, "band partitioned parquet layouts on uri schemes") == (True, False)
+    assert dedup_index_delete(spark, reloaded, [1]) == 1
+    assert verdict(reloaded, 12, copy) == (False, False)  # takedown honored
+    compacted = dedup_index_compact(spark, reloaded, f"{uri_root}/dedupidx_v2")
+    assert verdict(compacted, 13, copy) == (False, False)
+    assert verdict(compacted, 14, "band partitioned parquet layouts on uri schemes") == (True, False)

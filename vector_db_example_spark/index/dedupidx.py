@@ -434,7 +434,13 @@ def dedup_index_filter_verified(
 def dedup_index_append(index: DedupIndex, docs: DataFrame) -> None:
     """Persist the band rows AND signatures of newly accepted documents
     — blind appends, O(batch); the existing layout is never read or
-    rewritten."""
+    rewritten.
+
+    Doc ids are assumed unique for the layout's lifetime (the
+    package-wide contract, same as IVF/LSH/inverted): appending a NEW
+    document under a previously-DELETED id would be suppressed by that
+    id's tombstone until the next compaction — standard deletion-vector
+    semantics, so don't recycle ids."""
     _persist(index, docs, "append")
 
 

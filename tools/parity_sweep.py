@@ -73,6 +73,16 @@ def main() -> int:
         qs, oracles = e.queries(), e.oracle_sql()
     names = list(qs)
     if args.only:
+        missing = sorted(set(args.only) - set(names))
+        if missing:
+            # Without --all the selection is the 50-entry driver surface;
+            # an excluded/mid-round query silently matching nothing cost
+            # a round-8 session a confusing empty sweep.
+            print(
+                f"WARNING: --only name(s) not in the selected set "
+                f"(did you mean --all --only?): {', '.join(missing)}",
+                file=sys.stderr,
+            )
         names = [n for n in names if n in set(args.only)]
     names = sorted(n for n in names if n not in set(args.skip))
 

@@ -58,6 +58,13 @@ def main() -> int:
     else:
         qs = entry_mod.queries()
     if args.only:
+        missing = sorted(set(args.only) - set(qs))
+        if missing:
+            print(
+                f"WARNING: --only name(s) not in the selected set "
+                f"(did you mean --all --only?): {', '.join(missing)}",
+                file=sys.stderr,
+            )
         qs = {n: f for n, f in qs.items() if n in set(args.only)}
     qs = {n: f for n, f in qs.items() if n not in set(args.skip)}
 

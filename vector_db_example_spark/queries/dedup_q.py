@@ -1234,25 +1234,26 @@ def get_dedup_index(spark: SparkSession, sf_dir: str):
 
 @register(
     "dedup_incremental_batch_filter",
-    # The single-stage crawl-ingest step, bench-tracked: one new batch
-    # (fresh docs + exact corpus plants + exact within-batch plants)
-    # filtered against the PREBUILT persisted corpus index — one narrow
-    # (band, key) layout scan + one shuffle join, never a corpus
-    # re-shingle. Same batch construction as stage b1 of
-    # dedup_incremental_index_filter, whose oracle this is the first
-    # stage of.
+    # The single-stage crawl-ingest step, bench-tracked: one FIXED-SIZE
+    # batch (doc_id < 5000 — replica 0 of the tiled scale corpora, so
+    # byte-identical at every SF ≥ 0.1 — plus exact within-batch
+    # plants) filtered against the PREBUILT persisted corpus index.
+    # A fixed batch is the point: the bench line isolates the
+    # corpus-side cost (one narrow (band, key) scan + one shuffle
+    # join), which the layout's design says stays FLAT as the corpus
+    # grows — an SF-proportional batch would just re-measure kernel
+    # throughput. Batch docs whose id is also in the corpus (% 3 < 2)
+    # are exact corpus plants; % 3 = 2 docs are fresh; the +2000000
+    # copies pin within_dup (or corpus_dup when their base is planted).
     oracle=f"""
 WITH corpus AS (
   SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
 ),
 b1 AS (
-  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 2
-  UNION ALL
-  SELECT doc_id + 1000000 AS id, text
-  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 7 = 0
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 5000
   UNION ALL
   SELECT doc_id + 2000000 AS id, text
-  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+  FROM documents WHERE doc_id < 5000 AND doc_id % 5 = 0
 ),
 cb AS ({_bands_sql('corpus')}),
 b1b AS ({_bands_sql('b1')}),
@@ -1273,27 +1274,22 @@ FROM b1 b
 )
 def dedup_incremental_batch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star crawl-ingest operator on the bench headline set:
-    filter ONE new batch against the persisted corpus band index
+    filter one FIXED-SIZE batch against the persisted corpus band index
     (index/dedupidx.py::dedup_index_filter). The index is an ingest-time
-    artifact (built once per corpus, cached like the bench IVF layout),
-    so this line tracks the recurring per-batch cost round over round —
-    the cost a 100 TB pipeline pays thousands of times, unlike the
-    one-shot dedup_minhash_lsh batch job it complements."""
+    artifact (built once per corpus, cached like the bench IVF layout)
+    and the batch is pinned to replica 0 (identical bytes at every
+    tiled SF), so this line tracks the per-batch cost as the CORPUS
+    grows — the layout's design claim is that the line stays flat,
+    because the corpus side is a pruned two-column columnar scan, never
+    a re-shingle. Measured flat at 3.5 s from a 45k to a 245k corpus
+    and 7.3 s at 1.245M while the batch re-dedup baseline went
+    26 s → 83 s → DNF (SCALING.md round 8)."""
     from ..index.dedupidx import dedup_index_filter
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 3 < 2)
-    b1 = (
-        docs.filter(F.col("doc_id") % 3 == 2)
-        .unionByName(
-            corpus.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-            )
-        )
-        .unionByName(
-            docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 == 0)).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
-            )
+    b1 = docs.filter(F.col("doc_id") < 5000).unionByName(
+        docs.filter((F.col("doc_id") < 5000) & (F.col("doc_id") % 5 == 0)).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
         )
     )
     index = get_dedup_index(spark, sf_dir)

@@ -295,14 +295,15 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                      # compact must fold tombstones in
                                      # with identical verdicts — three
                                      # stages in one hash verdict
-        "dedup_incremental_batch_filter",  # bench=True twin of stage b1
-                                     # of the surfaced index_filter
-                                     # oracle: ONE batch filtered against
+        "dedup_incremental_batch_filter",  # bench=True: one FIXED batch
+                                     # (replica 0, byte-identical at
+                                     # every tiled SF) filtered against
                                      # the PREBUILT cached corpus index,
-                                     # so bench.py tracks the recurring
-                                     # per-batch crawl-ingest cost round
-                                     # over round (min-of-2 drops the
-                                     # one-time build)
+                                     # so bench.py tracks the per-batch
+                                     # crawl-ingest cost as the CORPUS
+                                     # grows (min-of-2 drops the
+                                     # one-time build; measured
+                                     # 3.6/4.4/6.9 s at sf1/5/25)
         # --- rotated OUT in round 8: r5-first-green entries with three
         # greens each (r5+r6+r7), yielding their slots to the four
         # mid-round-7 zero-row registrations per the zero-row-first

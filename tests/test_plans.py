@@ -489,3 +489,51 @@ def test_fingerprint_overlap_kernel_runs_once(spark):
     plan = _plan(fingerprint_overlap_stats(docs, impl="arrow"))
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_dedup_index_tombstone_path_plan_contract(spark, tmp_path):
+    """The dedup layout's deletion vectors honor the IVF plan contract:
+    BEFORE any delete the filter plan is identity — no scan of the
+    tombstone sibling at all — and AFTER a delete the corpus side
+    anti-joins the tombstones as a BROADCAST join (takedown lists are
+    tiny; a shuffle there would tax every future batch)."""
+    from vector_db_example_spark.index.dedupidx import (
+        build_dedup_index,
+        dedup_index_delete,
+        dedup_index_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, str(tmp_path / "idx"))
+    batch = spark.createDataFrame(
+        [(100, "corpus document number 3 alpha beta")], "doc_id long, text string"
+    )
+    # The tombstone scan is the only parquet read of a lone doc_id
+    # column (the layout scan reads (band, key); plan paths truncate, so
+    # match by ReadSchema, not directory name).
+    def tomb_scans(plan: str) -> list[str]:
+        return [
+            ln
+            for ln in plan.splitlines()
+            if "ReadSchema: struct<doc_id:bigint>" in ln
+        ]
+
+    def bcast_anti(plan: str) -> int:
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "BroadcastHashJoin" in ln and "LeftAnti" in ln
+        )
+
+    before = _plan(dedup_index_filter(spark, index, batch), execute=True)
+    assert not tomb_scans(before), "identity fast path lost"
+
+    assert dedup_index_delete(spark, index, [3]) == 1
+    after = _plan(dedup_index_filter(spark, index, batch), execute=True)
+    assert tomb_scans(after), "tombstones not applied"
+    assert bcast_anti(after) == bcast_anti(before) + 1, (
+        "tombstone anti-join must be the one NEW broadcast anti-join\n" + after
+    )

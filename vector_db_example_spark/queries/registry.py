@@ -103,12 +103,38 @@ QUERIES: dict[str, Query] = {}
 #: 3. Kept: the three r7-rotated-in entries (one green — two-green
 #:    rule) and every anchor block unchanged.
 #:
-#: ROUND-9 ROTATION PLAN: rotate any mid-round-8 zero-row registrations
-#: (see the mid-round-8 block in DRIVER_EXCLUDED) to the front; rotate
-#: out matching counts from the r5/r4-first-green blocks (all 3+ greens
-#: by then) with per-entry anchors; the three r7-rotated-in entries
-#: (two greens after r8) become excludable.
+#: ROUND-9 ROTATION (executed 2026-08-15, per the plan recorded here in
+#: round 8):
+#: 1. Rotated IN, at the front: the two entries registered mid-round-8
+#:    after the r8 surface froze (dedup_incremental_delete_compact —
+#:    the dedup index's takedown/compaction maintenance pair, sf5-
+#:    verified on arrival; dedup_incremental_batch_filter — the
+#:    bench=True fixed-batch crawl-ingest cost line), each sf0.01 +
+#:    sf1.0 hash-verified on arrival (SCALING.md round 8).
+#: 2. Rotated OUT two entries from the r4-first-green block (four-plus
+#:    greens each, r4–r8): dedup_semantic_prune and
+#:    dedup_ngram_containment — the dedup family keeps SIX surfaced
+#:    anchors (dedup_line_kept_fraction, both incremental filters, the
+#:    delete/compact and batch-filter rotations, pipeline_multi_strategy's
+#:    U2 prefix dedup); per-entry notes in DRIVER_EXCLUDED.
+#: 3. Kept: the four r8-front entries and the three r7-rotated-in
+#:    entries (awaiting their r8 verdicts — CORRECTNESS_r08 had not
+#:    landed when this rotation was cut, so the conservative choice is
+#:    to keep every entry that may still be one-green), and every
+#:    anchor block unchanged.
+#:
+#: ROUND-10 ROTATION PLAN: rotate any mid-round-9 zero-row
+#: registrations (see the mid-round-9 block in DRIVER_EXCLUDED, if any)
+#: to the front; once CORRECTNESS_r08/r09 verdicts exist, the r8-front
+#: four and r7 trio become two-plus-green and excludable; backfill from
+#: the r4/r01/r03 anchor blocks only as slots demand.
 DRIVER_CRITICAL: tuple[str, ...] = (
+    # --- round-9 rotation: zero driver rows until now (registered
+    # mid-round-8 after the r8 surface froze). The round-8 headline
+    # work lands here: the dedup index's delete/compact lifecycle and
+    # the fixed-batch crawl-ingest bench line. ---
+    "dedup_incremental_delete_compact",
+    "dedup_incremental_batch_filter",
     # --- round-8 rotation: zero driver rows until now (registered
     # mid-round-7 after the r7 surface froze). The round-7 headline
     # work lands here: storage portability (fsio), declare-then-ingest,
@@ -151,10 +177,8 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "vector_bucketed_pairs_exact",
     "text_inverted_compaction_parity",
     "text_phrase_search",
-    "dedup_semantic_prune",
     "join_bucketed_colocated",
     "text_bigram_lm_quality",
-    "dedup_ngram_containment",
     "vector_late_interaction_layout_topk",
     # --- r01-backlog anchors kept after the r6 rotation (three-green;
     # retained so every family keeps a surfaced anchor) ---
@@ -281,29 +305,23 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
-        # --- registered mid-round-8 (after the r8 surface froze):
-        # rotate to the front of DRIVER_CRITICAL in round 9 per the
-        # zero-row-first rule, exactly like the mid-round-4/-5/-6/-7
-        # blocks. Oracle-checked locally by tests/test_oracle_parity.py
-        # and hash-verified vs DuckDB at sf0.01 AND sf1.0 on arrival
-        # (SCALING.md round 8). ---
-        "dedup_incremental_delete_compact",  # the dedup index's
-                                     # maintenance pair: delete must stop
-                                     # a removed corpus doc suppressing
-                                     # near-duplicate batch docs (takedown
-                                     # contract, tombstone read path) and
-                                     # compact must fold tombstones in
-                                     # with identical verdicts — three
-                                     # stages in one hash verdict
-        "dedup_incremental_batch_filter",  # bench=True: one FIXED batch
-                                     # (replica 0, byte-identical at
-                                     # every tiled SF) filtered against
-                                     # the PREBUILT cached corpus index,
-                                     # so bench.py tracks the per-batch
-                                     # crawl-ingest cost as the CORPUS
-                                     # grows (min-of-2 drops the
-                                     # one-time build; measured
-                                     # 3.6/4.4/6.9 s at sf1/5/25)
+        # --- rotated OUT in round 9: r4-first-green entries with
+        # four-plus greens each (r4–r8), yielding their slots to the two
+        # mid-round-8 zero-row registrations per the zero-row-first
+        # rule. Each remains registered and oracle-checked locally by
+        # tests/test_oracle_parity.py. ---
+        "dedup_semantic_prune",      # four-plus greens; SemDeDup's
+                                     # star-capped prune machinery shares
+                                     # its CC core with the surfaced
+                                     # dedup_line_kept_fraction family;
+                                     # dedup now has six surfaced anchors
+                                     # incl. both incremental filters and
+                                     # the delete/compact rotation
+        "dedup_ngram_containment",   # four-plus greens; n-gram shingle +
+                                     # join machinery replayed by the
+                                     # incremental filters' band/signature
+                                     # path and the surfaced
+                                     # dedup_line_kept_fraction
         # --- rotated OUT in round 8: r5-first-green entries with three
         # greens each (r5+r6+r7), yielding their slots to the four
         # mid-round-7 zero-row registrations per the zero-row-first

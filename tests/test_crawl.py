@@ -1,0 +1,216 @@
+"""Dedup-gated crawl ingestion (streaming/crawl.py): multi-batch
+sequencing, cross-run checkpoint resume, replay idempotence, and
+end-to-end search parity of the composed intake loop."""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_example_spark.functions.embedding import hash_embed_one
+from vector_db_example_spark.functions.embedding import hashing_embedder
+from vector_db_example_spark.index.dedupidx import build_dedup_index
+from vector_db_example_spark.index.ivf import build_ivf_index, ivf_search
+from vector_db_example_spark.streaming.crawl import stream_crawl_ingest
+
+DOC_SCHEMA = "doc_id long, text string"
+
+# Distinct multi-token texts: exact copies collide on every band;
+# distinct texts share no shingles, so they cannot collide (a band key
+# is an md5 of minhash slices over the shingle set).
+CORPUS = [
+    (0, "relational algebra defines closed operators over typed relations"),
+    (1, "physical data independence separates storage layout from schema"),
+    (2, "a candidate key uniquely identifies every tuple in a relation"),
+]
+FRESH_B0 = (100, "write ahead logging makes committed transactions durable")
+DUP_OF_CORPUS_B0 = (101, CORPUS[1][1])
+WITHIN_A_B0 = (102, "cost based optimizers enumerate join orders with dynamic programming")
+WITHIN_B_B0 = (103, "cost based optimizers enumerate join orders with dynamic programming")
+COPY_OF_B0_SURVIVOR_B1 = (200, FRESH_B0[1])
+FRESH_B1 = (201, "snapshot isolation reads a consistent version without locking")
+COPY_OF_B1_SURVIVOR_B2 = (300, FRESH_B1[1])
+FRESH_B2 = (301, "bloom filters answer set membership with one sided error")
+
+
+def _write_batch_file(spark, tmp_path, name, rows, mtime):
+    """One parquet file per crawl batch, modification time pinned so the
+    FileStreamSource admission order (mtime ascending) is deterministic."""
+    stage = str(tmp_path / f"_stage_{name}")
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+        stage
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir(exist_ok=True)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    dest = str(src_dir / f"{name}.parquet")
+    shutil.copyfile(part, dest)
+    os.utime(dest, (mtime, mtime))
+    shutil.rmtree(stage, ignore_errors=True)
+    return str(src_dir)
+
+
+def _build_indexes(spark, tmp_path):
+    corpus = spark.createDataFrame(CORPUS, DOC_SCHEMA)
+    didx = build_dedup_index(corpus, str(tmp_path / "dedup"))
+    embedded = corpus.withColumn("embedding", hashing_embedder(64)(F.col("text")))
+    vidx = build_ivf_index(
+        embedded, str(tmp_path / "ivf"), nlist=2, id_col="doc_id", train_sample=100
+    )
+    return didx, vidx
+
+
+def _verdict_map(spark, verdict_path):
+    rows = spark.read.parquet(verdict_path).collect()
+    return {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"], r["__batch_id"]) for r in rows
+    }
+
+
+@pytest.fixture()
+def crawl_env(spark, tmp_path):
+    didx, vidx = _build_indexes(spark, tmp_path)
+    src_dir = _write_batch_file(spark, tmp_path, "b0", [FRESH_B0, DUP_OF_CORPUS_B0, WITHIN_A_B0, WITHIN_B_B0], 1_000_000_000)
+    _write_batch_file(spark, tmp_path, "b1", [COPY_OF_B0_SURVIVOR_B1, FRESH_B1], 1_000_000_100)
+    return didx, vidx, src_dir
+
+
+def test_in_run_sequencing_and_verdicts(spark, tmp_path, crawl_env):
+    """maxFilesPerTrigger=1 splits the backlog into mtime-ordered
+    micro-batches; batch 1's filter must see batch 0's survivor bands
+    (the within-run append-visibility contract)."""
+    didx, vidx, src_dir = crawl_env
+    verdicts = str(tmp_path / "verdicts")
+    totals = stream_crawl_ingest(
+        spark,
+        src_dir,
+        didx,
+        vidx,
+        str(tmp_path / "ckpt"),
+        verdict_path=verdicts,
+        max_files_per_trigger=1,
+    )
+    assert totals == {"batches": 2, "seen": 6, "accepted": 3}
+    vm = _verdict_map(spark, verdicts)
+    # b0: fresh survives; corpus plant flagged; within pair keeps min id.
+    assert vm[100] == (False, False, 0)
+    assert vm[101] == (True, False, 0)
+    assert vm[102] == (False, False, 0)
+    assert vm[103] == (False, True, 0)
+    # b1: the copy of b0's survivor is now a CORPUS dup (bands appended
+    # by the earlier micro-batch of the same run); the fresh doc lives.
+    assert vm[200] == (True, False, 1)
+    assert vm[201] == (False, False, 1)
+
+
+def test_cross_run_resume_and_search_parity(spark, tmp_path, crawl_env):
+    """Second availableNow run against the same checkpoint admits only
+    the file that arrived in between; the final IVF layout answers
+    exactly like brute force over corpus + every accepted survivor."""
+    didx, vidx, src_dir = crawl_env
+    ckpt = str(tmp_path / "ckpt")
+    verdicts = str(tmp_path / "verdicts")
+    t1 = stream_crawl_ingest(
+        spark, src_dir, didx, vidx, ckpt, verdict_path=verdicts,
+        max_files_per_trigger=1,
+    )
+    assert t1["accepted"] == 3
+    _write_batch_file(
+        spark, tmp_path, "b2", [COPY_OF_B1_SURVIVOR_B2, FRESH_B2], 1_000_000_200
+    )
+    t2 = stream_crawl_ingest(
+        spark, src_dir, didx, vidx, ckpt, verdict_path=verdicts,
+        max_files_per_trigger=1,
+    )
+    # Only b2 is new: its survivor-copy is suppressed, its fresh doc kept.
+    assert t2 == {"batches": 1, "seen": 2, "accepted": 1}
+    vm = _verdict_map(spark, verdicts)
+    assert vm[300][:2] == (True, False)
+    assert vm[301][:2] == (False, False)
+
+    accepted = {0, 1, 2, 100, 102, 201, 301}
+    qtext = "bloom filters answer membership"
+    qv = hash_embed_one(qtext, 64)
+    hits = ivf_search(spark, vidx, qv, k=4, nprobe=2).collect()
+    texts = dict(CORPUS + [FRESH_B0, WITHIN_A_B0, FRESH_B1, FRESH_B2])
+    brute = sorted(
+        (
+            math.sqrt(
+                sum((a - b) ** 2 for a, b in zip(hash_embed_one(texts[i], 64), qv))
+            ),
+            i,
+        )
+        for i in accepted
+    )[:4]
+    assert [(h["doc_id"]) for h in hits] == [i for _, i in brute]
+    assert [round(h["distance"], 6) for h in hits] == [round(d, 6) for d, _ in brute]
+
+
+def test_replay_is_a_noop(spark, tmp_path, crawl_env):
+    """A third run with no new files must process nothing and leave both
+    layouts byte-stable (markers short-circuit replayed batches)."""
+    didx, vidx, src_dir = crawl_env
+    ckpt = str(tmp_path / "ckpt")
+    stream_crawl_ingest(spark, src_dir, didx, vidx, ckpt, max_files_per_trigger=1)
+    bands_before = spark.read.parquet(didx.path).count()
+    ivf_before = spark.read.parquet(vidx.path).count()
+    t = stream_crawl_ingest(spark, src_dir, didx, vidx, ckpt, max_files_per_trigger=1)
+    assert t == {"batches": 0, "seen": 0, "accepted": 0}
+    assert spark.read.parquet(didx.path).count() == bands_before
+    assert spark.read.parquet(vidx.path).count() == ivf_before
+
+
+def test_late_crash_replay_never_duplicates(spark, tmp_path, crawl_env):
+    """The worst at-least-once window: a crash AFTER every data write
+    but BEFORE the commit marker. The replayed filter sees the batch's
+    own survivor bands (dedup append is deliberately the LAST data
+    write), so the replay appends nothing anywhere — layouts stay
+    byte-stable — and the verdict partition over-reports corpus_dup for
+    the replayed batch, the documented safe direction."""
+    didx, vidx, src_dir = crawl_env
+    ckpt = str(tmp_path / "ckpt")
+    verdicts = str(tmp_path / "verdicts")
+    stream_crawl_ingest(
+        spark, src_dir, didx, vidx, ckpt, verdict_path=verdicts,
+        max_files_per_trigger=1,
+    )
+    bands_before = spark.read.parquet(didx.path).count()
+    ivf_before = spark.read.parquet(vidx.path).count()
+    # Simulate the crash window: the streaming checkpoint is gone (the
+    # job died before checkpointing progress) and no markers exist, so
+    # BOTH batches redeliver against fully-committed layout state.
+    shutil.rmtree(ckpt)
+    for f in glob.glob(f"{didx.path}/_crawl_committed/*/batch_*"):
+        os.remove(f)
+    t = stream_crawl_ingest(
+        spark, src_dir, didx, vidx, ckpt, verdict_path=verdicts,
+        max_files_per_trigger=1,
+    )
+    assert t["accepted"] == 0  # every former survivor reads corpus_dup
+    assert spark.read.parquet(didx.path).count() == bands_before
+    assert spark.read.parquet(vidx.path).count() == ivf_before
+    vm = _verdict_map(spark, verdicts)
+    assert vm[100][:2] == (True, False)  # over-reported, documented
+    assert vm[101][:2] == (True, False)
+
+
+def test_marker_records_batch_counts(spark, tmp_path, crawl_env):
+    """Commit markers carry the per-batch admission report (the crawl
+    job's operational breadcrumb)."""
+    didx, vidx, src_dir = crawl_env
+    stream_crawl_ingest(
+        spark, src_dir, didx, vidx, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    marker_root = f"{didx.path}/_crawl_committed"
+    files = glob.glob(f"{marker_root}/*/batch_*")
+    assert len(files) == 2
+    reports = sorted(
+        (json.loads(open(f).read()) for f in files), key=lambda r: r["seen"]
+    )
+    assert reports == [{"seen": 2, "accepted": 1}, {"seen": 4, "accepted": 2}]

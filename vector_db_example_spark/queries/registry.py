@@ -305,6 +305,20 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
+        # --- registered mid-round-9 (after the r9 surface froze):
+        # rotate to the front of DRIVER_CRITICAL in round 10 per the
+        # zero-row-first rule, exactly like the mid-round-4..-8 blocks.
+        # Oracle-checked locally by tests/test_oracle_parity.py and
+        # hash-verified vs DuckDB at sf0.01 AND sf1.0 on arrival
+        # (SCALING.md round 9). ---
+        "stream_crawl_dedup_gated_ingest",  # the composed intake loop
+                                     # (streaming/crawl.py): per-batch
+                                     # dedup-index filter → verdict sink
+                                     # → embed → IVF append → dedup
+                                     # append, two mtime-ordered micro-
+                                     # batches + an exhaustive-probe
+                                     # search over everything accepted,
+                                     # one hash verdict
         # --- rotated OUT in round 9: r4-first-green entries with
         # four-plus greens each (r4–r8), yielding their slots to the two
         # mid-round-8 zero-row registrations per the zero-row-first

@@ -522,3 +522,233 @@ def vector_ivf_declared_empty_ingest_parity(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _crawl_oracle() -> str:
+    """The dedup-gated crawl pipeline's DuckDB mirror, assembled from the
+    shared fragments: the incremental-dedup band SQL (dedup_q._bands_sql,
+    bit-exact with index/dedupidx.py) iterated over two sequential
+    batches — batch 1's index side includes batch 0's survivors — plus
+    the hashing-embedder mirror (pipeline_q) for the final search stage
+    over everything ever accepted."""
+    from .dedup_q import _bands_sql
+    from .pipeline_q import _EMBED64_VEC_SQL, _embed64_pairs_sql
+
+    l2 = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> (a.vector[i]::DOUBLE - q.qvec[i]::DOUBLE)"
+        " * (a.vector[i]::DOUBLE - q.qvec[i]::DOUBLE))))"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+),
+fresh0 AS (
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+),
+b0 AS (
+  SELECT * FROM fresh0
+  UNION ALL
+  SELECT id + 1000000 AS id, text FROM corpus WHERE id % 7 = 0
+  UNION ALL
+  SELECT id + 2000000 AS id, text FROM fresh0 WHERE id % 5 = 0
+),
+b1 AS (
+  SELECT id + 3000000 AS id, text FROM fresh0
+  UNION ALL
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 1
+  UNION ALL
+  SELECT id + 4000000 AS id, text || ' zz' || id AS text
+  FROM corpus WHERE id % 11 = 0
+),
+cb AS ({_bands_sql('corpus')}),
+b0b AS ({_bands_sql('b0')}),
+hit0 AS (SELECT DISTINCT b.id FROM b0b b
+         JOIN cb c ON b.band = c.band AND b.key = c.key),
+new0 AS (SELECT * FROM b0b WHERE id NOT IN (SELECT id FROM hit0)),
+gm0 AS (SELECT band, key, min(id) AS min_id FROM new0 GROUP BY band, key),
+w0 AS (SELECT DISTINCT n.id FROM new0 n
+       JOIN gm0 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id),
+surv0 AS (SELECT id, text FROM b0
+          WHERE id NOT IN (SELECT id FROM hit0)
+            AND id NOT IN (SELECT id FROM w0)),
+sb0 AS ({_bands_sql('surv0')}),
+idx1 AS (SELECT band, key FROM cb UNION ALL SELECT band, key FROM sb0),
+b1b AS ({_bands_sql('b1')}),
+hit1 AS (SELECT DISTINCT b.id FROM b1b b
+         JOIN idx1 c ON b.band = c.band AND b.key = c.key),
+new1 AS (SELECT * FROM b1b WHERE id NOT IN (SELECT id FROM hit1)),
+gm1 AS (SELECT band, key, min(id) AS min_id FROM new1 GROUP BY band, key),
+w1 AS (SELECT DISTINCT n.id FROM new1 n
+       JOIN gm1 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id),
+surv1 AS (SELECT id, text FROM b1
+          WHERE id NOT IN (SELECT id FROM hit1)
+            AND id NOT IN (SELECT id FROM w1)),
+accepted AS (
+  SELECT * FROM corpus
+  UNION ALL SELECT * FROM surv0
+  UNION ALL SELECT * FROM surv1
+),
+ap AS (SELECT id, {_embed64_pairs_sql('text')} AS ps FROM accepted),
+av AS (SELECT id, {_EMBED64_VEC_SQL} AS vector FROM ap),
+qt AS (
+  SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[1:8], ' ')
+         AS question
+  FROM documents WHERE doc_id = 0
+),
+qp AS (SELECT {_embed64_pairs_sql('question')} AS ps FROM qt),
+qv AS (SELECT {_EMBED64_VEC_SQL} AS qvec FROM qp),
+dist AS (
+  SELECT a.id, {l2} AS d FROM av a CROSS JOIN qv q
+),
+top10 AS (SELECT id, round(d, 6) AS metric FROM dist ORDER BY d, id LIMIT 10)
+SELECT 'b0' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit0))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w0))::INTEGER AS within_dup,
+       (-1.0)::DOUBLE AS metric
+FROM b0 b
+UNION ALL
+SELECT 'b1' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit1))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w1))::INTEGER AS within_dup,
+       (-1.0)::DOUBLE AS metric
+FROM b1 b
+UNION ALL
+SELECT 'search' AS stage, id AS doc_id,
+       -1 AS corpus_dup, -1 AS within_dup, metric
+FROM top10
+"""
+
+
+@register(
+    "stream_crawl_dedup_gated_ingest",
+    # One hash verdict over the whole intake loop: both micro-batches'
+    # per-document admission verdicts (batch 1's filter must see batch
+    # 0's survivor bands — the streamed append-visibility contract) AND
+    # a final exhaustive-probe vector search that must rank exactly like
+    # brute force over corpus + every accepted survivor (integrity of
+    # the dedup-gated IVF appends: nothing lost, nothing admitted twice,
+    # nothing a dup verdict should have dropped).
+    oracle=_crawl_oracle(),
+    tags=("streaming", "dedup", "ivf", "ingest", "pipeline", "training-data"),
+)
+def stream_crawl_dedup_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data intake loop (streaming/crawl.py) as one
+    driver-checked lifecycle: build the dedup layout + IVF layout over
+    an accepted corpus (doc_id % 3 < 2), then replay two crawl batches
+    through the dedup-gated Structured Streaming sink —
+
+    - batch b0: fresh docs + exact corpus plants (→ corpus_dup) + exact
+      within-batch plants (→ within_dup on the higher id),
+    - batch b1: exact copies of b0's fresh docs (→ corpus_dup ONLY
+      because b0's surviving bands were appended by the earlier
+      micro-batch), more fresh docs, and near-dup suffix variants of
+      corpus docs (landing wherever banding puts them — identically on
+      both engines)
+
+    — and finally search the IVF layout (nprobe = nlist, exhaustive)
+    for a corpus-derived question embedding. Stages share one verdict:
+    ``(stage, doc_id, corpus_dup, within_dup, metric)`` with metric =
+    −1 for admission rows and the rounded L2 distance for search rows."""
+    import glob as _glob
+    import os as _os
+
+    from ..functions.embedding import hash_embed_one
+    from ..index.dedupidx import build_dedup_index
+    from ..index.ivf import build_ivf_index, ivf_search
+    from ..functions.embedding import hashing_embedder
+    from ..sources.tables import load_table, widen_cpu_dense
+    from ..streaming.crawl import stream_crawl_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    fresh0 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0))
+    b0 = fresh0.unionByName(
+        corpus.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        fresh0.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    b1 = (
+        fresh0.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 1))
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat(
+                    "text", F.lit(" zz"), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    qrow = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ").alias(
+                "q"
+            )
+        )
+        .head()
+    )
+    qv = hash_embed_one(qrow["q"], 64)
+
+    def _drop_file(df: DataFrame, src_dir: str, name: str, mtime: int) -> None:
+        """One parquet file per crawl batch, mtime-pinned so the
+        FileStreamSource admission order is deterministic."""
+        stage_dir = f"{src_dir}_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = _glob.glob(f"{stage_dir}/part-*.parquet")[0]
+        dest = f"{src_dir}/{name}.parquet"
+        shutil.copyfile(part, dest)
+        _os.utime(dest, (mtime, mtime))
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    work = tempfile.mkdtemp(prefix="crawl_gate_")
+    try:
+        didx = build_dedup_index(corpus, f"{work}/dedup")
+        embedded = widen_cpu_dense(corpus).withColumn(
+            "embedding", hashing_embedder(64)(F.col("text"))
+        )
+        vidx = build_ivf_index(embedded, f"{work}/ivf", nlist=8, id_col="doc_id")
+        src_dir = f"{work}/src"
+        _os.makedirs(src_dir)
+        _drop_file(b0, src_dir, "b0", 1_000_000_000)
+        _drop_file(b1, src_dir, "b1", 1_000_000_100)
+        stream_crawl_ingest(
+            spark,
+            src_dir,
+            didx,
+            vidx,
+            f"{work}/ckpt",
+            verdict_path=f"{work}/verdicts",
+            max_files_per_trigger=1,
+        )
+        stage = F.when(F.col("__batch_id") == 0, "b0").otherwise("b1")
+        admissions = spark.read.parquet(f"{work}/verdicts").select(
+            stage.alias("stage"),
+            "doc_id",
+            F.col("corpus_dup").cast("int").alias("corpus_dup"),
+            F.col("within_dup").cast("int").alias("within_dup"),
+            F.lit(-1.0).alias("metric"),
+        )
+        search = ivf_search(spark, vidx, qv, k=10, nprobe=8).select(
+            F.lit("search").alias("stage"),
+            "doc_id",
+            F.lit(-1).alias("corpus_dup"),
+            F.lit(-1).alias("within_dup"),
+            F.round("distance", 6).alias("metric"),
+        )
+        out = admissions.unionByName(search)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,162 @@
+"""Dedup-gated crawl ingestion: the full training-data intake loop as
+ONE Structured Streaming pipeline.
+
+The reference's ingestion lifecycle is insert-then-search over an
+accumulating collection (batched insert src/app.py:230, single insert
+src/app.py:409, search src/app.py:248) with no admission control — every
+row that arrives is embedded and stored. A 100 TB crawl pipeline cannot
+afford that: the single highest-leverage transformation on raw crawl
+data is refusing to store what it already has. This module composes the
+package's persisted layouts into that intake loop, per micro-batch:
+
+1. **filter** the batch against the persisted incremental-dedup layout
+   (index/dedupidx.py::dedup_index_filter — one narrow (band, key)
+   corpus scan + one AQE-splittable shuffle join; the accepted corpus's
+   text is never re-read),
+2. **report** the per-document verdicts to a partitioned verdict sink
+   (the curation audit trail: every dropped doc_id is attributable to a
+   corpus collision or a within-batch collision),
+3. **embed** the survivors (Arrow-batched pandas UDF,
+   functions/embedding.py) and **append** them to the IVF layout via
+   nearest-existing-centroid assignment (index/ivf.py::assign_cells) —
+   survivors are vector-searchable at the next query with correct
+   partition pruning, no refit,
+4. **append** the survivors' band keys + signatures to the dedup layout
+   (O(batch) blind partitioned append) — the NEXT micro-batch's filter
+   sees them, so a duplicate arriving twice across batches is admitted
+   exactly once.
+
+Per-batch cost is O(batch) everywhere: the corpus-sized structures are
+touched only through pruned columnar reads (dedup bands) and partitioned
+appends (IVF cells). That is the property that holds at 1000 executors:
+a crawl batch's admission cost never grows with the size of what was
+already accepted (measured curve: SCALING.md round-8, corpus 25× →
+band-filter 2.1×).
+
+Delivery: foreachBatch is at-least-once, guarded by per-checkpoint
+commit markers (fsio.canonical_token namespacing — the convention shared
+with streaming/ingest.py and rollup.py). A replayed COMMITTED batch is a
+no-op. A crash inside the multi-write window replays with these
+outcomes, in write order:
+
+- verdict sink: per-batch dynamic partition overwrite — the replay
+  rewrites its own ``__batch_id=`` partition, never duplicates.
+- IVF append: the replay re-appends byte-identical rows;
+  ``compact_ivf_index`` heals exactly that (full-row distinct over
+  replayed rows — the package-wide at-least-once contract).
+- dedup append (LAST data write, deliberately): if the crash hit after
+  it, the replayed filter sees the batch's own survivor bands and flags
+  them corpus_dup — the dedup re-append and IVF re-append are skipped
+  (nothing duplicates; the IVF rows landed before the crash), and the
+  replayed VERDICT partition over-reports corpus_dup for that one
+  batch. Over-suppression in an audit row for a crash-replayed batch is
+  the safe direction; ``dedup_index_compact`` / ``compact_ivf_index``
+  owe nothing here.
+
+Batch sequencing: each foreachBatch invocation is a separate job, so a
+filter planned in batch N+1 lists the dedup layout's files AFTER batch
+N's append — the append-visibility hazard documented in
+index/dedupidx.py (exchange reuse across pre/post-append scans) cannot
+arise across micro-batches. Within one batch, the verdict frame is
+eagerly materialized before any append, per the same rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fsio
+from ..functions.embedding import hashing_embedder
+from ..index.dedupidx import DedupIndex, dedup_index_append, dedup_index_filter
+from ..index.ivf import IVFIndex, assign_cells
+
+
+def stream_crawl_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    dedup_index: DedupIndex,
+    ivf_index: IVFIndex,
+    checkpoint_path: str,
+    *,
+    verdict_path: str | None = None,
+    dim: int = 64,
+    max_files_per_trigger: int | None = None,
+    source_schema: str = "doc_id long, text string",
+) -> dict[str, int]:
+    """Run the dedup-gated intake loop over ``source_dir`` to completion
+    (``availableNow`` — the periodic crawl-intake job shape: each
+    invocation against the same checkpoint admits only files that
+    arrived since the last run) and return
+    ``{"batches": …, "seen": …, "accepted": …}`` totals for THIS run.
+
+    ``max_files_per_trigger`` splits a backlog into bounded micro-batches
+    (admission order = file modification time, the FileStreamSource
+    contract) so one giant catch-up run cannot build a batch bigger than
+    executor memory; each micro-batch still sees every earlier batch's
+    survivors in the dedup layout.
+    """
+    embed = hashing_embedder(dim)
+    id_col = dedup_index.id_col
+    marker_dir = (
+        f"{dedup_index.path}/_crawl_committed/{fsio.canonical_token(checkpoint_path)}"
+    )
+    fsio.mkdirs(marker_dir, spark)
+    totals = {"batches": 0, "seen": 0, "accepted": 0}
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        marker = f"{marker_dir}/batch_{batch_id}"
+        if fsio.exists(marker, spark):
+            return
+        # One evaluation of the filter's shingle+minhash kernel feeding
+        # the verdict write, the survivor join, and the counts — and a
+        # pre-append materialization, so no later read of the layout can
+        # be substituted for this one (index/dedupidx.py hazard note).
+        verdicts = dedup_index_filter(spark, dedup_index, batch).localCheckpoint(
+            eager=True
+        )
+        if verdict_path is not None:
+            (
+                verdicts.withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(verdict_path)
+            )
+        survivors = batch.join(
+            verdicts.filter(~F.col("corpus_dup") & ~F.col("within_dup")).select(id_col),
+            id_col,
+        )
+        # Embed + assign once (localCheckpoint), feeding the IVF append
+        # and the accepted count.
+        assigned = (
+            survivors.withColumn("embedding", embed(F.col(dedup_index.text_col)))
+            .withColumn("cell_id", assign_cells(ivf_index, F.col("embedding")))
+            .localCheckpoint(eager=True)
+        )
+        assigned.write.partitionBy("cell_id").mode("append").parquet(ivf_index.path)
+        # Dedup append LAST (module docstring: the crash-replay outcomes
+        # depend on this ordering). Feeds from the materialized rows.
+        dedup_index_append(dedup_index, assigned.drop("embedding", "cell_id"))
+        n_seen, n_acc = verdicts.count(), assigned.count()
+        fsio.write_text(marker, f'{{"seen": {n_seen}, "accepted": {n_acc}}}', spark)
+        totals["batches"] += 1
+        totals["seen"] += n_seen
+        totals["accepted"] += n_acc
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger is not None:
+        stream = stream.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    q = (
+        stream.load(source_dir)
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return totals

@@ -128,7 +128,9 @@ def _band_schema(index: DedupIndex) -> T.StructType:
     )
 
 
-def signature_rows(index: DedupIndex, docs: DataFrame) -> DataFrame:
+def signature_rows(
+    index: DedupIndex, docs: DataFrame, widen_factor: int = 1
+) -> DataFrame:
     """``(id, sig)`` — the n_hashes-string MinHash signature per doc.
     THE one expensive pass (shingle → minhash stays a single JVM
     expression tree inside whole-stage codegen); everything else in this
@@ -139,11 +141,14 @@ def signature_rows(index: DedupIndex, docs: DataFrame) -> DataFrame:
     scan splits and the n_hashes·shingles md5 storm would run on a
     couple of cores — measured 2.2 s → 0.3 s for a 2.4k-doc batch on
     local[32]. A no-op on pre-split 100 TB corpora and on frames
-    already at cluster parallelism."""
+    already at cluster parallelism. ``widen_factor`` over-partitions
+    corpus-sized passes (the full-build path) so one uneven scan split
+    can't set the stage wall — SCALING.md round 8 measured an 18%
+    straggler tail on the sf25 build at 1×."""
     sig = minhash_signature(
         shingles(F.col(index.text_col), k=index.shingle_k), n_hashes=index.n_hashes
     )
-    return widen_cpu_dense(docs).select(
+    return widen_cpu_dense(docs, factor=widen_factor).select(
         F.col(index.id_col).cast("long").alias(index.id_col), sig.alias("sig")
     )
 
@@ -233,7 +238,12 @@ def _persist(index: DedupIndex, docs: DataFrame, mode: str) -> None:
     """
     spark = docs.sparkSession
     if mode == "overwrite":
-        signature_rows(index, docs).write.mode(mode).parquet(_sigs_path(index))
+        # Corpus-sized pass: over-partition 4× so one uneven scan split
+        # can't set the build's wall (signature_rows docstring; measured
+        # 18% off the sf25 sigs pass, SCALING.md round 8).
+        signature_rows(index, docs, widen_factor=4).write.mode(mode).parquet(
+            _sigs_path(index)
+        )
         sigs = _read_sigs(spark, index)
     else:
         sigs = signature_rows(index, docs).localCheckpoint(eager=True)

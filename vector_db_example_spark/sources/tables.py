@@ -34,7 +34,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def widen_cpu_dense(df: DataFrame) -> DataFrame:
+def widen_cpu_dense(df: DataFrame, factor: int = 1) -> DataFrame:
     """Widen a CPU-DENSE map stage's input beyond its bytes-sized scan
     split (SCALING.md round-6 rule): text compresses ~10×, so a 5 MB
     parquet of 50 MB text opens as 2 partitions and any heavy per-row
@@ -45,8 +45,16 @@ def widen_cpu_dense(df: DataFrame) -> DataFrame:
     exceeds it); the one text shuffle it costs is the same bytes the
     scan already moves, repaid many times over by the widened map
     stage. Apply to the input of the dense stage only, never to
-    pruned/filter-first reads (it would defeat pushdown)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    pruned/filter-first reads (it would defeat pushdown).
+
+    ``factor`` over-partitions to ``factor ×`` the core count for
+    LONG corpus-sized dense passes (the standard straggler-granularity
+    rule: with one task per core, one uneven native parquet split sets
+    the stage's wall; at 4× granularity the scheduler rebalances the
+    tail — measured 18% off the sf25 dedup-index signature pass,
+    SCALING.md round 8). Leave at 1 for batch-sized inputs, where task
+    overhead would dominate the smoothing."""
+    par = df.sparkSession.sparkContext.defaultParallelism * max(1, int(factor))
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

@@ -200,6 +200,84 @@ def test_late_crash_replay_never_duplicates(spark, tmp_path, crawl_env):
     assert vm[101][:2] == (True, False)
 
 
+def test_crawl_stream_matches_model(spark, tmp_path):
+    """The whole streamed loop — N sequential crawl runs against one
+    checkpoint — must produce exactly the verdicts of the pure-Python
+    band model (test_dedupidx's model_filter) iterated batch-by-batch,
+    and the IVF layout must hold exactly the model's survivor set.
+    Word-soup texts over a tiny vocabulary make cross-batch duplicates
+    arise naturally."""
+    from test_dedupidx import model_bands, model_filter
+
+    corpus = [
+        (0, "alpha beta gamma delta"),
+        (1, "beta gamma delta epsilon"),
+        (2, "zeta eta theta alpha"),
+    ]
+    batches = [
+        [(100, "alpha beta gamma delta"), (101, "eta theta alpha beta"),
+         (102, "eta theta alpha beta")],
+        [(200, "eta theta alpha beta"), (201, "delta epsilon zeta eta")],
+        [(300, "delta epsilon zeta eta"), (301, "gamma beta alpha")],
+    ]
+    cdf = spark.createDataFrame(corpus, DOC_SCHEMA)
+    didx = build_dedup_index(cdf, str(tmp_path / "dedup"))
+    empty = spark.createDataFrame([], "doc_id long, text string, embedding array<float>")
+    vidx = build_ivf_index(empty, str(tmp_path / "ivf"), dim=64, id_col="doc_id")
+    ckpt = str(tmp_path / "ckpt")
+    verdicts = str(tmp_path / "verdicts")
+
+    keys = set().union(*(model_bands(t) for _, t in corpus))
+    expected_accepted: set[int] = set()
+    for n, batch in enumerate(batches):
+        src_dir = _write_batch_file(
+            spark, tmp_path, f"b{n}", batch, 1_000_000_000 + 100 * n
+        )
+        stream_crawl_ingest(
+            spark, src_dir, didx, vidx, ckpt, verdict_path=verdicts,
+            max_files_per_trigger=1,
+        )
+        expect = model_filter(keys, batch)
+        got = {
+            r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+            for r in spark.read.parquet(verdicts)
+            .filter(F.col("__batch_id") == n)
+            .collect()
+        }
+        assert got == expect, f"batch {n}"
+        surv = [(i, t) for i, t in batch if expect[i] == (False, False)]
+        keys |= set().union(*(model_bands(t) for _, t in surv)) if surv else set()
+        expected_accepted |= {i for i, _ in surv}
+
+    ivf_ids = {r["doc_id"] for r in spark.read.parquet(vidx.path).collect()}
+    assert ivf_ids == expected_accepted
+
+
+def test_takedown_between_runs_readmits(spark, tmp_path):
+    """The operational takedown sequence at the crawl-loop level: a doc
+    admitted by run 1 is deleted from the dedup layout (takedown); run
+    2's copy of it must be READMITTED (and re-indexed) instead of being
+    suppressed by the removed doc's stale bands."""
+    from vector_db_example_spark.index.dedupidx import dedup_index_delete
+
+    didx, vidx = _build_indexes(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = _write_batch_file(spark, tmp_path, "b0", [FRESH_B0], 1_000_000_000)
+    t0 = stream_crawl_ingest(spark, src_dir, didx, vidx, ckpt, max_files_per_trigger=1)
+    assert t0["accepted"] == 1
+    assert dedup_index_delete(spark, didx, [FRESH_B0[0]]) == 1
+    _write_batch_file(
+        spark, tmp_path, "b1", [(999, FRESH_B0[1])], 1_000_000_100
+    )
+    t1 = stream_crawl_ingest(spark, src_dir, didx, vidx, ckpt, max_files_per_trigger=1)
+    assert t1 == {"batches": 1, "seen": 1, "accepted": 1}
+    ivf_ids = {r["doc_id"] for r in spark.read.parquet(vidx.path).collect()}
+    # Both generations are in the vector layout (the takedown's vector-
+    # side removal is ivf_delete_lazy's job, out of the dedup gate's
+    # scope); the dedup layout admits the re-crawled text exactly once.
+    assert {FRESH_B0[0], 999} <= ivf_ids
+
+
 def test_marker_records_batch_counts(spark, tmp_path, crawl_env):
     """Commit markers carry the per-batch admission report (the crawl
     job's operational breadcrumb)."""

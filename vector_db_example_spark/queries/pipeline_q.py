@@ -513,3 +513,121 @@ def pipeline_single_insert_validation(spark: SparkSession, sf_dir: str) -> DataF
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _layout_stats_oracle() -> str:
+    """Oracle for the layout describe/stats operator: recompute every
+    LOGICAL stat of the dedup and inverted layouts straight from the
+    source slices in SQL (the band pipeline via dedup_q._bands_sql, the
+    token pipeline via the shared TOKEN_PATTERN regex)."""
+    from ..functions.text import TOKEN_PATTERN
+    from .dedup_q import _bands_sql
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+),
+ddel AS (SELECT id FROM corpus WHERE id % 7 = 0),
+dlive AS (SELECT * FROM corpus WHERE id NOT IN (SELECT id FROM ddel)),
+lb AS ({_bands_sql('dlive')}),
+perkey AS (SELECT band, key, count(*) AS n FROM lb GROUP BY band, key),
+ibase AS (
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+),
+iextra AS (
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 1
+),
+idel AS (SELECT id FROM ibase WHERE id % 5 = 0),
+ilive AS (
+  SELECT * FROM (SELECT * FROM ibase UNION ALL SELECT * FROM iextra)
+  WHERE id NOT IN (SELECT id FROM idel)
+),
+itok AS (
+  SELECT id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM ilive
+),
+ipost AS (SELECT term, id FROM itok GROUP BY term, id),
+iperterm AS (SELECT term, count(*) AS df FROM ipost GROUP BY term)
+SELECT 'dedup' AS layout, t.stat, t.value FROM (VALUES
+  ('docs_live', (SELECT count(*) FROM dlive)::DOUBLE),
+  ('docs_tombstoned', (SELECT count(*) FROM ddel)::DOUBLE),
+  ('band_rows_live', (SELECT coalesce(sum(n), 0) FROM perkey)::DOUBLE),
+  ('distinct_band_keys', (SELECT count(*) FROM perkey)::DOUBLE),
+  ('max_band_key_docs', (SELECT coalesce(max(n), 0) FROM perkey)::DOUBLE),
+  ('band_keys_over_cap',
+   (SELECT coalesce(sum(CASE WHEN n > 2 THEN 1 ELSE 0 END), 0) FROM perkey)::DOUBLE)
+) AS t(stat, value)
+UNION ALL
+SELECT 'inverted' AS layout, t.stat, t.value FROM (VALUES
+  ('docs_live', (SELECT count(*) FROM ilive)::DOUBLE),
+  ('docs_tombstoned', (SELECT count(*) FROM idel)::DOUBLE),
+  ('postings_live', (SELECT count(*) FROM ipost)::DOUBLE),
+  ('distinct_terms', (SELECT count(*) FROM iperterm)::DOUBLE),
+  ('max_term_df', (SELECT coalesce(max(df), 0) FROM iperterm)::DOUBLE),
+  ('total_tokens', (SELECT count(*) FROM itok)::DOUBLE),
+  ('avg_doclen',
+   round((SELECT count(*) FROM itok)::DOUBLE
+         / greatest((SELECT count(*) FROM ilive), 1)::DOUBLE, 6))
+) AS t(stat, value)
+"""
+
+
+@register(
+    "pipeline_layout_stats",
+    # Every logical stat of two mutated layouts (dedup: build→delete;
+    # inverted: build→append→delete) recomputed from the source slices
+    # — the describe/stats surface must stay truthful through the
+    # append/delete lifecycle, not just at build time.
+    oracle=_layout_stats_oracle(),
+    tags=("pipeline", "stats", "dedup", "text", "lifecycle"),
+)
+def pipeline_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout describe/stats (index/stats.py) — the reference's
+    get_collection_stats (S9, src/app.py:472-495) at the index-layout
+    level, driver-checked through mutation: a dedup layout built over
+    one corpus slice with a takedown batch deleted, and an inverted
+    layout built, appended, and partially deleted. Every reported stat
+    (live/tombstoned docs, band-key cardinality and mega-key pressure,
+    posting/term/token counts, exact avg doclen) must equal the
+    oracle's recomputation from the raw slices. The physical
+    ``layout_file_count`` is excluded by design (file layout is an
+    engine artifact, pytest-pinned instead)."""
+    import tempfile
+
+    from ..index.dedupidx import build_dedup_index, dedup_index_delete
+    from ..index.inverted import (
+        append_to_inverted_index,
+        build_inverted_index,
+        delete_from_inverted_index,
+    )
+    from ..index.stats import layout_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    ddel = [r["doc_id"] for r in corpus.filter(F.col("doc_id") % 7 == 0).collect()]
+    ibase = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0))
+    iextra = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 1))
+    idel = [r["doc_id"] for r in ibase.filter(F.col("doc_id") % 5 == 0).collect()]
+
+    work = tempfile.mkdtemp(prefix="layout_stats_")
+    try:
+        didx = build_dedup_index(corpus, f"{work}/dedup")
+        dedup_index_delete(spark, didx, ddel)
+        iidx = build_inverted_index(ibase, f"{work}/inv")
+        append_to_inverted_index(iidx, iextra)
+        delete_from_inverted_index(iidx, idel)
+        out = (
+            layout_stats(spark, didx, candidate_cap=2)
+            .select(F.lit("dedup").alias("layout"), "stat", "value")
+            .unionByName(
+                layout_stats(spark, iidx).select(
+                    F.lit("inverted").alias("layout"), "stat", "value"
+                )
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -319,6 +319,12 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                      # batches + an exhaustive-probe
                                      # search over everything accepted,
                                      # one hash verdict
+        "pipeline_layout_stats",     # layout describe/stats
+                                     # (index/stats.py, the reference's
+                                     # S9 at the layout level): dedup
+                                     # build→delete + inverted
+                                     # build→append→delete, every
+                                     # logical stat vs SQL recompute
         # --- rotated OUT in round 9: r4-first-green entries with
         # four-plus greens each (r4–r8), yielding their slots to the two
         # mid-round-8 zero-row registrations per the zero-row-first

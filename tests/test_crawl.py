@@ -278,6 +278,44 @@ def test_takedown_between_runs_readmits(spark, tmp_path):
     assert {FRESH_B0[0], 999} <= ivf_ids
 
 
+def test_decontamination_gate_blocks_benchmark_docs(spark, tmp_path):
+    """A batch doc whose normalized-prefix fingerprint collides with the
+    benchmark set is flagged contaminated and never admitted — while
+    flags stay independent (a corpus dup that is also benchmark text
+    reads both) and contaminated docs still exert within-batch band
+    suppression (the pessimistic one-pass rule)."""
+    from vector_db_example_spark.operators.dedup import contamination_fingerprint
+
+    didx, vidx = _build_indexes(spark, tmp_path)
+    bench_text = "snapshot isolation reads a consistent version without locking"
+    bench = spark.createDataFrame([(bench_text,)], "text string").select(
+        contamination_fingerprint(F.col("text")).alias("fp")
+    )
+    batch = [
+        (100, bench_text),               # contaminated only
+        (101, bench_text),               # contaminated AND within (100 suppresses)
+        (102, CORPUS[0][1]),             # corpus dup only
+        (103, "bloom filters answer set membership with one sided error"),  # clean
+    ]
+    src_dir = _write_batch_file(spark, tmp_path, "b0", batch, 1_000_000_000)
+    verdicts = str(tmp_path / "verdicts")
+    totals = stream_crawl_ingest(
+        spark, src_dir, didx, vidx, str(tmp_path / "ckpt"),
+        verdict_path=verdicts, max_files_per_trigger=1, benchmark_fps=bench,
+    )
+    assert totals == {"batches": 1, "seen": 4, "accepted": 1}
+    rows = {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"], r["contaminated"])
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    assert rows[100] == (False, False, True)
+    assert rows[101] == (False, True, True)
+    assert rows[102] == (True, False, False)
+    assert rows[103] == (False, False, False)
+    ivf_ids = {r["doc_id"] for r in spark.read.parquet(vidx.path).collect()}
+    assert 103 in ivf_ids and not {100, 101, 102} & ivf_ids
+
+
 def test_marker_records_batch_counts(spark, tmp_path, crawl_env):
     """Commit markers carry the per-batch admission report (the crawl
     job's operational breadcrumb)."""

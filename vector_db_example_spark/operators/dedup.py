@@ -110,6 +110,20 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def contamination_fingerprint(text: Column) -> Column:
+    """Benchmark-decontamination fingerprint: md5 of the normalized
+    64-char prefix (lowercase, whitespace-collapsed) — the standard
+    near-exact key. ONE definition shared by the batch decontamination
+    audit (queries/dedup_q.py::dedup_decontaminate) and the crawl
+    admission gate (streaming/crawl.py), so the two can never drift."""
+    return F.md5(
+        F.encode(
+            F.substring(F.lower(F.regexp_replace(text, r"\s+", " ")), 1, 64),
+            "UTF-8",
+        )
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two *distinct-element* arrays, in double."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -386,16 +386,12 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial+final aggregation. At 100 TB this is the plan you want —
     the alternative (shuffle-dedup on fingerprint) moves the whole corpus.
     """
+    from ..operators.dedup import contamination_fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.encode(
-            F.substring(
-                F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 64
-            ),
-            "UTF-8",
-        )
+    norm = docs.select(
+        "doc_id", "source", contamination_fingerprint(F.col("text")).alias("fp")
     )
-    norm = docs.select("doc_id", "source", fp.alias("fp"))
     bench = (
         norm.filter(F.col("doc_id") % 13 == 0)
         .select("fp")

@@ -325,6 +325,12 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                      # build→delete + inverted
                                      # build→append→delete, every
                                      # logical stat vs SQL recompute
+        "stream_crawl_decontaminated_ingest",  # the intake loop with
+                                     # BOTH admission gates (band dedup
+                                     # + benchmark decontamination),
+                                     # flag independence pinned by
+                                     # corpus∩benchmark plants, search
+                                     # proves no flagged doc ingested
         # --- rotated OUT in round 9: r4-first-green entries with
         # four-plus greens each (r4–r8), yielding their slots to the two
         # mid-round-8 zero-row registrations per the zero-row-first

@@ -752,3 +752,191 @@ def stream_crawl_dedup_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _crawl_decontaminated_oracle() -> str:
+    """One admission stage with BOTH gates mirrored: the LSH band filter
+    (dedup_q._bands_sql) and the decontamination fingerprint (the same
+    normalized-prefix md5 the dedup_decontaminate oracle states), plus
+    the embed-and-search stage over corpus + survivors."""
+    from .dedup_q import _bands_sql
+    from .pipeline_q import _EMBED64_VEC_SQL, _embed64_pairs_sql
+
+    fp = "md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64))"
+    l2 = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> (a.vector[i]::DOUBLE - q.qvec[i]::DOUBLE)"
+        " * (a.vector[i]::DOUBLE - q.qvec[i]::DOUBLE))))"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+),
+fresh0 AS (
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+),
+b0 AS (
+  SELECT * FROM fresh0
+  UNION ALL
+  SELECT id + 1000000 AS id, text FROM corpus WHERE id % 7 = 0
+  UNION ALL
+  SELECT id + 5000000 AS id, text FROM corpus WHERE id % 13 = 0
+  UNION ALL
+  SELECT id + 2000000 AS id, text FROM fresh0 WHERE id % 5 = 0
+),
+bench AS (SELECT DISTINCT {fp} AS fp FROM documents WHERE doc_id % 13 = 0),
+cont AS (
+  SELECT DISTINCT id FROM (SELECT id, {fp} AS fp FROM b0)
+  WHERE fp IN (SELECT fp FROM bench)
+),
+cb AS ({_bands_sql('corpus')}),
+b0b AS ({_bands_sql('b0')}),
+hit0 AS (SELECT DISTINCT b.id FROM b0b b
+         JOIN cb c ON b.band = c.band AND b.key = c.key),
+new0 AS (SELECT * FROM b0b WHERE id NOT IN (SELECT id FROM hit0)),
+gm0 AS (SELECT band, key, min(id) AS min_id FROM new0 GROUP BY band, key),
+w0 AS (SELECT DISTINCT n.id FROM new0 n
+       JOIN gm0 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id),
+surv AS (SELECT id, text FROM b0
+         WHERE id NOT IN (SELECT id FROM hit0)
+           AND id NOT IN (SELECT id FROM w0)
+           AND id NOT IN (SELECT id FROM cont)),
+accepted AS (SELECT * FROM corpus UNION ALL SELECT * FROM surv),
+ap AS (SELECT id, {_embed64_pairs_sql('text')} AS ps FROM accepted),
+av AS (SELECT id, {_EMBED64_VEC_SQL} AS vector FROM ap),
+qt AS (
+  SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[1:8], ' ')
+         AS question
+  FROM documents WHERE doc_id = 0
+),
+qp AS (SELECT {_embed64_pairs_sql('question')} AS ps FROM qt),
+qv AS (SELECT {_EMBED64_VEC_SQL} AS qvec FROM qp),
+dist AS (SELECT a.id, {l2} AS d FROM av a CROSS JOIN qv q),
+top10 AS (SELECT id, round(d, 6) AS metric FROM dist ORDER BY d, id LIMIT 10)
+SELECT 'b0' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM hit0))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM w0))::INTEGER AS within_dup,
+       (b.id IN (SELECT id FROM cont))::INTEGER AS contaminated,
+       (-1.0)::DOUBLE AS metric
+FROM b0 b
+UNION ALL
+SELECT 'search' AS stage, id AS doc_id,
+       -1 AS corpus_dup, -1 AS within_dup, -1 AS contaminated, metric
+FROM top10
+"""
+
+
+@register(
+    "stream_crawl_decontaminated_ingest",
+    # The intake loop with BOTH admission gates: near-dup banding AND
+    # benchmark decontamination. Corpus plants that are also benchmark
+    # members pin flag independence (corpus_dup AND contaminated on one
+    # row); the search stage proves no flagged doc reached the vector
+    # layout.
+    oracle=_crawl_decontaminated_oracle(),
+    tags=("streaming", "dedup", "decontamination", "ivf", "ingest", "pipeline",
+          "training-data"),
+)
+def stream_crawl_decontaminated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl admission loop with the decontamination gate armed
+    (streaming/crawl.py ``benchmark_fps``): the held-out benchmark set
+    is the doc_id % 13 == 0 slice's normalized-prefix fingerprints
+    (operators/dedup.py::contamination_fingerprint — the same key the
+    batch audit dedup_decontaminate uses). One crawl batch carries
+    fresh docs, exact corpus plants (corpus_dup), copies of
+    benchmark-member corpus docs (corpus_dup AND contaminated — the
+    flags are independent), within-batch plants (within_dup), and
+    benchmark-member fresh docs (contaminated via the natural slice
+    overlap). Verdicts plus an exhaustive-probe search over
+    corpus + survivors share one hash verdict."""
+    import glob as _glob
+    import os as _os
+
+    from ..functions.embedding import hash_embed_one, hashing_embedder
+    from ..index.dedupidx import build_dedup_index
+    from ..index.ivf import build_ivf_index, ivf_search
+    from ..operators.dedup import contamination_fingerprint
+    from ..sources.tables import load_table, widen_cpu_dense
+    from ..streaming.crawl import stream_crawl_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    fresh0 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0))
+    b0 = (
+        fresh0.unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            fresh0.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select(contamination_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    qrow = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ").alias(
+                "q"
+            )
+        )
+        .head()
+    )
+    qv = hash_embed_one(qrow["q"], 64)
+
+    work = tempfile.mkdtemp(prefix="crawl_decon_")
+    try:
+        didx = build_dedup_index(corpus, f"{work}/dedup")
+        embedded = widen_cpu_dense(corpus).withColumn(
+            "embedding", hashing_embedder(64)(F.col("text"))
+        )
+        vidx = build_ivf_index(embedded, f"{work}/ivf", nlist=8, id_col="doc_id")
+        src_dir = f"{work}/src"
+        _os.makedirs(src_dir)
+        stage_dir = f"{work}/stage_b0"
+        b0.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = _glob.glob(f"{stage_dir}/part-*.parquet")[0]
+        shutil.copyfile(part, f"{src_dir}/b0.parquet")
+        stream_crawl_ingest(
+            spark,
+            src_dir,
+            didx,
+            vidx,
+            f"{work}/ckpt",
+            verdict_path=f"{work}/verdicts",
+            benchmark_fps=bench,
+        )
+        admissions = spark.read.parquet(f"{work}/verdicts").select(
+            F.lit("b0").alias("stage"),
+            "doc_id",
+            F.col("corpus_dup").cast("int").alias("corpus_dup"),
+            F.col("within_dup").cast("int").alias("within_dup"),
+            F.col("contaminated").cast("int").alias("contaminated"),
+            F.lit(-1.0).alias("metric"),
+        )
+        search = ivf_search(spark, vidx, qv, k=10, nprobe=8).select(
+            F.lit("search").alias("stage"),
+            "doc_id",
+            F.lit(-1).alias("corpus_dup"),
+            F.lit(-1).alias("within_dup"),
+            F.lit(-1).alias("contaminated"),
+            F.round("distance", 6).alias("metric"),
+        )
+        out = admissions.unionByName(search)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -83,6 +83,7 @@ def stream_crawl_ingest(
     dim: int = 64,
     max_files_per_trigger: int | None = None,
     source_schema: str = "doc_id long, text string",
+    benchmark_fps: DataFrame | None = None,
 ) -> dict[str, int]:
     """Run the dedup-gated intake loop over ``source_dir`` to completion
     (``availableNow`` — the periodic crawl-intake job shape: each
@@ -95,6 +96,19 @@ def stream_crawl_ingest(
     contract) so one giant catch-up run cannot build a batch bigger than
     executor memory; each micro-batch still sees every earlier batch's
     survivors in the dedup layout.
+
+    ``benchmark_fps`` is the optional DECONTAMINATION gate: a 1-column
+    ``(fp)`` frame of held-out benchmark fingerprints
+    (operators/dedup.py::contamination_fingerprint over the benchmark
+    corpus — compute once, reuse every run). Batch docs whose
+    fingerprint collides are flagged ``contaminated`` and never
+    admitted; the check is a broadcast semi-join per micro-batch, no
+    batch shuffle. The three verdict flags are INDEPENDENT: a
+    contaminated doc still participates in the within-batch band
+    suppression (the pessimistic one-pass rule — over-suppression is
+    the safe direction), and a doc can read both corpus_dup and
+    contaminated. Without the gate the column is present and all-false,
+    so the verdict sink's schema never depends on configuration.
     """
     embed = hashing_embedder(dim)
     id_col = dedup_index.id_col
@@ -112,9 +126,29 @@ def stream_crawl_ingest(
         # the verdict write, the survivor join, and the counts — and a
         # pre-append materialization, so no later read of the layout can
         # be substituted for this one (index/dedupidx.py hazard note).
-        verdicts = dedup_index_filter(spark, dedup_index, batch).localCheckpoint(
-            eager=True
-        )
+        verdicts = dedup_index_filter(spark, dedup_index, batch)
+        if benchmark_fps is not None:
+            from ..operators.dedup import contamination_fingerprint
+
+            hits = (
+                batch.select(
+                    id_col,
+                    contamination_fingerprint(F.col(dedup_index.text_col)).alias(
+                        "fp"
+                    ),
+                )
+                .join(F.broadcast(benchmark_fps), "fp", "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+            verdicts = (
+                verdicts.join(hits.withColumn("_b", F.lit(True)), id_col, "left")
+                .withColumn("contaminated", F.coalesce("_b", F.lit(False)))
+                .drop("_b")
+            )
+        else:
+            verdicts = verdicts.withColumn("contaminated", F.lit(False))
+        verdicts = verdicts.localCheckpoint(eager=True)
         if verdict_path is not None:
             (
                 verdicts.withColumn("__batch_id", F.lit(int(batch_id)))
@@ -124,7 +158,11 @@ def stream_crawl_ingest(
                 .parquet(verdict_path)
             )
         survivors = batch.join(
-            verdicts.filter(~F.col("corpus_dup") & ~F.col("within_dup")).select(id_col),
+            verdicts.filter(
+                ~F.col("corpus_dup")
+                & ~F.col("within_dup")
+                & ~F.col("contaminated")
+            ).select(id_col),
             id_col,
         )
         # Embed + assign once (localCheckpoint), feeding the IVF append

@@ -278,6 +278,44 @@ def test_takedown_between_runs_readmits(spark, tmp_path):
     assert {FRESH_B0[0], 999} <= ivf_ids
 
 
+def test_first_crawl_bootstrap_from_declared_empty_layouts(spark, tmp_path):
+    """The very first crawl: BOTH layouts declared empty before any
+    document exists (the reference's create-collection-then-insert
+    lifecycle). Batch 0 dedups only against itself, its survivors seed
+    the layouts, and batch 1 dedups against them — no special-case code
+    anywhere, the declared-empty read paths just work."""
+    from vector_db_example_spark.index.dedupidx import build_dedup_index
+    from vector_db_example_spark.index.ivf import build_ivf_index
+
+    didx = build_dedup_index(
+        spark.createDataFrame([], DOC_SCHEMA), str(tmp_path / "dedup")
+    )
+    vidx = build_ivf_index(
+        spark.createDataFrame([], "doc_id long, text string, embedding array<float>"),
+        str(tmp_path / "ivf"),
+        dim=64,
+        id_col="doc_id",
+    )
+    src_dir = _write_batch_file(
+        spark, tmp_path, "b0", [FRESH_B0, WITHIN_A_B0, WITHIN_B_B0], 1_000_000_000
+    )
+    _write_batch_file(
+        spark, tmp_path, "b1", [COPY_OF_B0_SURVIVOR_B1, FRESH_B1], 1_000_000_100
+    )
+    verdicts = str(tmp_path / "verdicts")
+    totals = stream_crawl_ingest(
+        spark, src_dir, didx, vidx, str(tmp_path / "ckpt"),
+        verdict_path=verdicts, max_files_per_trigger=1,
+    )
+    assert totals == {"batches": 2, "seen": 5, "accepted": 3}
+    vm = _verdict_map(spark, verdicts)
+    assert vm[100] == (False, False, 0)   # nothing to collide with
+    assert vm[103] == (False, True, 0)    # within pair still applies
+    assert vm[200] == (True, False, 1)    # batch 0's survivor suppresses
+    ivf_ids = {r["doc_id"] for r in spark.read.parquet(vidx.path).collect()}
+    assert ivf_ids == {100, 102, 201}
+
+
 def test_decontamination_gate_blocks_benchmark_docs(spark, tmp_path):
     """A batch doc whose normalized-prefix fingerprint collides with the
     benchmark set is flagged contaminated and never admitted — while

@@ -109,6 +109,39 @@ def test_lsh_layout_stats(spark, tmp_path):
     assert s["max_bucket_rows"] >= 1.0
 
 
+def test_positional_layout_stats(spark, tmp_path):
+    """Positional layouts share the InvertedIndex class; the stats path
+    must count their (term, doc) postings identically."""
+    from vector_db_example_spark.index.inverted import build_positional_index
+
+    docs = spark.createDataFrame(DOCS[:2], DOC_SCHEMA)
+    idx = build_positional_index(docs, str(tmp_path / "idx"))
+    s = _stats(spark, idx)
+    tok = docs.select("doc_id", F.explode(extract_tokens(F.col("text"))).alias("t"))
+    assert s["docs_live"] == 2.0
+    assert s["postings_live"] == float(tok.distinct().count())
+    assert s["total_tokens"] == float(tok.count())
+
+
+def test_declared_empty_layout_stats(spark, tmp_path):
+    """A declared-empty dedup layout (first-crawl bootstrap) reports
+    well-typed zeros, not a schema error."""
+    from vector_db_example_spark.index.dedupidx import build_dedup_index
+
+    idx = build_dedup_index(
+        spark.createDataFrame([], DOC_SCHEMA), str(tmp_path / "idx")
+    )
+    s = _stats(spark, idx)
+    assert s == {
+        "docs_live": 0.0,
+        "docs_tombstoned": 0.0,
+        "band_rows_live": 0.0,
+        "distinct_band_keys": 0.0,
+        "max_band_key_docs": 0.0,
+        "band_keys_over_cap": 0.0,
+    }
+
+
 def test_file_count_tracks_appends_and_compaction(spark, tmp_path):
     from vector_db_example_spark.index.dedupidx import (
         build_dedup_index,

@@ -93,27 +93,36 @@ def inverted_layout_stats(spark: SparkSession, index) -> DataFrame:
     sequence."""
     from .inverted import _live, _read_postings
 
-    per_term = (
-        _live(index, _read_postings(spark, index))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    live_posts = _live(index, _read_postings(spark, index))
+    per_term = live_posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     posts = per_term.agg(
         F.coalesce(F.sum("df"), F.lit(0)).cast("double").alias("postings_live"),
         F.count(F.lit(1)).cast("double").alias("distinct_terms"),
         F.coalesce(F.max("df"), F.lit(0)).cast("double").alias("max_term_df"),
     )
-    doclens = _live(index, spark.read.parquet(index.doclens_path))
-    dl = doclens.agg(
-        F.countDistinct(index.id_col).cast("double").alias("docs_live"),
-        F.coalesce(F.sum("__dl"), F.lit(0)).cast("double").alias("total_tokens"),
-        F.round(
-            F.coalesce(F.sum("__dl"), F.lit(0)).cast("double")
-            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_doclen"),
-    )
     tomb = _tombstone_count(spark, f"{index.path}/tombstones", index.id_col)
+    if index.positional:
+        # Positional-only layouts carry no doclens/stats side-tables
+        # (build_positional_index contract; routed on the persisted
+        # flag, never a filesystem probe). Doc counts and per-doc token
+        # positions come from the postings themselves.
+        dl = live_posts.agg(
+            F.countDistinct(index.id_col).cast("double").alias("docs_live"),
+            F.coalesce(F.sum(F.size("positions")), F.lit(0))
+            .cast("double")
+            .alias("total_tokens"),
+        )
+    else:
+        doclens = _live(index, spark.read.parquet(index.doclens_path))
+        dl = doclens.agg(
+            F.countDistinct(index.id_col).cast("double").alias("docs_live"),
+            F.coalesce(F.sum("__dl"), F.lit(0)).cast("double").alias("total_tokens"),
+            F.round(
+                F.coalesce(F.sum("__dl"), F.lit(0)).cast("double")
+                / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_doclen"),
+        )
     return _melt(posts).unionByName(_melt(dl)).unionByName(_melt(tomb))
 
 

@@ -354,6 +354,41 @@ def test_decontamination_gate_blocks_benchmark_docs(spark, tmp_path):
     assert 103 in ivf_ids and not {100, 101, 102} & ivf_ids
 
 
+def test_inverted_sink_makes_survivors_text_searchable(spark, tmp_path, crawl_env):
+    """With the inverted sink attached, streamed survivors must answer a
+    BM25 query exactly like an index freshly built over corpus +
+    survivors — the intake loop feeding BOTH retrieval modes."""
+    from vector_db_example_spark.index.inverted import (
+        bm25_search_inverted,
+        build_inverted_index,
+    )
+
+    didx, vidx, src_dir = crawl_env
+    corpus = spark.createDataFrame(CORPUS, DOC_SCHEMA)
+    iidx = build_inverted_index(corpus, str(tmp_path / "inv"))
+    totals = stream_crawl_ingest(
+        spark, src_dir, didx, vidx, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, inverted_index=iidx,
+    )
+    assert totals["accepted"] == 3
+    survivors = spark.createDataFrame(
+        [FRESH_B0, WITHIN_A_B0, FRESH_B1], DOC_SCHEMA
+    )
+    fresh = build_inverted_index(
+        corpus.unionByName(survivors), str(tmp_path / "inv_fresh")
+    )
+    terms = ["logging", "transactions", "storage"]
+    got = [
+        (r["doc_id"], round(r["bm25"], 9))
+        for r in bm25_search_inverted(spark, iidx, terms, k=5).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["bm25"], 9))
+        for r in bm25_search_inverted(spark, fresh, terms, k=5).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
 def test_marker_records_batch_counts(spark, tmp_path, crawl_env):
     """Commit markers carry the per-batch admission report (the crawl
     job's operational breadcrumb)."""

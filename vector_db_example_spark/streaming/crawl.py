@@ -84,6 +84,7 @@ def stream_crawl_ingest(
     max_files_per_trigger: int | None = None,
     source_schema: str = "doc_id long, text string",
     benchmark_fps: DataFrame | None = None,
+    inverted_index=None,
 ) -> dict[str, int]:
     """Run the dedup-gated intake loop over ``source_dir`` to completion
     (``availableNow`` — the periodic crawl-intake job shape: each
@@ -96,6 +97,17 @@ def stream_crawl_ingest(
     contract) so one giant catch-up run cannot build a batch bigger than
     executor memory; each micro-batch still sees every earlier batch's
     survivors in the dedup layout.
+
+    ``inverted_index`` optionally makes survivors TEXT-searchable too:
+    each batch's admitted documents append their postings into the
+    term-bucket layout (index/inverted.py::append_to_inverted_index —
+    BM25-correct stats bumps, bucket-pruned reads), so the intake loop
+    feeds BOTH retrieval modes the reference's hybrid search uses
+    (vector src/app.py:248 + keyword fan-out src/app.py:313). Write
+    order inserts it between the IVF append and the dedup-band append:
+    a crash-window replay either re-appends byte-identical postings
+    (healed by ``compact_inverted_index``, the package contract) or —
+    past the dedup append — skips everything, same as the IVF story.
 
     ``benchmark_fps`` is the optional DECONTAMINATION gate: a 1-column
     ``(fp)`` frame of held-out benchmark fingerprints
@@ -172,11 +184,17 @@ def stream_crawl_ingest(
             .withColumn("cell_id", assign_cells(ivf_index, F.col("embedding")))
             .localCheckpoint(eager=True)
         )
+        n_seen, n_acc = verdicts.count(), assigned.count()
         assigned.write.partitionBy("cell_id").mode("append").parquet(ivf_index.path)
+        if inverted_index is not None and n_acc:
+            from ..index.inverted import append_to_inverted_index
+
+            append_to_inverted_index(
+                inverted_index, assigned.drop("embedding", "cell_id")
+            )
         # Dedup append LAST (module docstring: the crash-replay outcomes
         # depend on this ordering). Feeds from the materialized rows.
         dedup_index_append(dedup_index, assigned.drop("embedding", "cell_id"))
-        n_seen, n_acc = verdicts.count(), assigned.count()
         fsio.write_text(marker, f'{{"seen": {n_seen}, "accepted": {n_acc}}}', spark)
         totals["batches"] += 1
         totals["seen"] += n_seen

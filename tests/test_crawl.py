@@ -403,3 +403,62 @@ def test_marker_records_batch_counts(spark, tmp_path, crawl_env):
         (json.loads(open(f).read()) for f in files), key=lambda r: r["seen"]
     )
     assert reports == [{"seen": 2, "accepted": 1}, {"seen": 4, "accepted": 2}]
+
+
+def test_mismatched_id_cols_raise(spark, tmp_path, crawl_env):
+    """An IVF handle whose id column differs from the dedup handle's
+    must be rejected up front — the append would otherwise persist rows
+    missing the column the IVF schema expects (NULL ids on every read;
+    advisor finding, round 9)."""
+    didx, _vidx, src_dir = crawl_env
+    corpus = spark.createDataFrame(CORPUS, DOC_SCHEMA)
+    embedded = corpus.withColumn(
+        "embedding", hashing_embedder(64)(F.col("text"))
+    ).withColumnRenamed("doc_id", "vec_id")
+    bad_vidx = build_ivf_index(
+        embedded, str(tmp_path / "ivf_bad"), nlist=2, train_sample=100
+    )
+    with pytest.raises(ValueError, match="id_col"):
+        stream_crawl_ingest(
+            spark, src_dir, didx, bad_vidx, str(tmp_path / "ckpt_bad")
+        )
+
+
+def test_custom_column_names_roundtrip(spark, tmp_path):
+    """Handles with non-default column names flow through the whole
+    loop: the source schema defaults from the dedup handle, the IVF
+    append writes the handle's vector_col, and a post-ingest search
+    reads back real ids and vectors (the silent-NULL corruption the
+    round-9 advisor flagged)."""
+    schema = "docid long, body string"
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in CORPUS], schema
+    )
+    didx = build_dedup_index(
+        corpus, str(tmp_path / "dedup_c"), id_col="docid", text_col="body"
+    )
+    embedded = corpus.withColumn("vec", hashing_embedder(64)(F.col("body")))
+    vidx = build_ivf_index(
+        embedded,
+        str(tmp_path / "ivf_c"),
+        nlist=2,
+        vector_col="vec",
+        id_col="docid",
+        train_sample=100,
+    )
+    stage = str(tmp_path / "_stage_c")
+    spark.createDataFrame(
+        [FRESH_B0, DUP_OF_CORPUS_B0], schema
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    src_dir = tmp_path / "src_c"
+    src_dir.mkdir()
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copyfile(part, str(src_dir / "b0.parquet"))
+    totals = stream_crawl_ingest(
+        spark, str(src_dir), didx, vidx, str(tmp_path / "ckpt_c")
+    )
+    assert totals == {"batches": 1, "seen": 2, "accepted": 1}
+    qv = hash_embed_one(FRESH_B0[1], 64)
+    hits = ivf_search(spark, vidx, qv, k=1, nprobe=2).collect()
+    assert [r["docid"] for r in hits] == [FRESH_B0[0]]
+    assert math.isclose(hits[0]["distance"], 0.0, abs_tol=1e-9)

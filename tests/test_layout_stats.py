@@ -170,3 +170,28 @@ def test_file_count_tracks_appends_and_compaction(spark, tmp_path):
 def test_dispatch_rejects_unknown_layouts(spark):
     with pytest.raises(TypeError):
         layout_stats(spark, object())
+
+
+def test_total_file_count_includes_dedup_siblings(spark, tmp_path):
+    """The dedup layout's every append also grows the _sigs sibling;
+    layout_total_file_count must see that debt while the root-only
+    layout_file_count by contract does not (advisor finding, round 9)."""
+    from vector_db_example_spark.index.dedupidx import (
+        build_dedup_index,
+        dedup_index_append,
+        dedup_index_delete,
+    )
+    from vector_db_example_spark.index.stats import layout_total_file_count
+
+    docs = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    idx = build_dedup_index(docs, str(tmp_path / "idx"))
+    base_total = layout_total_file_count(idx, spark)
+    assert base_total > layout_file_count(idx.path, spark)
+    dedup_index_append(
+        idx,
+        spark.createDataFrame([(100, "sibling growth probe tokens")], DOC_SCHEMA),
+    )
+    grown_total = layout_total_file_count(idx, spark)
+    assert grown_total > base_total
+    dedup_index_delete(spark, idx, [100])
+    assert layout_total_file_count(idx, spark) > grown_total

@@ -191,11 +191,17 @@ def layout_stats(spark: SparkSession, layout, candidate_cap: int = 64) -> DataFr
 
 
 def layout_file_count(path: str, spark: SparkSession | None = None) -> int:
-    """PHYSICAL data-file count under a layout root — compaction debt.
+    """PHYSICAL data-file count under ONE layout root — compaction debt.
     Counts non-hidden files (skipping any ``_``/``.`` path component:
     meta JSON, commit markers, _SUCCESS, checksums), recursively, via
     the Hadoop FileSystem so scheme-addressed layouts count the same
-    as local ones. Driver-side metadata only — no Spark job."""
+    as local ones. Driver-side metadata only — no Spark job.
+
+    Root-ONLY by contract: layouts whose side-tables are deliberate
+    sibling directories (the dedup layout's ``{path}_sigs`` /
+    ``{path}_tombstones``, the IVF tombstone table) are NOT included —
+    pass the handle to ``layout_total_file_count`` for the full debt
+    figure a compaction would actually collapse."""
     fs, root, _jvm = fsio._fs(path, spark)
     if not fs.exists(root):
         return 0
@@ -209,3 +215,28 @@ def layout_file_count(path: str, spark: SparkSession | None = None) -> int:
             continue
         n += 1
     return n
+
+
+def layout_total_file_count(layout, spark: SparkSession | None = None) -> int:
+    """Full PHYSICAL file count for a layout HANDLE: the root plus every
+    sibling side-table its appends also accumulate and its compactor
+    also rewrites — the dedup layout's ``_sigs``/``_tombstones``
+    siblings, the IVF tombstone table (the inverted/LSH layouts keep
+    their side-tables UNDER the root, so the root listing already covers
+    them). This is the number to watch for compaction debt; the
+    path-level ``layout_file_count`` deliberately reports one root only
+    (advisor finding, round 9)."""
+    from .dedupidx import DedupIndex
+    from .ivf import IVFIndex
+
+    total = layout_file_count(layout.path, spark)
+    if isinstance(layout, DedupIndex):
+        from .dedupidx import _sigs_path, _tombstone_path
+
+        total += layout_file_count(_sigs_path(layout), spark)
+        total += layout_file_count(_tombstone_path(layout), spark)
+    elif isinstance(layout, IVFIndex):
+        from .ivf import _tombstone_path
+
+        total += layout_file_count(_tombstone_path(layout), spark)
+    return total

@@ -123,12 +123,40 @@ QUERIES: dict[str, Query] = {}
 #:    to keep every entry that may still be one-green), and every
 #:    anchor block unchanged.
 #:
-#: ROUND-10 ROTATION PLAN: rotate any mid-round-9 zero-row
-#: registrations (see the mid-round-9 block in DRIVER_EXCLUDED, if any)
-#: to the front; once CORRECTNESS_r08/r09 verdicts exist, the r8-front
-#: four and r7 trio become two-plus-green and excludable; backfill from
-#: the r4/r01/r03 anchor blocks only as slots demand.
+#: ROUND-10 ROTATION (executed 2026-08-15, per the plan recorded here
+#: in round 9):
+#: 1. Rotated IN, at the front: the three zero-row entries registered
+#:    mid-round-9 after the r9 surface froze
+#:    (stream_crawl_dedup_gated_ingest — the composed dedup-gated
+#:    intake loop, streaming/crawl.py; pipeline_layout_stats — layout
+#:    describe/stats over the four mutable layouts, index/stats.py;
+#:    stream_crawl_decontaminated_ingest — the loop with both admission
+#:    gates), each sf0.01 + sf1.0 + sf5 hash-verified on arrival
+#:    (SCALING.md round 9) and independently re-verified in the round-9
+#:    judge session.
+#: 2. Rotated OUT three entries with four-plus greens each, per-entry
+#:    anchors documented in DRIVER_EXCLUDED: vector_lsh_exact_parity
+#:    (LSH keeps three surfaced anchors), text_phrase_search (phrase
+#:    machinery anchored by text_positional_compact_parity),
+#:    events_sliding_window (events keeps four surfaced anchors).
+#: 3. Kept: the r8/r9-front cohort and the r7 trio (CORRECTNESS_r08
+#:    never landed, so their green counts are one lower than scheduled —
+#:    the conservative read keeps them for their second/third verdicts),
+#:    and every anchor block unchanged.
+#:
+#: ROUND-11 ROTATION PLAN: rotate any mid-round-10 zero-row
+#: registrations to the front (see the mid-round-10 block in
+#: DRIVER_EXCLUDED, if any); the r9-front pair and r8-front four are
+#: then two-plus-green and excludable; backfill from the r4/r01/r03
+#: anchor blocks only as slots demand.
 DRIVER_CRITICAL: tuple[str, ...] = (
+    # --- round-10 rotation: zero driver rows until now (registered
+    # mid-round-9 after the r9 surface froze). The round-9 headline
+    # work lands here: the composed crawl intake loop (both gate
+    # configurations) and layout-level describe/stats. ---
+    "stream_crawl_dedup_gated_ingest",
+    "pipeline_layout_stats",
+    "stream_crawl_decontaminated_ingest",
     # --- round-9 rotation: zero driver rows until now (registered
     # mid-round-8 after the r8 surface froze). The round-8 headline
     # work lands here: the dedup index's delete/compact lifecycle and
@@ -171,20 +199,18 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "events_retention_cohorts",
     "agg_count_min_heavy_hitters",
     "stream_cms_documents",
-    # --- r4-first-green, kept through r5: two greens (r4+r5), now
-    # excludable, but the rotation leaves room — a third green each ---
-    "vector_lsh_exact_parity",
+    # --- r4-first-green block (two rotated out in round 10, documented
+    # in DRIVER_EXCLUDED) ---
     "vector_bucketed_pairs_exact",
     "text_inverted_compaction_parity",
-    "text_phrase_search",
     "join_bucketed_colocated",
     "text_bigram_lm_quality",
     "vector_late_interaction_layout_topk",
     # --- r01-backlog anchors kept after the r6 rotation (three-green;
-    # retained so every family keeps a surfaced anchor) ---
+    # retained so every family keeps a surfaced anchor; one rotated out
+    # in round 10) ---
     "agg_rollup_order_status",        # grouping-sets anchor (cube twin out)
     "events_range_join_clicks_before_purchase",
-    "events_sliding_window",
     "join_semi_anti_customers",
     "pipeline_train_test_split",
     "setop_part_brands",              # sole set-op member
@@ -305,32 +331,34 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
-        # --- registered mid-round-9 (after the r9 surface froze):
-        # rotate to the front of DRIVER_CRITICAL in round 10 per the
-        # zero-row-first rule, exactly like the mid-round-4..-8 blocks.
-        # Oracle-checked locally by tests/test_oracle_parity.py and
-        # hash-verified vs DuckDB at sf0.01 AND sf1.0 on arrival
-        # (SCALING.md round 9). ---
-        "stream_crawl_dedup_gated_ingest",  # the composed intake loop
-                                     # (streaming/crawl.py): per-batch
-                                     # dedup-index filter → verdict sink
-                                     # → embed → IVF append → dedup
-                                     # append, two mtime-ordered micro-
-                                     # batches + an exhaustive-probe
-                                     # search over everything accepted,
-                                     # one hash verdict
-        "pipeline_layout_stats",     # layout describe/stats
-                                     # (index/stats.py, the reference's
-                                     # S9 at the layout level): dedup
-                                     # build→delete + inverted
-                                     # build→append→delete, every
-                                     # logical stat vs SQL recompute
-        "stream_crawl_decontaminated_ingest",  # the intake loop with
-                                     # BOTH admission gates (band dedup
-                                     # + benchmark decontamination),
-                                     # flag independence pinned by
-                                     # corpus∩benchmark plants, search
-                                     # proves no flagged doc ingested
+        # --- rotated OUT in round 10: entries with four-plus greens
+        # each, yielding their slots to the three mid-round-9 zero-row
+        # registrations per the zero-row-first rule. Each remains
+        # registered and oracle-checked locally by
+        # tests/test_oracle_parity.py. ---
+        "vector_lsh_exact_parity",   # four-plus greens (r4–r9); the LSH
+                                     # family keeps THREE surfaced
+                                     # anchors (vector_lsh_compact_parity,
+                                     # vector_lsh_delete_parity,
+                                     # vector_lsh_batch_topk) exercising
+                                     # the same bucket layout + multiprobe
+                                     # machinery this exact-parity row
+                                     # pinned
+        "text_phrase_search",        # four-plus greens; the positional
+                                     # phrase machinery is anchored by
+                                     # the surfaced
+                                     # text_positional_compact_parity
+                                     # (same positions layout, adds the
+                                     # compactor), and the text family
+                                     # keeps eight surfaced anchors
+        "events_sliding_window",     # four-plus greens; events keeps
+                                     # four surfaced anchors
+                                     # (retention_cohorts, range_join,
+                                     # hypertable_retention, plus the
+                                     # streaming twins); the sliding-
+                                     # window kernel is replayed by the
+                                     # excluded-but-suite-checked
+                                     # stream_events_sliding_window
         # --- rotated OUT in round 9: r4-first-green entries with
         # four-plus greens each (r4–r8), yielding their slots to the two
         # mid-round-8 zero-row registrations per the zero-row-first

@@ -940,3 +940,281 @@ def stream_crawl_decontaminated_ingest(spark: SparkSession, sf_dir: str) -> Data
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _crawl_verified_oracle() -> str:
+    """The VERIFIED crawl admission loop's DuckDB mirror: the
+    dedup_incremental_verified_filter algebra (dedup_q — signature
+    estimate ≥ 0.5, candidate_cap=2 mega-key routing) iterated over two
+    sequential batches, batch 1's index side (band layout, signature
+    side-car, AND the mega-key counts) including batch 0's survivors."""
+    from .dedup_q import _BANDS_OF_SIGS_SQL, _SIM_SQL, _sigs_sql
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+  UNION ALL
+  SELECT 500000 + g.i AS id, d.text
+  FROM (SELECT text FROM documents WHERE doc_id = 0) d
+  CROSS JOIN generate_series(1, 5) AS g(i)
+),
+fresh0 AS (
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+),
+b0 AS (
+  SELECT * FROM fresh0
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text
+  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS id, text || ' zzq zzw' AS text
+  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 11 = 0
+  UNION ALL
+  SELECT id + 3000000 AS id, text FROM fresh0 WHERE id % 5 = 0
+),
+b1 AS (
+  SELECT id + 4000000 AS id, text FROM fresh0
+  UNION ALL
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 1
+),
+csig AS ({_sigs_sql('corpus')}),
+b0sig AS ({_sigs_sql('b0')}),
+cb AS ({_BANDS_OF_SIGS_SQL.format(sigs='csig')}),
+b0b AS ({_BANDS_OF_SIGS_SQL.format(sigs='b0sig')}),
+counts0 AS (SELECT band, key, count(*) AS n FROM cb GROUP BY band, key),
+over0 AS (SELECT band, key FROM counts0 WHERE n > 2),
+auto0 AS (
+  SELECT DISTINCT b.id FROM b0b b
+  JOIN over0 o ON b.band = o.band AND b.key = o.key
+),
+cand0 AS (
+  SELECT DISTINCT b.id AS bid, c.id AS cid
+  FROM b0b b
+  JOIN (SELECT cb.* FROM cb
+        LEFT JOIN over0 o ON cb.band = o.band AND cb.key = o.key
+        WHERE o.band IS NULL) c
+    ON b.band = c.band AND b.key = c.key
+),
+vhits0 AS (
+  SELECT DISTINCT cand0.bid AS id
+  FROM cand0
+  JOIN b0sig bs ON bs.id = cand0.bid
+  JOIN csig cs ON cs.id = cand0.cid
+  WHERE {_SIM_SQL} >= 0.5
+),
+cdup0 AS (SELECT id FROM auto0 UNION SELECT id FROM vhits0),
+nb0 AS (SELECT * FROM b0b WHERE id NOT IN (SELECT id FROM cdup0)),
+wc0 AS (
+  SELECT band, key, count(*) AS n, min(id) AS min_id
+  FROM nb0 GROUP BY band, key
+),
+wauto0 AS (
+  SELECT DISTINCT n.id FROM nb0 n
+  JOIN wc0 w ON n.band = w.band AND n.key = w.key
+  WHERE w.n > 2 AND n.id > w.min_id
+),
+wp0 AS (
+  SELECT DISTINCT l.id AS lid, r.id AS rid
+  FROM nb0 l
+  JOIN nb0 r ON l.band = r.band AND l.key = r.key AND l.id > r.id
+  JOIN wc0 w ON l.band = w.band AND l.key = w.key
+  WHERE w.n <= 2
+),
+wv0 AS (
+  SELECT DISTINCT wp0.lid AS id
+  FROM wp0
+  JOIN b0sig bs ON bs.id = wp0.lid
+  JOIN b0sig cs ON cs.id = wp0.rid
+  WHERE {_SIM_SQL} >= 0.5
+),
+wdup0 AS (SELECT id FROM wauto0 UNION SELECT id FROM wv0),
+surv0 AS (SELECT id FROM b0
+          WHERE id NOT IN (SELECT id FROM cdup0)
+            AND id NOT IN (SELECT id FROM wdup0)),
+csig2 AS (
+  SELECT * FROM csig
+  UNION ALL
+  SELECT * FROM b0sig WHERE id IN (SELECT id FROM surv0)
+),
+cb2 AS (
+  SELECT * FROM cb
+  UNION ALL
+  SELECT * FROM b0b WHERE id IN (SELECT id FROM surv0)
+),
+b1sig AS ({_sigs_sql('b1')}),
+b1b AS ({_BANDS_OF_SIGS_SQL.format(sigs='b1sig')}),
+counts1 AS (SELECT band, key, count(*) AS n FROM cb2 GROUP BY band, key),
+over1 AS (SELECT band, key FROM counts1 WHERE n > 2),
+auto1 AS (
+  SELECT DISTINCT b.id FROM b1b b
+  JOIN over1 o ON b.band = o.band AND b.key = o.key
+),
+cand1 AS (
+  SELECT DISTINCT b.id AS bid, c.id AS cid
+  FROM b1b b
+  JOIN (SELECT cb2.* FROM cb2
+        LEFT JOIN over1 o ON cb2.band = o.band AND cb2.key = o.key
+        WHERE o.band IS NULL) c
+    ON b.band = c.band AND b.key = c.key
+),
+vhits1 AS (
+  SELECT DISTINCT cand1.bid AS id
+  FROM cand1
+  JOIN b1sig bs ON bs.id = cand1.bid
+  JOIN csig2 cs ON cs.id = cand1.cid
+  WHERE {_SIM_SQL} >= 0.5
+),
+cdup1 AS (SELECT id FROM auto1 UNION SELECT id FROM vhits1),
+nb1 AS (SELECT * FROM b1b WHERE id NOT IN (SELECT id FROM cdup1)),
+wc1 AS (
+  SELECT band, key, count(*) AS n, min(id) AS min_id
+  FROM nb1 GROUP BY band, key
+),
+wauto1 AS (
+  SELECT DISTINCT n.id FROM nb1 n
+  JOIN wc1 w ON n.band = w.band AND n.key = w.key
+  WHERE w.n > 2 AND n.id > w.min_id
+),
+wp1 AS (
+  SELECT DISTINCT l.id AS lid, r.id AS rid
+  FROM nb1 l
+  JOIN nb1 r ON l.band = r.band AND l.key = r.key AND l.id > r.id
+  JOIN wc1 w ON l.band = w.band AND l.key = w.key
+  WHERE w.n <= 2
+),
+wv1 AS (
+  SELECT DISTINCT wp1.lid AS id
+  FROM wp1
+  JOIN b1sig bs ON bs.id = wp1.lid
+  JOIN b1sig cs ON cs.id = wp1.rid
+  WHERE {_SIM_SQL} >= 0.5
+),
+wdup1 AS (SELECT id FROM wauto1 UNION SELECT id FROM wv1)
+SELECT 'b0' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM cdup0))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM wdup0))::INTEGER AS within_dup
+FROM b0 b
+UNION ALL
+SELECT 'b1' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM cdup1))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM wdup1))::INTEGER AS within_dup
+FROM b1 b
+"""
+
+
+@register(
+    "stream_crawl_verified_ingest",
+    # The intake loop's PRECISION dial under the hash discipline: two
+    # sequential micro-batches admitted through the verified filter
+    # (signature estimate >= 0.5, candidate_cap=2) — five planted doc-0
+    # copies in the corpus exercise the mega-key auto route, exact
+    # plants the verified route (sim=1.0), and batch 1's copies of
+    # batch 0's survivors prove the appended signature side-car (not
+    # just the bands) is live for the NEXT batch's verification join.
+    oracle=_crawl_verified_oracle(),
+    tags=("streaming", "dedup", "verified", "ingest", "pipeline", "training-data"),
+)
+def stream_crawl_verified_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-gated intake loop with ``verified=True``
+    (streaming/crawl.py): band collision proposes, the MinHash
+    similarity estimate disposes (index/dedupidx.py::
+    dedup_index_filter_verified), so a single lucky band no longer
+    drops a genuinely new document — the precision dial a diverse
+    real crawl needs (the band-only gate suppressed 10,000/10,000 on a
+    replica-saturated sf25 corpus; SCALING.md round 9/10). Two
+    mtime-ordered micro-batches share one hash verdict: b0 exercises
+    both corpus routes (mega-key auto-flag via five planted doc-0
+    copies at candidate_cap=2; signature-verified exact plants) plus
+    the capped within-batch pair route, then b1 replays b0's fresh
+    docs — corpus_dup for those rows proves batch 0's survivor
+    SIGNATURES (the verify join's side-car, not just the band keys)
+    were appended and are live.
+
+    Reference analog: the over-fetch-then-verify recall heuristic
+    /root/reference/src/app.py:251-260 — propose cheaply, verify before
+    committing to a drop."""
+    import glob as _glob
+    import os as _os
+
+    from ..functions.embedding import hashing_embedder
+    from ..index.dedupidx import build_dedup_index
+    from ..index.ivf import build_ivf_index
+    from ..sources.tables import load_table, widen_cpu_dense
+    from ..streaming.crawl import stream_crawl_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 < 2)
+    boiler = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(1, 6).select((F.col("id") + 500000).alias("new_id")))
+        .select(F.col("new_id").alias("doc_id"), "text")
+    )
+    corpus = base.unionByName(boiler)
+    fresh0 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0))
+    b0 = (
+        fresh0.unionByName(
+            base.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" zzq zzw")).alias("text"),
+            )
+        )
+        .unionByName(
+            fresh0.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    b1 = fresh0.select((F.col("doc_id") + 4000000).alias("doc_id"), "text").unionByName(
+        docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 1))
+    )
+
+    def _drop_file(df: DataFrame, src_dir: str, name: str, mtime: int) -> None:
+        stage_dir = f"{src_dir}_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = _glob.glob(f"{stage_dir}/part-*.parquet")[0]
+        dest = f"{src_dir}/{name}.parquet"
+        shutil.copyfile(part, dest)
+        _os.utime(dest, (mtime, mtime))
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    work = tempfile.mkdtemp(prefix="crawl_verified_")
+    try:
+        didx = build_dedup_index(corpus, f"{work}/dedup")
+        embedded = widen_cpu_dense(corpus).withColumn(
+            "embedding", hashing_embedder(64)(F.col("text"))
+        )
+        vidx = build_ivf_index(embedded, f"{work}/ivf", nlist=8, id_col="doc_id")
+        src_dir = f"{work}/src"
+        _os.makedirs(src_dir)
+        _drop_file(b0, src_dir, "b0", 1_000_000_000)
+        _drop_file(b1, src_dir, "b1", 1_000_000_100)
+        stream_crawl_ingest(
+            spark,
+            src_dir,
+            didx,
+            vidx,
+            f"{work}/ckpt",
+            verdict_path=f"{work}/verdicts",
+            max_files_per_trigger=1,
+            verified=True,
+            sim_threshold=0.5,
+            candidate_cap=2,
+        )
+        stage = F.when(F.col("__batch_id") == 0, "b0").otherwise("b1")
+        out = spark.read.parquet(f"{work}/verdicts").select(
+            stage.alias("stage"),
+            "doc_id",
+            F.col("corpus_dup").cast("int").alias("corpus_dup"),
+            F.col("within_dup").cast("int").alias("within_dup"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -68,7 +68,12 @@ from pyspark.sql import functions as F
 
 from .. import fsio
 from ..functions.embedding import hashing_embedder
-from ..index.dedupidx import DedupIndex, dedup_index_append, dedup_index_filter
+from ..index.dedupidx import (
+    DedupIndex,
+    dedup_index_append,
+    dedup_index_filter,
+    dedup_index_filter_verified,
+)
 from ..index.ivf import IVFIndex, assign_cells
 
 
@@ -82,9 +87,12 @@ def stream_crawl_ingest(
     verdict_path: str | None = None,
     dim: int = 64,
     max_files_per_trigger: int | None = None,
-    source_schema: str = "doc_id long, text string",
+    source_schema: str | None = None,
     benchmark_fps: DataFrame | None = None,
     inverted_index=None,
+    verified: bool = False,
+    sim_threshold: float = 0.5,
+    candidate_cap: int = 64,
 ) -> dict[str, int]:
     """Run the dedup-gated intake loop over ``source_dir`` to completion
     (``availableNow`` — the periodic crawl-intake job shape: each
@@ -121,9 +129,43 @@ def stream_crawl_ingest(
     the safe direction), and a doc can read both corpus_dup and
     contaminated. Without the gate the column is present and all-false,
     so the verdict sink's schema never depends on configuration.
+
+    ``verified`` is the admission PRECISION dial: band collision alone
+    proposes a drop, the MinHash similarity estimate disposes
+    (index/dedupidx.py::dedup_index_filter_verified — signature-equality
+    fraction ≥ ``sim_threshold``, with ``candidate_cap`` mega-key
+    routing so boilerplate keys auto-flag without pair enumeration).
+    The default band-only filter is the cheap recall-biased mode — on a
+    replica-saturated corpus it suppressed 10,000/10,000 batch docs
+    (SCALING.md round 9), the designed direction there, but a diverse
+    real crawl false-drops genuinely new documents on single lucky
+    bands (the false-drop rate vs exact-Jaccard ground truth is
+    measured in SCALING.md round 10). Verified mode joins the
+    persisted signature side-car, so the corpus text is still never
+    re-read and per-batch cost stays O(batch) + cap·batch_bands pairs.
+
+    ``source_schema`` defaults to the dedup handle's column names
+    (``{id_col} long, {text_col} string``) — every sink stage addresses
+    columns via the handle, so a custom-named index works without a
+    matching schema string; pass one only when the crawl files carry
+    extra columns.
     """
+    if ivf_index.id_col != dedup_index.id_col:
+        # Fail loudly up front: the IVF append below writes survivor rows
+        # keyed by the dedup id column, so a handle pair whose id columns
+        # disagree would persist parquet files lacking the column the IVF
+        # layout's schema_json expects — every streamed row would read
+        # back a NULL id (silent search corruption).
+        raise ValueError(
+            f"ivf_index.id_col={ivf_index.id_col!r} must equal "
+            f"dedup_index.id_col={dedup_index.id_col!r}: the IVF append "
+            "persists survivor rows keyed by the dedup id column"
+        )
     embed = hashing_embedder(dim)
     id_col = dedup_index.id_col
+    vec_col = ivf_index.vector_col
+    if source_schema is None:
+        source_schema = f"{id_col} long, {dedup_index.text_col} string"
     marker_dir = (
         f"{dedup_index.path}/_crawl_committed/{fsio.canonical_token(checkpoint_path)}"
     )
@@ -138,7 +180,16 @@ def stream_crawl_ingest(
         # the verdict write, the survivor join, and the counts — and a
         # pre-append materialization, so no later read of the layout can
         # be substituted for this one (index/dedupidx.py hazard note).
-        verdicts = dedup_index_filter(spark, dedup_index, batch)
+        if verified:
+            verdicts = dedup_index_filter_verified(
+                spark,
+                dedup_index,
+                batch,
+                threshold=sim_threshold,
+                candidate_cap=candidate_cap,
+            )
+        else:
+            verdicts = dedup_index_filter(spark, dedup_index, batch)
         if benchmark_fps is not None:
             from ..operators.dedup import contamination_fingerprint
 
@@ -180,8 +231,8 @@ def stream_crawl_ingest(
         # Embed + assign once (localCheckpoint), feeding the IVF append
         # and the accepted count.
         assigned = (
-            survivors.withColumn("embedding", embed(F.col(dedup_index.text_col)))
-            .withColumn("cell_id", assign_cells(ivf_index, F.col("embedding")))
+            survivors.withColumn(vec_col, embed(F.col(dedup_index.text_col)))
+            .withColumn("cell_id", assign_cells(ivf_index, F.col(vec_col)))
             .localCheckpoint(eager=True)
         )
         n_seen, n_acc = verdicts.count(), assigned.count()
@@ -190,11 +241,11 @@ def stream_crawl_ingest(
             from ..index.inverted import append_to_inverted_index
 
             append_to_inverted_index(
-                inverted_index, assigned.drop("embedding", "cell_id")
+                inverted_index, assigned.drop(vec_col, "cell_id")
             )
         # Dedup append LAST (module docstring: the crash-replay outcomes
         # depend on this ordering). Feeds from the materialized rows.
-        dedup_index_append(dedup_index, assigned.drop("embedding", "cell_id"))
+        dedup_index_append(dedup_index, assigned.drop(vec_col, "cell_id"))
         fsio.write_text(marker, f'{{"seen": {n_seen}, "accepted": {n_acc}}}', spark)
         totals["batches"] += 1
         totals["seen"] += n_seen

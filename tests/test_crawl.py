@@ -462,3 +462,82 @@ def test_custom_column_names_roundtrip(spark, tmp_path):
     hits = ivf_search(spark, vidx, qv, k=1, nprobe=2).collect()
     assert [r["docid"] for r in hits] == [FRESH_B0[0]]
     assert math.isclose(hits[0]["distance"], 0.0, abs_tol=1e-9)
+
+
+# A deterministic band-collision/low-similarity pair (found by offline
+# search over the exact md5 shingle/minhash algebra): BAND_NEARMISS
+# shares exactly one LSH band key with CORPUS_A but only 5/16 signature
+# positions (estimate 0.3125) — the band-only gate false-drops it, the
+# verified gate admits it.
+CORPUS_A = (
+    10,
+    "distributed query engines partition relational data across many worker nodes for scale",
+)
+BAND_NEARMISS = (
+    110,
+    "distributed query engines partition relational data across many bravo foxtrot oscar delta kilo oscar oscar",
+)
+EXACT_COPY_OF_A = (111, CORPUS_A[1])
+
+
+def _verified_env(spark, tmp_path):
+    corpus = spark.createDataFrame([CORPUS_A] + CORPUS, DOC_SCHEMA)
+    didx = build_dedup_index(corpus, str(tmp_path / "dedup"))
+    embedded = corpus.withColumn("embedding", hashing_embedder(64)(F.col("text")))
+    vidx = build_ivf_index(
+        embedded, str(tmp_path / "ivf"), nlist=2, id_col="doc_id", train_sample=100
+    )
+    return didx, vidx
+
+
+def test_verified_mode_admits_band_near_miss(spark, tmp_path):
+    """The precision dial: a batch doc that shares ONE lucky band with a
+    corpus doc but fails the similarity estimate is dropped by the
+    band-only gate and ADMITTED by the verified gate; an exact copy is
+    dropped by both (sim=1.0)."""
+    rows = [BAND_NEARMISS, EXACT_COPY_OF_A, FRESH_B0]
+    for mode, expect_nearmiss_dropped in ((False, True), (True, False)):
+        sub = str(tmp_path / f"m{int(mode)}")
+        os.makedirs(sub)
+        from pathlib import Path
+
+        base = Path(sub)
+        didx, vidx = _verified_env(spark, base)
+        src_dir = _write_batch_file(spark, base, "b0", rows, 1_000_000_000)
+        stream_crawl_ingest(
+            spark,
+            src_dir,
+            didx,
+            vidx,
+            f"{sub}/ckpt",
+            verdict_path=f"{sub}/verdicts",
+            verified=mode,
+        )
+        v = _verdict_map(spark, f"{sub}/verdicts")
+        assert v[EXACT_COPY_OF_A[0]][0] is True  # exact copy: both modes drop
+        assert v[FRESH_B0[0]] == (False, False, 0)  # fresh: both modes admit
+        assert v[BAND_NEARMISS[0]][0] is expect_nearmiss_dropped
+
+
+def test_verified_mode_cross_batch_sequencing(spark, tmp_path):
+    """Verified mode's batch-1 verification join must see batch 0's
+    APPENDED signatures (not just band keys): an exact copy of a batch-0
+    survivor arriving in batch 1 verifies at sim=1.0 and is dropped."""
+    didx, vidx = _verified_env(spark, tmp_path)
+    src_dir = _write_batch_file(spark, tmp_path, "b0", [FRESH_B0], 1_000_000_000)
+    _write_batch_file(spark, tmp_path, "b1", [COPY_OF_B0_SURVIVOR_B1, FRESH_B1], 1_000_000_100)
+    totals = stream_crawl_ingest(
+        spark,
+        src_dir,
+        didx,
+        vidx,
+        str(tmp_path / "ckpt"),
+        verdict_path=str(tmp_path / "verdicts"),
+        max_files_per_trigger=1,
+        verified=True,
+    )
+    assert totals == {"batches": 2, "seen": 3, "accepted": 2}
+    v = _verdict_map(spark, str(tmp_path / "verdicts"))
+    assert v[FRESH_B0[0]] == (False, False, 0)
+    assert v[COPY_OF_B0_SURVIVOR_B1[0]] == (True, False, 1)
+    assert v[FRESH_B1[0]] == (False, False, 1)

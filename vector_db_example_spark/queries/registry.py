@@ -134,11 +134,20 @@ QUERIES: dict[str, Query] = {}
 #:    gates), each sf0.01 + sf1.0 + sf5 hash-verified on arrival
 #:    (SCALING.md round 9) and independently re-verified in the round-9
 #:    judge session.
-#: 2. Rotated OUT three entries with four-plus greens each, per-entry
+#: 2. Rotated OUT four entries with four-plus greens each, per-entry
 #:    anchors documented in DRIVER_EXCLUDED: vector_lsh_exact_parity
 #:    (LSH keeps three surfaced anchors), text_phrase_search (phrase
 #:    machinery anchored by text_positional_compact_parity),
-#:    events_sliding_window (events keeps four surfaced anchors).
+#:    events_sliding_window (events keeps four surfaced anchors),
+#:    pipeline_train_test_split and text_bigram_lm_quality (slots for
+#:    the two pre-freeze registrations).
+#: 2b. Registered AND surfaced round-10 PRE-freeze (the round-6
+#:    precedent for pre-freeze registrations):
+#:    stream_crawl_verified_ingest — the intake loop's verified
+#:    admission mode (VERDICT r9 task 2) — and
+#:    stream_crawl_bm25_ingest_parity — the loop's inverted sink under
+#:    the hash discipline (VERDICT r9 task 3); each hash-verified at
+#:    sf0.001 + sf0.01 + sf1.0 on arrival.
 #: 3. Kept: the r8/r9-front cohort and the r7 trio (CORRECTNESS_r08
 #:    never landed, so their green counts are one lower than scheduled —
 #:    the conservative read keeps them for their second/third verdicts),
@@ -157,6 +166,12 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "stream_crawl_dedup_gated_ingest",
     "pipeline_layout_stats",
     "stream_crawl_decontaminated_ingest",
+    # --- registered round-10 PRE-freeze (the round-6 precedent):
+    # the verified-admission crawl loop and the crawl loop's inverted
+    # sink, each hash-verified vs DuckDB at sf0.001 + sf0.01 + sf1.0 on
+    # arrival (SCALING.md round 10) ---
+    "stream_crawl_verified_ingest",
+    "stream_crawl_bm25_ingest_parity",
     # --- round-9 rotation: zero driver rows until now (registered
     # mid-round-8 after the r8 surface froze). The round-8 headline
     # work lands here: the dedup index's delete/compact lifecycle and
@@ -204,7 +219,6 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "vector_bucketed_pairs_exact",
     "text_inverted_compaction_parity",
     "join_bucketed_colocated",
-    "text_bigram_lm_quality",
     "vector_late_interaction_layout_topk",
     # --- r01-backlog anchors kept after the r6 rotation (three-green;
     # retained so every family keeps a surfaced anchor; one rotated out
@@ -212,7 +226,6 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "agg_rollup_order_status",        # grouping-sets anchor (cube twin out)
     "events_range_join_clicks_before_purchase",
     "join_semi_anti_customers",
-    "pipeline_train_test_split",
     "setop_part_brands",              # sole set-op member
     "tpch_q3_shipping_priority",
     "window_top_orders_per_customer",
@@ -351,6 +364,25 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                      # (same positions layout, adds the
                                      # compactor), and the text family
                                      # keeps eight surfaced anchors
+        "text_bigram_lm_quality",    # four-plus greens; its slot goes to
+                                     # the PRE-freeze round-10
+                                     # registration
+                                     # stream_crawl_bm25_ingest_parity;
+                                     # the bigram explode/count machinery
+                                     # is suite-checked and the text
+                                     # family keeps eight surfaced
+                                     # anchors incl. the new streamed
+                                     # BM25 line
+        "pipeline_train_test_split", # four-plus greens; its slot goes to
+                                     # the PRE-freeze round-10
+                                     # registration
+                                     # stream_crawl_verified_ingest; the
+                                     # pipeline family keeps
+                                     # pipeline_multi_strategy (flagship)
+                                     # and pipeline_layout_stats, and the
+                                     # deterministic-split kernel is
+                                     # suite-checked by
+                                     # tests/test_oracle_parity.py
         "events_sliding_window",     # four-plus greens; events keeps
                                      # four surfaced anchors
                                      # (retention_cohorts, range_join,

@@ -1218,3 +1218,176 @@ def stream_crawl_verified_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _crawl_bm25_oracle() -> str:
+    """The crawl loop's THIRD retrieval mode under the hash discipline:
+    survivors of the two-batch band-gated admission (the _crawl_oracle
+    algebra) unioned with the corpus, scored by the full BM25 SQL mirror
+    (text_q._bm25_oracle_ctes over the ``accepted`` relation) — streamed
+    postings/doclens/stats appends must answer exactly like a fresh
+    corpus-plus-survivors build."""
+    from .dedup_q import _bands_sql
+    from .text_q import _bm25_oracle_ctes
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+),
+fresh0 AS (
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+),
+b0 AS (
+  SELECT * FROM fresh0
+  UNION ALL
+  SELECT id + 1000000 AS id, text FROM corpus WHERE id % 7 = 0
+  UNION ALL
+  SELECT id + 2000000 AS id, text FROM fresh0 WHERE id % 5 = 0
+),
+b1 AS (
+  SELECT id + 3000000 AS id, text FROM fresh0
+  UNION ALL
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 1
+  UNION ALL
+  SELECT id + 4000000 AS id, text || ' zz' || id AS text
+  FROM corpus WHERE id % 11 = 0
+),
+cb AS ({_bands_sql('corpus')}),
+b0b AS ({_bands_sql('b0')}),
+hit0 AS (SELECT DISTINCT b.id FROM b0b b
+         JOIN cb c ON b.band = c.band AND b.key = c.key),
+new0 AS (SELECT * FROM b0b WHERE id NOT IN (SELECT id FROM hit0)),
+gm0 AS (SELECT band, key, min(id) AS min_id FROM new0 GROUP BY band, key),
+w0 AS (SELECT DISTINCT n.id FROM new0 n
+       JOIN gm0 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id),
+surv0 AS (SELECT id, text FROM b0
+          WHERE id NOT IN (SELECT id FROM hit0)
+            AND id NOT IN (SELECT id FROM w0)),
+sb0 AS ({_bands_sql('surv0')}),
+idx1 AS (SELECT band, key FROM cb UNION ALL SELECT band, key FROM sb0),
+b1b AS ({_bands_sql('b1')}),
+hit1 AS (SELECT DISTINCT b.id FROM b1b b
+         JOIN idx1 c ON b.band = c.band AND b.key = c.key),
+new1 AS (SELECT * FROM b1b WHERE id NOT IN (SELECT id FROM hit1)),
+gm1 AS (SELECT band, key, min(id) AS min_id FROM new1 GROUP BY band, key),
+w1 AS (SELECT DISTINCT n.id FROM new1 n
+       JOIN gm1 g ON n.band = g.band AND n.key = g.key
+       WHERE n.id > g.min_id),
+surv1 AS (SELECT id, text FROM b1
+          WHERE id NOT IN (SELECT id FROM hit1)
+            AND id NOT IN (SELECT id FROM w1)),
+accepted AS (
+  SELECT id AS doc_id, text FROM corpus
+  UNION ALL SELECT id AS doc_id, text FROM surv0
+  UNION ALL SELECT id AS doc_id, text FROM surv1
+),
+{_bm25_oracle_ctes(rel='accepted')}
+SELECT doc_id, round(bm25, 6) AS bm25
+FROM bm25_scored
+ORDER BY round(bm25, 6) DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@register(
+    "stream_crawl_bm25_ingest_parity",
+    # The intake loop's inverted sink under the hash discipline
+    # (VERDICT r9 task 3): the same two-batch admission as
+    # stream_crawl_dedup_gated_ingest, with the postings sink attached —
+    # the streamed layout's BM25 top-10 must equal a full-scan SQL
+    # recompute over corpus + survivors (stats bumps, doclen appends,
+    # and bucket-pruned posting reads all inside the verdict).
+    oracle=_crawl_bm25_oracle(),
+    tags=("streaming", "dedup", "bm25", "inverted-index", "ingest", "pipeline",
+          "training-data"),
+)
+def stream_crawl_bm25_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-gated intake loop with the inverted-postings sink
+    attached (streaming/crawl.py ``inverted_index``): two mtime-ordered
+    crawl batches flow filter → IVF append → postings append → band
+    append, then the TEXT retrieval mode is asked the fixed 3-term BM25
+    query (text_q._BM25_TERMS) straight off the streamed layout. The
+    oracle recomputes BM25 from scratch over corpus + the band-filter
+    survivors — exact parity proves the per-batch postings appends,
+    BM25-stat bumps (N, total doclen), and doclen rows compose to the
+    same index a batch build would produce (the reference's hybrid
+    keyword leg, /root/reference/src/app.py:313, fed by the intake loop
+    instead of a one-shot insert)."""
+    import glob as _glob
+    import os as _os
+
+    from ..functions.embedding import hashing_embedder
+    from ..index.dedupidx import build_dedup_index
+    from ..index.inverted import bm25_search_inverted, build_inverted_index
+    from ..index.ivf import build_ivf_index
+    from ..sources.tables import load_table, widen_cpu_dense
+    from ..streaming.crawl import stream_crawl_ingest
+    from .text_q import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    fresh0 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0))
+    b0 = fresh0.unionByName(
+        corpus.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        fresh0.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    b1 = (
+        fresh0.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 1))
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat(
+                    "text", F.lit(" zz"), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+
+    def _drop_file(df: DataFrame, src_dir: str, name: str, mtime: int) -> None:
+        stage_dir = f"{src_dir}_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = _glob.glob(f"{stage_dir}/part-*.parquet")[0]
+        dest = f"{src_dir}/{name}.parquet"
+        shutil.copyfile(part, dest)
+        _os.utime(dest, (mtime, mtime))
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    work = tempfile.mkdtemp(prefix="crawl_bm25_")
+    try:
+        didx = build_dedup_index(corpus, f"{work}/dedup")
+        embedded = widen_cpu_dense(corpus).withColumn(
+            "embedding", hashing_embedder(64)(F.col("text"))
+        )
+        vidx = build_ivf_index(embedded, f"{work}/ivf", nlist=8, id_col="doc_id")
+        iidx = build_inverted_index(corpus, f"{work}/inv")
+        src_dir = f"{work}/src"
+        _os.makedirs(src_dir)
+        _drop_file(b0, src_dir, "b0", 1_000_000_000)
+        _drop_file(b1, src_dir, "b1", 1_000_000_100)
+        stream_crawl_ingest(
+            spark,
+            src_dir,
+            didx,
+            vidx,
+            f"{work}/ckpt",
+            max_files_per_trigger=1,
+            inverted_index=iidx,
+        )
+        out = bm25_search_inverted(spark, iidx, list(_BM25_TERMS), k=10).select(
+            "doc_id", F.round("bm25", 6).alias("bm25")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -536,7 +536,7 @@ _BM25_TERMS = ("vector", "stream", "window")
 
 
 def _bm25_oracle_ctes(
-    terms: tuple[str, ...] = _BM25_TERMS, where: str = ""
+    terms: tuple[str, ...] = _BM25_TERMS, where: str = "", rel: str = "documents"
 ) -> str:
     """DuckDB CTE chain ending in `bm25_scored(doc_id, bm25)` (unrounded),
     mirroring operators/bm25.py expression-for-expression: integer-exact
@@ -546,7 +546,9 @@ def _bm25_oracle_ctes(
     the text_bm25_search oracle and the weighted-hybrid oracle.
 
     ``where`` (e.g. ``"WHERE doc_id NOT IN (13, 259, 401)"``) restricts
-    the corpus in every CTE that reads it — the oracle shape for
+    the corpus in every CTE that reads it; ``rel`` swaps the corpus
+    relation itself (a prior CTE with ``(doc_id, text)`` columns — the
+    crawl-ingest twin scores corpus + streamed survivors) — the oracle shape for
     maintenance queries whose index has deletions folded in."""
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     tf_cols = ",\n".join(
@@ -564,7 +566,7 @@ def _bm25_oracle_ctes(
     )
     return f"""tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
-  FROM documents {where}
+  FROM {rel} {where}
 ),
 tf AS (
   SELECT doc_id,
@@ -578,12 +580,12 @@ dfs AS (
 ),
 dl AS (
   SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS dl
-  FROM documents {where}
+  FROM {rel} {where}
 ),
 totals AS (
   SELECT count(*)::DOUBLE AS n,
          sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}')))::DOUBLE AS tot
-  FROM documents {where}
+  FROM {rel} {where}
 ),
 bm25_scored AS (
   SELECT doc_id,

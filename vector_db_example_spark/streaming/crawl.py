@@ -139,8 +139,13 @@ def stream_crawl_ingest(
     replica-saturated corpus it suppressed 10,000/10,000 batch docs
     (SCALING.md round 9), the designed direction there, but a diverse
     real crawl false-drops genuinely new documents on single lucky
-    bands (the false-drop rate vs exact-Jaccard ground truth is
-    measured in SCALING.md round 10). Verified mode joins the
+    bands — measured vs exact-Jaccard ground truth at sf0.1 (5,000
+    distinct texts): band-only threw away 10.3% of a genuinely-new
+    batch, verified mode 0% at 1.36× the filter wall
+    (tools/false_drop_measure.py; SCALING.md round 10). Set
+    ``verified=True`` for production crawls on diverse data; keep the
+    default for replica-heavy backfills where over-suppression is the
+    point. Verified mode joins the
     persisted signature side-car, so the corpus text is still never
     re-read and per-batch cost stays O(batch) + cap·batch_bands pairs.
 

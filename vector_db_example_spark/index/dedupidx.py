@@ -360,7 +360,18 @@ def dedup_index_filter_verified(
     by construction); only under-cap keys enumerate (batch × corpus)
     candidate pairs, so the pair count is bounded by
     cap · batch_bands. Within-batch keys over the cap likewise flag
-    everything above the group min unverified."""
+    everything above the group min unverified.
+
+    Plan shape (the 100 TB path): every corpus-side computation is
+    restricted FIRST to layout rows whose (band, key) appears in the
+    batch — a broadcast semi-join against the batch's O(8·batch) key
+    set — so the mega-key counts and the candidate enumeration group
+    and join only COLLIDING rows, never the whole layout. Without the
+    restriction the key counts were a corpus-wide shuffle per batch
+    (measured sf1.0→sf5: SCALING.md round 10); with it the layout scan
+    stays the same narrow pruned read as the band-only filter and the
+    shuffle is O(collisions). The restricted frame is materialized once
+    and feeds both routes (the module's one-kernel rule)."""
     id_col = index.id_col
     bsigs = signature_rows(index, batch).localCheckpoint(eager=True)
     bands = _bands_of_sigs(index, bsigs)
@@ -368,13 +379,17 @@ def dedup_index_filter_verified(
     # mega-key counts — a deleted boilerplate cluster must not keep its
     # band key over the cap and auto-suppress future batches.
     layout = _live(spark, index, _read_bands(spark, index))
-    key_counts = layout.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+    batch_keys = bands.select("band", "key").distinct()
+    hot = layout.join(
+        F.broadcast(batch_keys), ["band", "key"], "left_semi"
+    ).localCheckpoint(eager=True)
+    key_counts = hot.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
     over = key_counts.filter(F.col("_n") > candidate_cap).select("band", "key")
     auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col).distinct()
     cand = (
         bands.alias("b")
         .join(
-            layout.join(over, ["band", "key"], "left_anti").alias("c"),
+            hot.join(over, ["band", "key"], "left_anti").alias("c"),
             ["band", "key"],
         )
         .select(F.col(f"b.{id_col}").alias(id_col), F.col(f"c.{id_col}").alias("_cid"))

@@ -38,6 +38,12 @@ def test_driver_surface_capped_and_critical_first():
     qs = e.queries()
     assert len(qs) <= 50
     assert list(qs)[: len(DRIVER_CRITICAL)] == list(DRIVER_CRITICAL)
+    # README claims every surfaced entry is oracle-backed — derive it
+    # here so a future rotation can't silently make the claim stale
+    # (advisor finding, round 10): a rows-only entry re-entering the
+    # surface must update README.md's surface sentence too.
+    oracles = e.oracle_sql()
+    assert set(qs) <= set(oracles), sorted(set(qs) - set(oracles))
     # excluded fillers stay registered (and oracle-checked by
     # test_oracle_parity) — they are trimmed, not deleted
     assert DRIVER_EXCLUDED <= set(QUERIES)

@@ -195,3 +195,17 @@ def test_total_file_count_includes_dedup_siblings(spark, tmp_path):
     assert grown_total > base_total
     dedup_index_delete(spark, idx, [100])
     assert layout_total_file_count(idx, spark) > grown_total
+
+
+def test_total_file_count_rejects_unknown_layouts(spark):
+    """layout_total_file_count shares layout_stats' TypeError contract:
+    a future layout with sibling side-tables must not silently
+    under-report its compaction debt as a root-only count (advisor
+    finding, round 10)."""
+    from vector_db_example_spark.index.stats import layout_total_file_count
+
+    class NotALayout:
+        path = "/tmp/nowhere"
+
+    with pytest.raises(TypeError):
+        layout_total_file_count(NotALayout(), spark)

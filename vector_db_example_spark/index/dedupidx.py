@@ -87,7 +87,15 @@ from ..sources.tables import widen_cpu_dense
 @dataclass
 class DedupIndex:
     """Band-partitioned dedup layout on disk (the dedup twin of
-    index/lsh.py::LSHIndex)."""
+    index/lsh.py::LSHIndex).
+
+    ``sig_buckets`` > 0 means the signature side-car is partitioned by
+    ``sig_bucket = pmod(id, sig_buckets)``, so the verified filter's
+    candidate-signature fetch reads ONLY the buckets holding candidate
+    ids instead of a corpus-proportional full scan — the one per-batch
+    cost in the intake loop that used to grow with corpus size. 0 is
+    the legacy unpartitioned layout (metas written before the field
+    existed load as 0 and keep their read path)."""
 
     path: str
     shingle_k: int
@@ -95,6 +103,7 @@ class DedupIndex:
     bands: int
     id_col: str
     text_col: str
+    sig_buckets: int = 0
 
     @property
     def rows_per_band(self) -> int:
@@ -107,12 +116,14 @@ class DedupIndex:
             "bands": self.bands,
             "id_col": self.id_col,
             "text_col": self.text_col,
+            "sig_buckets": self.sig_buckets,
         }
         fsio.write_text(f"{self.path}/_dedup_meta.json", json.dumps(meta))
 
     @classmethod
     def load(cls, path: str) -> "DedupIndex":
         meta = json.loads(fsio.read_text(f"{path}/_dedup_meta.json"))
+        meta.setdefault("sig_buckets", 0)  # pre-round-11 metas: unpartitioned
         return cls(path=path, **meta)
 
 
@@ -179,12 +190,23 @@ def _sigs_path(index: DedupIndex) -> str:
 
 
 def _sig_schema(index: DedupIndex) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField(index.id_col, T.LongType(), True),
-            T.StructField("sig", T.ArrayType(T.StringType()), True),
-        ]
-    )
+    fields = [
+        T.StructField(index.id_col, T.LongType(), True),
+        T.StructField("sig", T.ArrayType(T.StringType()), True),
+    ]
+    if index.sig_buckets:
+        # Partition column (directory-encoded): declared in the schema so
+        # a declared-empty bucketed layout reads well-typed.
+        fields.append(T.StructField("sig_bucket", T.IntegerType(), True))
+    return T.StructType(fields)
+
+
+def _sig_bucket_expr(index: DedupIndex, id_expr):
+    """The id → bucket mapping the sig side-car is partitioned by. Plain
+    ``pmod(id, sig_buckets)`` — deterministic across engines (the filter
+    derives the SAME expression from candidate ids to pick the buckets
+    it reads), no hash-function coupling."""
+    return F.pmod(id_expr.cast("long"), F.lit(index.sig_buckets)).cast("int")
 
 
 def _read_bands(spark: SparkSession, index: DedupIndex) -> DataFrame:
@@ -235,19 +257,38 @@ def _persist(index: DedupIndex, docs: DataFrame, mode: str) -> None:
     - append: the batch is ingest-sized; localCheckpoint the batch sigs
       once and feed both writes from the materialized rows (a read-back
       can't isolate the new batch from the already-appended corpus).
+
+    Bucketed layouts (``sig_buckets`` > 0) shuffle the sig rows on the
+    bucket column before the partitioned write, so each write lands at
+    most one file per touched bucket instead of (tasks × buckets) shards
+    — an O(rows) shuffle of 512 B/doc rows, cheap at both build and
+    append scale.
     """
     spark = docs.sparkSession
+
+    def _write_sigs(sigs_df: DataFrame, m: str) -> None:
+        if index.sig_buckets:
+            (
+                sigs_df.withColumn(
+                    "sig_bucket", _sig_bucket_expr(index, F.col(index.id_col))
+                )
+                .repartition(F.col("sig_bucket"))
+                .write.partitionBy("sig_bucket")
+                .mode(m)
+                .parquet(_sigs_path(index))
+            )
+        else:
+            sigs_df.write.mode(m).parquet(_sigs_path(index))
+
     if mode == "overwrite":
         # Corpus-sized pass: over-partition 4× so one uneven scan split
         # can't set the build's wall (signature_rows docstring; measured
         # 18% off the sf25 sigs pass, SCALING.md round 8).
-        signature_rows(index, docs, widen_factor=4).write.mode(mode).parquet(
-            _sigs_path(index)
-        )
+        _write_sigs(signature_rows(index, docs, widen_factor=4), mode)
         sigs = _read_sigs(spark, index)
     else:
         sigs = signature_rows(index, docs).localCheckpoint(eager=True)
-        sigs.write.mode(mode).parquet(_sigs_path(index))
+        _write_sigs(sigs, mode)
     _bands_of_sigs(index, sigs).write.partitionBy("band").mode(mode).parquet(
         index.path
     )
@@ -262,14 +303,19 @@ def build_dedup_index(
     bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig_buckets: int = 64,
 ) -> DedupIndex:
     """Shingle+minhash the accepted corpus ONCE and persist its band
-    keys partitioned by ``band`` plus the signature side-car table. An
-    empty ``docs`` declares an empty layout (first-crawl bootstrap) —
-    the schema is meta-derived, so reads and the first filter work
-    before any append."""
+    keys partitioned by ``band`` plus the signature side-car table
+    (partitioned by ``pmod(id, sig_buckets)`` so the verified filter's
+    candidate fetch prunes; ``sig_buckets=0`` writes the legacy
+    unpartitioned side-car). An empty ``docs`` declares an empty layout
+    (first-crawl bootstrap) — the schema is meta-derived, so reads and
+    the first filter work before any append."""
     if n_hashes % bands:
         raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    if sig_buckets < 0:
+        raise ValueError(f"sig_buckets={sig_buckets} must be >= 0")
     index = DedupIndex(
         path=path,
         shingle_k=shingle_k,
@@ -277,6 +323,7 @@ def build_dedup_index(
         bands=bands,
         id_col=id_col,
         text_col=text_col,
+        sig_buckets=sig_buckets,
     )
     _persist(index, docs, "overwrite")
     index.save_meta()
@@ -334,6 +381,15 @@ def _est_sim(a, b, n_hashes: int):
     )
 
 
+#: Above this many batch band keys, the verified filter's corpus
+#: restriction switches from an explicit broadcast hint to a plain
+#: shuffle semi-join: the hint bypasses autoBroadcastJoinThreshold, and
+#: an unbounded catch-up batch (no max_files_per_trigger) could
+#: otherwise broadcast an arbitrarily large key set (advisor finding,
+#: round 10). 1M 16-byte keys ≈ tens of MB broadcast — the safe ceiling.
+_BROADCAST_KEYS_MAX = 1_000_000
+
+
 def dedup_index_filter_verified(
     spark: SparkSession,
     index: DedupIndex,
@@ -365,13 +421,24 @@ def dedup_index_filter_verified(
     Plan shape (the 100 TB path): every corpus-side computation is
     restricted FIRST to layout rows whose (band, key) appears in the
     batch — a broadcast semi-join against the batch's O(8·batch) key
-    set — so the mega-key counts and the candidate enumeration group
-    and join only COLLIDING rows, never the whole layout. Without the
+    set (falling back to a plain shuffle semi-join when the batch's key
+    count exceeds ``_BROADCAST_KEYS_MAX``, so an unbounded catch-up run
+    without max_files_per_trigger cannot OOM the driver on the hint) —
+    so the mega-key counts and the candidate enumeration group and join
+    only COLLIDING rows, never the whole layout. Without the
     restriction the key counts were a corpus-wide shuffle per batch
     (measured sf1.0→sf5: SCALING.md round 10); with it the layout scan
     stays the same narrow pruned read as the band-only filter and the
     shuffle is O(collisions). The restricted frame is materialized once
-    and feeds both routes (the module's one-kernel rule)."""
+    and feeds both routes (the module's one-kernel rule).
+
+    The signature fetch prunes too (bucketed layouts): candidate corpus
+    ids are mapped to their ``sig_bucket`` partitions and the side-car
+    scan reads ONLY those directories — static partition pruning, so
+    the verified path's one remaining corpus-proportional per-batch
+    cost (the full (id, sig) side-car scan, flagged in SCALING.md
+    round 10) is gone. Legacy unpartitioned layouts (sig_buckets=0)
+    keep the full-scan read path."""
     id_col = index.id_col
     bsigs = signature_rows(index, batch).localCheckpoint(eager=True)
     bands = _bands_of_sigs(index, bsigs)
@@ -380,9 +447,14 @@ def dedup_index_filter_verified(
     # band key over the cap and auto-suppress future batches.
     layout = _live(spark, index, _read_bands(spark, index))
     batch_keys = bands.select("band", "key").distinct()
-    hot = layout.join(
-        F.broadcast(batch_keys), ["band", "key"], "left_semi"
-    ).localCheckpoint(eager=True)
+    # bsigs is materialized, so its count is a cheap upper bound on the
+    # distinct key count (≤ bands per doc) — no extra shuffle to decide
+    # the join strategy.
+    if bsigs.count() * index.bands <= _BROADCAST_KEYS_MAX:
+        batch_keys = F.broadcast(batch_keys)
+    hot = layout.join(batch_keys, ["band", "key"], "left_semi").localCheckpoint(
+        eager=True
+    )
     key_counts = hot.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
     over = key_counts.filter(F.col("_n") > candidate_cap).select("band", "key")
     auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col).distinct()
@@ -396,6 +468,25 @@ def dedup_index_filter_verified(
         .distinct()
     )
     csigs = _read_sigs(spark, index)
+    if index.sig_buckets:
+        # Bucket-pruned fetch: materialize the (small — ≤ cap·batch_bands
+        # pairs) candidate set once, collect the ≤ sig_buckets distinct
+        # buckets its corpus ids live in, and read ONLY those partitions
+        # of the side-car. The collect is bounded metadata (at most
+        # sig_buckets ints), never layout rows.
+        cand = cand.localCheckpoint(eager=True)
+        buckets = [
+            r["_b"]
+            for r in cand.select(
+                _sig_bucket_expr(index, F.col("_cid")).alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if buckets:
+            csigs = csigs.filter(F.col("sig_bucket").isin(buckets))
+        else:
+            csigs = csigs.filter(F.lit(False))
     verified_hits = (
         cand.join(bsigs.withColumnRenamed("sig", "_bs"), id_col)
         .join(
@@ -546,11 +637,25 @@ def dedup_index_compact(
         bands=index.bands,
         id_col=index.id_col,
         text_col=index.text_col,
+        sig_buckets=index.sig_buckets,
     )
     sigs = _live(spark, index, _read_sigs(spark, index)).distinct()
-    sigs.repartition(F.col(index.id_col)).write.mode("overwrite").parquet(
-        _sigs_path(out)
-    )
+    if out.sig_buckets:
+        # The bucket column is directory-derived on read and re-derived
+        # here, so a replayed row dedups identically; one file set per
+        # bucket after the shuffle.
+        (
+            sigs.drop("sig_bucket")
+            .withColumn("sig_bucket", _sig_bucket_expr(out, F.col(out.id_col)))
+            .repartition(F.col("sig_bucket"))
+            .write.partitionBy("sig_bucket")
+            .mode("overwrite")
+            .parquet(_sigs_path(out))
+        )
+    else:
+        sigs.repartition(F.col(index.id_col)).write.mode("overwrite").parquet(
+            _sigs_path(out)
+        )
     bands = _live(spark, index, _read_bands(spark, index)).distinct()
     bands.repartition(F.col("band"), F.col("key")).write.partitionBy("band").mode(
         "overwrite"

@@ -225,10 +225,19 @@ def layout_total_file_count(layout, spark: SparkSession | None = None) -> int:
     their side-tables UNDER the root, so the root listing already covers
     them). This is the number to watch for compaction debt; the
     path-level ``layout_file_count`` deliberately reports one root only
-    (advisor finding, round 9)."""
-    from .dedupidx import DedupIndex
-    from .ivf import IVFIndex
+    (advisor finding, round 9).
 
+    Unknown handle types raise TypeError — same contract as
+    ``layout_stats`` — so a future layout with sibling side-tables can
+    never silently under-report its debt as a root-only count (advisor
+    finding, round 10)."""
+    from .dedupidx import DedupIndex
+    from .inverted import InvertedIndex
+    from .ivf import IVFIndex
+    from .lsh import LSHIndex
+
+    if not isinstance(layout, (DedupIndex, InvertedIndex, IVFIndex, LSHIndex)):
+        raise TypeError(f"no file count for layout type {type(layout).__name__}")
     total = layout_file_count(layout.path, spark)
     if isinstance(layout, DedupIndex):
         from .dedupidx import _sigs_path, _tombstone_path

@@ -929,6 +929,67 @@ _SIM_SQL = (
 )
 
 
+def _verified_ctes(cap: int, threshold: float = 0.5) -> str:
+    """The verified-filter algebra as a CTE-chain fragment over
+    relations named ``corpus`` and ``batch`` (csig → wdup) — the exact
+    SQL mirror of index/dedupidx.py::dedup_index_filter_verified:
+    mega-key counts and routing at ``cap``, signature-estimate
+    verification at ``threshold``, and the pessimistic one-pass
+    within-batch rule. Shared by the verified-filter oracle and the
+    bench-tracked verified batch-filter oracle below."""
+    return f"""csig AS ({_sigs_sql('corpus')}),
+bsig AS ({_sigs_sql('batch')}),
+cb AS ({_BANDS_OF_SIGS_SQL.format(sigs='csig')}),
+bb AS ({_BANDS_OF_SIGS_SQL.format(sigs='bsig')}),
+counts AS (SELECT band, key, count(*) AS n FROM cb GROUP BY band, key),
+over_keys AS (SELECT band, key FROM counts WHERE n > {cap}),
+auto_hits AS (
+  SELECT DISTINCT b.id FROM bb b
+  JOIN over_keys o ON b.band = o.band AND b.key = o.key
+),
+cand AS (
+  SELECT DISTINCT b.id AS bid, c.id AS cid
+  FROM bb b
+  JOIN (SELECT cb.* FROM cb
+        LEFT JOIN over_keys o ON cb.band = o.band AND cb.key = o.key
+        WHERE o.band IS NULL) c
+    ON b.band = c.band AND b.key = c.key
+),
+vhits AS (
+  SELECT DISTINCT cand.bid AS id
+  FROM cand
+  JOIN bsig bs ON bs.id = cand.bid
+  JOIN csig cs ON cs.id = cand.cid
+  WHERE {_SIM_SQL} >= {threshold}
+),
+cdup AS (SELECT id FROM auto_hits UNION SELECT id FROM vhits),
+nb AS (SELECT * FROM bb WHERE id NOT IN (SELECT id FROM cdup)),
+wcounts AS (
+  SELECT band, key, count(*) AS n, min(id) AS min_id
+  FROM nb GROUP BY band, key
+),
+wauto AS (
+  SELECT DISTINCT n.id FROM nb n
+  JOIN wcounts w ON n.band = w.band AND n.key = w.key
+  WHERE w.n > {cap} AND n.id > w.min_id
+),
+wpairs AS (
+  SELECT DISTINCT l.id AS lid, r.id AS rid
+  FROM nb l
+  JOIN nb r ON l.band = r.band AND l.key = r.key AND l.id > r.id
+  JOIN wcounts w ON l.band = w.band AND l.key = w.key
+  WHERE w.n <= {cap}
+),
+wver AS (
+  SELECT DISTINCT wpairs.lid AS id
+  FROM wpairs
+  JOIN bsig bs ON bs.id = wpairs.lid
+  JOIN bsig cs ON cs.id = wpairs.rid
+  WHERE {_SIM_SQL} >= {threshold}
+),
+wdup AS (SELECT id FROM wauto UNION SELECT id FROM wver)"""
+
+
 @register(
     "dedup_incremental_verified_filter",
     # One filter stage, BOTH mega-key routes exercised deterministically:
@@ -957,57 +1018,7 @@ batch AS (
   SELECT doc_id + 3000000 AS id, text
   FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
 ),
-csig AS ({_sigs_sql('corpus')}),
-bsig AS ({_sigs_sql('batch')}),
-cb AS ({_BANDS_OF_SIGS_SQL.format(sigs='csig')}),
-bb AS ({_BANDS_OF_SIGS_SQL.format(sigs='bsig')}),
-counts AS (SELECT band, key, count(*) AS n FROM cb GROUP BY band, key),
-over_keys AS (SELECT band, key FROM counts WHERE n > 2),
-auto_hits AS (
-  SELECT DISTINCT b.id FROM bb b
-  JOIN over_keys o ON b.band = o.band AND b.key = o.key
-),
-cand AS (
-  SELECT DISTINCT b.id AS bid, c.id AS cid
-  FROM bb b
-  JOIN (SELECT cb.* FROM cb
-        LEFT JOIN over_keys o ON cb.band = o.band AND cb.key = o.key
-        WHERE o.band IS NULL) c
-    ON b.band = c.band AND b.key = c.key
-),
-vhits AS (
-  SELECT DISTINCT cand.bid AS id
-  FROM cand
-  JOIN bsig bs ON bs.id = cand.bid
-  JOIN csig cs ON cs.id = cand.cid
-  WHERE {_SIM_SQL} >= 0.5
-),
-cdup AS (SELECT id FROM auto_hits UNION SELECT id FROM vhits),
-nb AS (SELECT * FROM bb WHERE id NOT IN (SELECT id FROM cdup)),
-wcounts AS (
-  SELECT band, key, count(*) AS n, min(id) AS min_id
-  FROM nb GROUP BY band, key
-),
-wauto AS (
-  SELECT DISTINCT n.id FROM nb n
-  JOIN wcounts w ON n.band = w.band AND n.key = w.key
-  WHERE w.n > 2 AND n.id > w.min_id
-),
-wpairs AS (
-  SELECT DISTINCT l.id AS lid, r.id AS rid
-  FROM nb l
-  JOIN nb r ON l.band = r.band AND l.key = r.key AND l.id > r.id
-  JOIN wcounts w ON l.band = w.band AND l.key = w.key
-  WHERE w.n <= 2
-),
-wver AS (
-  SELECT DISTINCT wpairs.lid AS id
-  FROM wpairs
-  JOIN bsig bs ON bs.id = wpairs.lid
-  JOIN bsig cs ON cs.id = wpairs.rid
-  WHERE {_SIM_SQL} >= 0.5
-),
-wdup AS (SELECT id FROM wauto UNION SELECT id FROM wver)
+{_verified_ctes(2)}
 SELECT b.id AS doc_id,
        (b.id IN (SELECT id FROM cdup))::INTEGER AS corpus_dup,
        (b.id IN (SELECT id FROM wdup))::INTEGER AS within_dup
@@ -1290,6 +1301,69 @@ def dedup_incremental_batch_filter(spark: SparkSession, sf_dir: str) -> DataFram
     )
     index = get_dedup_index(spark, sf_dir)
     return dedup_index_filter(spark, index, b1).select(
+        "doc_id",
+        F.col("corpus_dup").cast("int").alias("corpus_dup"),
+        F.col("within_dup").cast("int").alias("within_dup"),
+    )
+
+
+@register(
+    "dedup_incremental_verified_batch_filter",
+    # The bench=True VERIFIED twin of dedup_incremental_batch_filter:
+    # the SAME fixed-size batch (replica 0 + within-batch plants)
+    # against the SAME prebuilt cached corpus index, admitted through
+    # the production-recommended verified mode (signature estimate
+    # >= 0.5, default cap 64). The per-round bench line this adds is
+    # the cost record the recommended crawl mode was missing (VERDICT
+    # r10 task 2): the verified path's extra work — the candidate
+    # semi-join and the BUCKET-PRUNED signature fetch — now shows up
+    # in BENCH deltas, so a regression in the verify join is visible.
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+),
+batch AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 5000
+  UNION ALL
+  SELECT doc_id + 2000000 AS id, text
+  FROM documents WHERE doc_id < 5000 AND doc_id % 5 = 0
+),
+{_verified_ctes(64)}
+SELECT b.id AS doc_id,
+       (b.id IN (SELECT id FROM cdup))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM wdup))::INTEGER AS within_dup
+FROM batch b
+""",
+    tags=("dedup", "minhash", "lsh", "index", "verified", "bench",
+          "training-data"),
+    bench=True,
+)
+def dedup_incremental_verified_batch_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The crawl-ingest cost line in PRODUCTION mode: the fixed replica-0
+    batch filtered through dedup_index_filter_verified (threshold 0.5,
+    cap 64) against the prebuilt cached corpus index — the verified twin
+    of dedup_incremental_batch_filter, sharing its corpus layout and
+    batch bytes so the two lines isolate exactly the verification
+    premium (candidate enumeration + the bucket-pruned signature fetch,
+    index/dedupidx.py). The layout's design claim is that BOTH lines
+    stay flat as the corpus grows: the corpus side is a batch-key-
+    restricted (band, key) scan, and since round 11 the signature
+    side-car read prunes to candidate id buckets instead of scanning
+    the full (id, sig) table per batch."""
+    from ..index.dedupidx import dedup_index_filter_verified
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 5000).unionByName(
+        docs.filter((F.col("doc_id") < 5000) & (F.col("doc_id") % 5 == 0)).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    index = get_dedup_index(spark, sf_dir)
+    return dedup_index_filter_verified(
+        spark, index, b1, threshold=0.5, candidate_cap=64
+    ).select(
         "doc_id",
         F.col("corpus_dup").cast("int").alias("corpus_dup"),
         F.col("within_dup").cast("int").alias("within_dup"),

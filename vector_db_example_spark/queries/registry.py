@@ -153,12 +153,47 @@ QUERIES: dict[str, Query] = {}
 #:    the conservative read keeps them for their second/third verdicts),
 #:    and every anchor block unchanged.
 #:
-#: ROUND-11 ROTATION PLAN: rotate any mid-round-10 zero-row
-#: registrations to the front (see the mid-round-10 block in
-#: DRIVER_EXCLUDED, if any); the r9-front pair and r8-front four are
-#: then two-plus-green and excludable; backfill from the r4/r01/r03
-#: anchor blocks only as slots demand.
+#: ROUND-11 ROTATION (executed 2026-08-15, per the plan recorded here
+#: in round 10):
+#: 1. No mid-round-10 zero-row registrations existed (the round-10
+#:    surface froze with every registered query carrying ≥1 driver
+#:    verdict — zero rotation debt).
+#: 2. Registered AND surfaced round-11 PRE-freeze (the round-6/round-10
+#:    precedent): dedup_incremental_verified_batch_filter — the
+#:    bench=True verified twin of the fixed-batch crawl cost line
+#:    (VERDICT r10 task 2), exercising the round-11 bucket-pruned
+#:    signature fetch — and stream_crawl_verified_decontaminated_ingest
+#:    — the intake loop with BOTH gates armed (VERDICT r10 task 4,
+#:    the independent-flags contract under composition); each
+#:    hash-verified vs DuckDB at sf0.001 + sf0.01 + sf1.0 on arrival
+#:    (SCALING.md round 11).
+#: 3. Rotated OUT two entries from the r8-front block, two greens each
+#:    (r9 + r10; CORRECTNESS_r08 never landed):
+#:    vector_ivf_uri_layout_parity and
+#:    vector_ivf_declared_empty_ingest_parity — per-entry anchors
+#:    documented in DRIVER_EXCLUDED. The OTHER two r8-front entries
+#:    (dedup_incremental_index_filter, dedup_incremental_verified_filter)
+#:    are also two-green but stay surfaced: the round-11 side-car
+#:    bucketing changed exactly their machinery, so they keep their
+#:    driver verdicts on the new layout.
+#: 4. Kept: the r9-front pair (two greens, but they are the dedup
+#:    layout's delete/compact and bench-cost anchors and the layout
+#:    changed this round), the round-10 crawl cohort (for their second
+#:    greens), and every anchor block unchanged.
+#:
+#: ROUND-12 ROTATION PLAN: rotate any mid-round-11 zero-row
+#: registrations to the front; the round-10 crawl cohort is then
+#: two-plus-green and excludable; if the round-11 pre-freeze pair and
+#: the dedup incremental block hold green on the bucketed layout, the
+#: r9-front pair and the two kept r8-front entries become excludable
+#: too; backfill from the r4/r01/r03 anchor blocks only as slots
+#: demand.
 DRIVER_CRITICAL: tuple[str, ...] = (
+    # --- round-11 pre-freeze registrations (the round-6/round-10
+    # precedent): the verified bench cost line on the bucket-pruned
+    # side-car, and the both-gates crawl composition ---
+    "dedup_incremental_verified_batch_filter",
+    "stream_crawl_verified_decontaminated_ingest",
     # --- round-10 rotation: zero driver rows until now (registered
     # mid-round-9 after the r9 surface froze). The round-9 headline
     # work lands here: the composed crawl intake loop (both gate
@@ -178,12 +213,10 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     # the fixed-batch crawl-ingest bench line. ---
     "dedup_incremental_delete_compact",
     "dedup_incremental_batch_filter",
-    # --- round-8 rotation: zero driver rows until now (registered
-    # mid-round-7 after the r7 surface froze). The round-7 headline
-    # work lands here: storage portability (fsio), declare-then-ingest,
-    # and the persisted incremental-dedup layout in both modes. ---
-    "vector_ivf_uri_layout_parity",
-    "vector_ivf_declared_empty_ingest_parity",
+    # --- round-8 rotation, two entries rotated out in round 11 (the
+    # IVF uri-layout and declared-empty parities; documented in
+    # DRIVER_EXCLUDED). The dedup pair stays: the round-11 side-car
+    # bucketing changed exactly this machinery. ---
     "dedup_incremental_index_filter",
     "dedup_incremental_verified_filter",
     # --- round-7 rotation: first green in r7 (registered mid-round-6
@@ -344,6 +377,28 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
+        # --- rotated OUT in round 11: the two r8-front IVF lifecycle
+        # parities, two greens each (r9 + r10), yielding their slots to
+        # the round-11 pre-freeze registrations. Each remains registered
+        # and oracle-checked locally by tests/test_oracle_parity.py. ---
+        "vector_ivf_uri_layout_parity",      # two greens (r9+r10); fsio
+                                             # storage portability is
+                                             # suite-checked
+                                             # (tests/test_fsio.py) and
+                                             # the IVF lifecycle keeps
+                                             # FOUR surfaced anchors
+                                             # (delete/compact, hot-split,
+                                             # declared-empty-ingest via
+                                             # stream_ivf_ingest_search_parity,
+                                             # filtered parity)
+        "vector_ivf_declared_empty_ingest_parity",  # two greens (r9+r10);
+                                             # the declare-then-ingest
+                                             # path is replayed by the
+                                             # surfaced
+                                             # stream_ivf_ingest_search_parity
+                                             # (same empty-build +
+                                             # streamed-append machinery)
+                                             # and pinned in tests/test_ivf.py
         # --- rotated OUT in round 10: entries with four-plus greens
         # each, yielding their slots to the three mid-round-9 zero-row
         # registrations per the zero-row-first rule. Each remains

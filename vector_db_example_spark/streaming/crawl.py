@@ -145,9 +145,11 @@ def stream_crawl_ingest(
     (tools/false_drop_measure.py; SCALING.md round 10). Set
     ``verified=True`` for production crawls on diverse data; keep the
     default for replica-heavy backfills where over-suppression is the
-    point. Verified mode joins the
-    persisted signature side-car, so the corpus text is still never
-    re-read and per-batch cost stays O(batch) + cap·batch_bands pairs.
+    point. Verified mode joins the persisted signature side-car — read
+    bucket-pruned to the candidate ids' partitions since round 11
+    (index/dedupidx.py ``sig_buckets``) — so the corpus text is still
+    never re-read and per-batch cost stays O(batch) + cap·batch_bands
+    pairs with NO corpus-proportional scan left on the path.
 
     ``source_schema`` defaults to the dedup handle's column names
     (``{id_col} long, {text_col} string``) — every sink stage addresses

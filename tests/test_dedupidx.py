@@ -591,6 +591,63 @@ def test_legacy_unbucketed_layout_still_works(spark, tmp_path_factory):
     assert got == {10: (True, False), 11: (False, False)}
 
 
+def test_compact_migrates_sig_buckets(spark, tmp_path_factory):
+    """A legacy unpartitioned layout migrates onto the bucket-pruned
+    verified read path through ONE ordinary compaction with a
+    ``sig_buckets`` override — no corpus re-shingle (signatures are
+    already persisted) — and the verdicts are identical before and
+    after: bucketing moves sig rows, never changes their values. The
+    downgrade direction (bucketed → 0) must also round-trip, dropping
+    the directory-derived column cleanly."""
+    import os
+
+    from vector_db_example_spark.index.dedupidx import (
+        _sigs_path,
+        dedup_index_compact,
+    )
+
+    d = str(tmp_path_factory.mktemp("dedupidx_migrate"))
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} alpha beta gamma") for i in range(12)],
+        "doc_id long, text string",
+    )
+    legacy = build_dedup_index(corpus, f"{d}/idx", sig_buckets=0)
+    batch = spark.createDataFrame(
+        [
+            (100, "document number 3 alpha beta gamma"),
+            (101, "totally unrelated fresh content here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def verified(idx):
+        return {
+            r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+            for r in dedup_index_filter_verified(
+                spark, idx, batch, threshold=0.5
+            ).collect()
+        }
+
+    before = verified(legacy)
+    assert before == {100: (True, False), 101: (False, False)}
+
+    migrated = dedup_index_compact(spark, legacy, f"{d}/idx_v2", sig_buckets=8)
+    assert migrated.sig_buckets == 8
+    assert DedupIndex.load(f"{d}/idx_v2").sig_buckets == 8
+    assert any(
+        p.startswith("sig_bucket=") for p in os.listdir(_sigs_path(migrated))
+    )
+    assert verified(migrated) == before
+
+    # downgrade: bucketed → unpartitioned, verdicts still identical
+    downgraded = dedup_index_compact(spark, migrated, f"{d}/idx_v3", sig_buckets=0)
+    assert downgraded.sig_buckets == 0
+    assert not any(
+        p.startswith("sig_bucket=") for p in os.listdir(_sigs_path(downgraded))
+    )
+    assert verified(downgraded) == before
+
+
 def test_bucketed_append_compact_preserve_buckets(spark, tmp_path_factory):
     """Appends land in the right bucket partitions and compaction keeps
     the bucketing (so the pruned verify path survives maintenance)."""

@@ -605,7 +605,11 @@ def dedup_index_delete(spark: SparkSession, index: DedupIndex, ids) -> int:
 
 
 def dedup_index_compact(
-    spark: SparkSession, index: DedupIndex, new_path: str
+    spark: SparkSession,
+    index: DedupIndex,
+    new_path: str,
+    *,
+    sig_buckets: int | None = None,
 ) -> DedupIndex:
     """Offline maintenance: rewrite the band table and signature side-car
     at ``new_path`` — write-new-then-swap-pointer, never in place
@@ -629,7 +633,21 @@ def dedup_index_compact(
 
     Delete-to-empty is well-typed: a fully-tombstoned layout writes
     zero data files and reads back through the meta-derived schema, the
-    same declared-empty path the first-crawl bootstrap uses."""
+    same declared-empty path the first-crawl bootstrap uses.
+
+    ``sig_buckets`` overrides the side-car partitioning for the NEW
+    layout (default: inherit the source's). This is the migration path
+    for pre-round-11 legacy layouts (``sig_buckets=0``, full-scan
+    verified reads): the signatures are already persisted, so one
+    ordinary compaction — ``sig_buckets=64`` — moves the layout onto
+    the bucket-pruned verified read path without ever re-shingling the
+    corpus text. Verdicts are unaffected: bucketing changes WHERE sig
+    rows live, never their values (regression-pinned in
+    tests/test_dedupidx.py::test_compact_migrates_sig_buckets)."""
+    if sig_buckets is None:
+        sig_buckets = index.sig_buckets
+    if sig_buckets < 0:
+        raise ValueError(f"sig_buckets={sig_buckets} must be >= 0")
     out = DedupIndex(
         path=new_path,
         shingle_k=index.shingle_k,
@@ -637,16 +655,22 @@ def dedup_index_compact(
         bands=index.bands,
         id_col=index.id_col,
         text_col=index.text_col,
-        sig_buckets=index.sig_buckets,
+        sig_buckets=sig_buckets,
     )
-    sigs = _live(spark, index, _read_sigs(spark, index)).distinct()
+    # Drop the source's directory-derived bucket column (if any) before
+    # re-deriving for the OUT layout — the override may change the
+    # bucket count or remove the partitioning entirely.
+    sigs = (
+        _live(spark, index, _read_sigs(spark, index))
+        .drop("sig_bucket")
+        .distinct()
+    )
     if out.sig_buckets:
-        # The bucket column is directory-derived on read and re-derived
-        # here, so a replayed row dedups identically; one file set per
+        # The bucket column is re-derived here and directory-derived on
+        # read, so a replayed row dedups identically; one file set per
         # bucket after the shuffle.
         (
-            sigs.drop("sig_bucket")
-            .withColumn("sig_bucket", _sig_bucket_expr(out, F.col(out.id_col)))
+            sigs.withColumn("sig_bucket", _sig_bucket_expr(out, F.col(out.id_col)))
             .repartition(F.col("sig_bucket"))
             .write.partitionBy("sig_bucket")
             .mode("overwrite")

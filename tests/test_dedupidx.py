@@ -512,6 +512,48 @@ def test_delete_compact_match_model(
         assert got_v == expect_v
 
 
+def test_band_filter_never_shuffles_layout(spark, tmp_path_factory):
+    """The band-only filter's corpus test must evaluate as
+    ``layout ⋉ broadcast(batch keys)`` + a broadcast-back of the
+    surviving keys — explicit hints, so the layout is streamed map-side
+    and NEVER exchanged even when it is too big for auto-broadcast. We
+    pin that by disabling autoBroadcastJoinThreshold: the two
+    LeftSemi BroadcastHashJoins can then only come from the explicit
+    hints (the old plan degraded to a SortMergeJoin that re-shuffled
+    the whole corpus band table per batch once the layout crossed
+    ~10 MB)."""
+    d = str(tmp_path_factory.mktemp("dedupidx_noshuffle"))
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} alpha beta gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    batch = spark.createDataFrame(
+        [
+            (100, "document number 3 alpha beta gamma"),
+            (101, "fresh unrelated content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frame = dedup_index_filter(spark, index, batch)
+        plan = frame._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert plan.count("BroadcastHashJoin LeftSemi") >= 2, plan
+        got = {
+            r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+            for r in frame.collect()
+        }
+        assert got == {100: (True, False), 101: (False, False)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 # --- bucketed signature side-car (round 11) -------------------------------
 
 

@@ -339,19 +339,57 @@ def dedup_index_filter(
 
     Plan shape: the layout side is read as ``(band, key)`` only — the
     corpus text is never re-touched (ReadSchema pinned in
-    tests/test_dedupidx.py). Both joins shuffle on the 16-byte band
-    key. The batch's band frame feeds two join subtrees (the corpus
-    semi-join and the within-batch anti-join base) whose exchanges
-    cannot be reused, so it is materialized once — without this the
-    shingle+minhash kernel runs twice per filter (the
+    tests/test_dedupidx.py) — and the layout is NEVER shuffled,
+    whichever side of Spark's broadcast threshold it sits on. A layout
+    within ``autoBroadcastJoinThreshold`` takes the direct semi-join
+    (Spark broadcasts the layout side — already shuffle-free, and the
+    restriction below would only add barrier stages). A BIGGER layout
+    — where the direct join would degrade to a SortMergeJoin that
+    re-shuffles the ENTIRE corpus band table per batch, the same
+    ceiling the verified filter's hot-restriction removed in round 10
+    — evaluates the corpus test as ``layout ⋉ broadcast(batch keys)``
+    (a broadcast hash semi-join the layout scan streams through
+    map-side), and the surviving O(collisions) key set broadcasts back
+    against the batch's bands (plan-pinned in
+    tests/test_dedupidx.py::test_band_filter_never_shuffles_layout).
+    Batches whose key count exceeds ``_BROADCAST_KEYS_MAX`` fall back
+    to the plain shuffle join, same as verified mode. The crossover is
+    Spark's own auto-broadcast decision read from the layout's planner
+    size estimate (``_fits_auto_broadcast`` — driver-side metadata, no
+    job). The batch's band frame feeds two join subtrees
+    (the corpus semi-join and the within-batch anti-join base) whose
+    exchanges cannot be reused, so it is materialized once — without
+    this the shingle+minhash kernel runs twice per filter (the
     fingerprint_overlap_stats lesson; measured 1.7× on the sf1.0
     crawl-batch benchmark in SCALING.md)."""
     id_col = index.id_col
     bands = band_rows(index, batch).localCheckpoint(eager=True)
-    layout = _live(spark, index, _read_bands(spark, index)).select("band", "key")
-    corpus_hits = (
-        bands.join(layout, ["band", "key"], "left_semi").select(id_col).distinct()
-    )
+    raw_layout = _read_bands(spark, index)
+    layout = _live(spark, index, raw_layout).select("band", "key")
+    if (
+        not _fits_auto_broadcast(spark, raw_layout)
+        and bands.count() <= _BROADCAST_KEYS_MAX
+    ):
+        # Big layout: (keys that collide) = layout ⋉ broadcast(batch
+        # keys) — the layout scan streams through a map-side broadcast
+        # hash join, no corpus-side exchange — and the result is
+        # bounded by the batch's own key count, so it broadcasts back.
+        batch_keys = bands.select("band", "key").distinct()
+        hot_keys = layout.join(
+            F.broadcast(batch_keys), ["band", "key"], "left_semi"
+        ).distinct()
+        corpus_hits = (
+            bands.join(F.broadcast(hot_keys), ["band", "key"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        # Small layout (Spark auto-broadcasts it — already shuffle-free)
+        # or an over-the-ceiling catch-up batch (key set too big to
+        # hint): direct semi-join.
+        corpus_hits = (
+            bands.join(layout, ["band", "key"], "left_semi").select(id_col).distinct()
+        )
     new_bands = bands.join(corpus_hits, id_col, "left_anti")
     grp_min = new_bands.groupBy("band", "key").agg(F.min(id_col).alias("_min_id"))
     within_hits = (
@@ -388,6 +426,32 @@ def _est_sim(a, b, n_hashes: int):
 #: otherwise broadcast an arbitrarily large key set (advisor finding,
 #: round 10). 1M 16-byte keys ≈ tens of MB broadcast — the safe ceiling.
 _BROADCAST_KEYS_MAX = 1_000_000
+
+
+def _fits_auto_broadcast(spark: SparkSession, df: DataFrame) -> bool:
+    """True iff Spark's planner would auto-broadcast ``df`` — its
+    optimized-plan size estimate is within
+    ``spark.sql.autoBroadcastJoinThreshold`` (and the threshold isn't
+    disabled). Used as the crossover for the band-only filter's layout
+    restriction: below the threshold a direct semi-join is ALREADY
+    shuffle-free (BroadcastHashJoin on the layout side), so the
+    two-step restriction would only add barrier stages; above it the
+    direct join degrades to a corpus-wide SortMergeJoin shuffle and
+    restriction wins. The stats call is driver-side metadata (the file
+    listing already happened when the DataFrame was created)."""
+    thresh_str = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try:
+        thresh = int(thresh_str)
+    except ValueError:
+        thresh = spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            thresh_str
+        )
+    if thresh <= 0:
+        return False
+    size = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    return size <= thresh
 
 
 def dedup_index_filter_verified(

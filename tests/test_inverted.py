@@ -363,3 +363,97 @@ def test_handle_reloads_from_meta(spark, tmp_path):
     got = bm25_search_inverted(spark, reloaded, terms, k=10).collect()
     want = bm25_search_inverted(spark, idx, terms, k=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# --- denormalized __dl on posting rows (round 11) -------------------------
+
+
+def _plan_of(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_search_plan_has_no_corpus_sized_operand(spark, tmp_path):
+    """A fresh build denormalizes the per-doc token length onto every
+    posting row, so BOTH scorers' plans must contain NO doclens scan —
+    the one corpus-sized operand the query path used to join per query
+    (at billions of docs that join re-shuffles the whole doclens table
+    per search)."""
+    from vector_db_example_spark.index.inverted import (
+        _postings_carry_dl,
+        bm25_search_inverted_batch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = build_inverted_index(docs, str(tmp_path / "idx"), n_buckets=16)
+    assert _postings_carry_dl(idx)
+    single = bm25_search_inverted(spark, idx, ("vector", "stream"), k=5)
+    assert "doclens" not in _plan_of(single)
+    batch = bm25_search_inverted_batch(
+        spark, idx, {0: ["vector"], 1: ["stream", "window"]}, k=5
+    )
+    assert "doclens" not in _plan_of(batch)
+    assert single.count() > 0
+
+
+def test_legacy_layout_joins_doclens_and_compaction_migrates(spark, tmp_path):
+    """A layout written before round 11 (no __dl on posting rows) must
+    keep scoring EXACTLY like a fresh build via the doclens join path,
+    and ONE ordinary compaction must migrate it to the denormalized
+    format — scores unchanged, doclens join gone from the plan. Merge
+    doubles as migration the same way."""
+    from vector_db_example_spark.functions.text import extract_tokens
+    from vector_db_example_spark.index.inverted import (
+        InvertedIndex,
+        _doc_postings,
+        _postings_carry_dl,
+        compact_inverted_index,
+        merge_inverted_indexes,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # forge a faithful pre-round-11 layout: postings without __dl,
+    # doclens/stats side-tables exactly as the old build wrote them
+    legacy_dir = str(tmp_path / "legacy")
+    lp = _doc_postings(docs, "doc_id", "text", 16).drop("__dl")
+    lp.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{legacy_dir}/postings"
+    )
+    docs.select(
+        "doc_id", F.size(extract_tokens(F.col("text"))).alias("__dl")
+    ).write.mode("overwrite").parquet(f"{legacy_dir}/doclens")
+    docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.coalesce(F.sum(F.size(extract_tokens(F.col("text")))), F.lit(0))
+        .cast("double")
+        .alias("__tot"),
+    ).write.mode("overwrite").parquet(f"{legacy_dir}/stats")
+    legacy = InvertedIndex(
+        path=legacy_dir, n_buckets=16, postings_schema=lp.schema.json()
+    )
+    legacy.save_meta()
+    assert not _postings_carry_dl(legacy)
+
+    fresh = build_inverted_index(docs, str(tmp_path / "fresh"), n_buckets=16)
+    terms = ("vector", "stream", "window")
+    want = [tuple(r) for r in bm25_search_inverted(spark, fresh, terms).collect()]
+
+    legacy_search = bm25_search_inverted(spark, legacy, terms)
+    assert "doclens" in _plan_of(legacy_search)  # the legacy join path
+    assert [tuple(r) for r in legacy_search.collect()] == want
+
+    migrated = compact_inverted_index(spark, legacy, str(tmp_path / "migrated"))
+    assert _postings_carry_dl(migrated)
+    mig_search = bm25_search_inverted(spark, migrated, terms)
+    assert "doclens" not in _plan_of(mig_search)
+    assert [tuple(r) for r in mig_search.collect()] == want
+
+    merged = merge_inverted_indexes(spark, [legacy], str(tmp_path / "merged"))
+    assert _postings_carry_dl(merged)
+    assert [
+        tuple(r) for r in bm25_search_inverted(spark, merged, terms).collect()
+    ] == want

@@ -19,6 +19,23 @@ aggregate over the (already pruned) posting lists at query time, which
 keeps the index append-friendly: adding documents appends postings and
 doclen rows and rewrites one stats row, with no global recount.
 
+The per-doc token length is ALSO denormalized onto every posting row
+(``__dl`` — the Lucene-norms design, round 11): BM25 needs each
+candidate's length, and joining candidates against the corpus-sized
+``doclens/`` table was the one corpus-proportional step left in the
+query path — at billions of documents that join re-shuffles the whole
+doclens table per query, the same ceiling class the dedup filters shed
+this round. With ``__dl`` on the posting row, the pruned postings read
+carries everything scoring needs and the query plan has NO corpus-sized
+operand at all (plan-pinned in tests/test_inverted.py). ``doclens/``
+stays authoritative for maintenance — stats recomputes, delete's victim
+resolution and stats decrement, layout stats — none of which are on the
+query path. Layouts written before the field existed keep the legacy
+join path (routed on the persisted postings schema), and ONE ordinary
+compaction migrates them — the compactor enriches legacy rows from
+``doclens/`` (an offline corpus join, amortized across every future
+query) and writes the denormalized format.
+
 Determinism: `crc32` here is java.util.zip.CRC32 (Spark's `F.crc32`),
 the same polynomial as Python's `zlib.crc32` — the driver computes query
 buckets with zlib and they match the layout's partition values exactly.
@@ -115,6 +132,45 @@ def _read_postings(spark: SparkSession, index: InvertedIndex) -> DataFrame:
     return spark.read.parquet(index.postings_path)
 
 
+def _postings_carry_dl(index: InvertedIndex) -> bool:
+    """True when the layout's posting rows carry the denormalized
+    per-doc token length ``__dl`` (post-round-11 builds) — the scorers
+    then skip the corpus-sized doclens join entirely. Routed on the
+    PERSISTED postings schema, same discipline as the ``positional``
+    flag: a filesystem or data probe would cost a read and could
+    misroute an empty layout."""
+    if not index.postings_schema:
+        return False
+    try:
+        fields = json.loads(index.postings_schema).get("fields", [])
+    except ValueError:
+        return False
+    return any(f.get("name") == "__dl" for f in fields)
+
+
+def _doc_postings(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """``(term, id, tf, __dl, bucket)`` posting rows for a document
+    frame — the shared build/append kernel. One tokenize pass: the
+    per-doc token count is computed map-side and exploded alongside the
+    terms, so the tf groupBy carries it at zero extra shuffle keys
+    (every copy within a (term, doc) group is equal; ``max`` picks it
+    deterministically)."""
+    tok = docs.select(
+        F.col(id_col), extract_tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("term"),
+    )
+    return (
+        tok.groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("__dl"))
+        .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % n_buckets)
+    )
+
+
 def build_inverted_index(
     docs: DataFrame,
     path: str,
@@ -125,15 +181,12 @@ def build_inverted_index(
 ) -> InvertedIndex:
     """One tokenize pass feeds all three outputs: bucketed postings
     (one (term, doc) shuffle for the tf groupBy), per-doc lengths
-    (map-side `size()`), and the 1-row corpus stats."""
-    tok = docs.select(
-        id_col, F.explode(extract_tokens(F.col(text_col))).alias("term")
-    )
-    postings = (
-        tok.groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % n_buckets)
-    )
+    (map-side `size()`), and the 1-row corpus stats. The doc's token
+    count rides every exploded row into the groupBy (``max`` — all
+    copies are equal) so the posting row carries its ``__dl`` and the
+    scorers never join the corpus-sized doclens table (module
+    docstring)."""
+    postings = _doc_postings(docs, id_col, text_col, n_buckets)
     (
         postings.write.mode("overwrite")
         .partitionBy("bucket")
@@ -172,7 +225,14 @@ def bm25_search_inverted(
     partitions. Identical scores to the scan-based
     ``operators.bm25.bm25_topk`` (shared score expression over the same
     integer-exact inputs) — which is what lets the driver oracle state
-    exact parity with the full-scan SQL."""
+    exact parity with the full-scan SQL.
+
+    Plan shape: on denormalized layouts (``__dl`` on the posting rows)
+    the candidate's doc length comes out of the SAME pruned postings
+    read as its tf — no operand in the plan is corpus-sized (the
+    doclens join a legacy layout still takes re-shuffles the whole
+    per-doc length table per query at scale; module docstring, and one
+    compaction migrates)."""
     terms = list(dict.fromkeys(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
@@ -186,14 +246,18 @@ def bm25_search_inverted(
         .filter(F.col("term").isin(terms)),  # within-bucket residual filter
     )
 
-    tf = posts.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
-            .cast("double")
-            .alias(f"__tf{i}")
-            for i, t in enumerate(terms)
-        ]
-    )
+    carry_dl = _postings_carry_dl(index)
+    tf_aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+        .cast("double")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    if carry_dl:
+        # every posting row of a doc carries the same __dl; max picks it
+        # without widening the groupBy key
+        tf_aggs.append(F.max("__dl").alias("__dl"))
+    tf = posts.groupBy(id_col).agg(*tf_aggs)
     dfs = posts.groupBy().agg(
         *[
             F.count_distinct(F.when(F.col("term") == t, F.col(id_col)))
@@ -204,11 +268,12 @@ def bm25_search_inverted(
     )
     stats = spark.read.parquet(index.stats_path)
 
-    scored = (
-        tf.join(spark.read.parquet(index.doclens_path), id_col)
-        .crossJoin(F.broadcast(dfs))
-        .crossJoin(F.broadcast(stats))
+    base = (
+        tf
+        if carry_dl
+        else tf.join(spark.read.parquet(index.doclens_path), id_col)
     )
+    scored = base.crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(stats))
     return (
         scored.select(
             F.col(id_col), F.round(bm25_score_expr(len(terms)), 6).alias("bm25")
@@ -232,14 +297,15 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
     """
     spark = docs.sparkSession
     id_col, text_col = index.id_col, index.text_col
-    tok = docs.select(
-        id_col, F.explode(extract_tokens(F.col(text_col))).alias("term")
-    )
+    new_posts = _doc_postings(docs, id_col, text_col, index.n_buckets)
+    if not _postings_carry_dl(index):
+        # Legacy layout: match its persisted row shape — mixing
+        # denormalized rows into an un-migrated layout would leave the
+        # __dl column null on the old rows when schema-merged. One
+        # compaction migrates the whole layout instead.
+        new_posts = new_posts.drop("__dl")
     (
-        tok.groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % index.n_buckets)
-        .write.mode("append")
+        new_posts.write.mode("append")
         .partitionBy("bucket")
         .parquet(index.postings_path)
     )
@@ -325,20 +391,31 @@ def compact_inverted_index(
     max(__dl) per doc (identical rows, so max == the true value) and
     RECOMPUTES the stats row from the deduplicated doclens instead of
     copying the possibly double-bumped one. After compaction, BM25
-    scores are exactly those of a clean build on the live docs."""
-    posts = (
-        _live(index, _read_postings(spark, index))
-        .groupBy("term", index.id_col, "bucket")
-        .agg(F.max("tf").alias("tf"))
-        .select("term", index.id_col, "tf", "bucket")
-    )
-    posts.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{new_path}/postings"
-    )
+    scores are exactly those of a clean build on the live docs.
+
+    Compaction is also the MIGRATION step for layouts written before
+    the denormalized ``__dl`` (module docstring): legacy posting rows
+    are enriched from the deduplicated doclens — one offline corpus
+    join, amortized across every future query — and the fresh layout
+    always writes the denormalized format, so its searches drop the
+    per-query doclens join."""
     doclens = (
         _live(index, spark.read.parquet(index.doclens_path))
         .groupBy(index.id_col)
         .agg(F.max("__dl").alias("__dl"))
+    )
+    live = _live(index, _read_postings(spark, index))
+    if not _postings_carry_dl(index):
+        live = live.select("term", index.id_col, "tf", "bucket").join(
+            doclens, index.id_col
+        )
+    posts = (
+        live.groupBy("term", index.id_col, "bucket")
+        .agg(F.max("tf").alias("tf"), F.max("__dl").alias("__dl"))
+        .select("term", index.id_col, "tf", "__dl", "bucket")
+    )
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{new_path}/postings"
     )
     doclens.write.mode("overwrite").parquet(f"{new_path}/doclens")
     # stats from the deduped doclens (integer-exact counts cast to double,
@@ -629,14 +706,16 @@ def bm25_search_inverted_batch(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(all_terms)),
     )
-    tf = posts.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
-            .cast("double")
-            .alias(f"__tf{tcol[t]}")
-            for t in all_terms
-        ]
-    )
+    carry_dl = _postings_carry_dl(index)
+    tf_aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+        .cast("double")
+        .alias(f"__tf{tcol[t]}")
+        for t in all_terms
+    ]
+    if carry_dl:
+        tf_aggs.append(F.max("__dl").alias("__dl"))
+    tf = posts.groupBy(id_col).agg(*tf_aggs)
     dfs = posts.groupBy().agg(
         *[
             F.count_distinct(F.when(F.col("term") == t, F.col(id_col)))
@@ -646,7 +725,11 @@ def bm25_search_inverted_batch(
         ]
     )
     base = (
-        tf.join(spark.read.parquet(index.doclens_path), id_col)
+        (
+            tf
+            if carry_dl
+            else tf.join(spark.read.parquet(index.doclens_path), id_col)
+        )
         .crossJoin(F.broadcast(dfs))
         .crossJoin(F.broadcast(spark.read.parquet(index.stats_path)))
     )
@@ -725,11 +808,23 @@ def merge_inverted_indexes(
 
     posts = None
     for seg in segments:
-        p = _live(seg, _read_postings(spark, seg)).select("term", id_col, "tf")
+        p = _live(seg, _read_postings(spark, seg))
+        if _postings_carry_dl(seg):
+            p = p.select("term", id_col, "tf", "__dl")
+        else:
+            # Legacy segment: enrich from its deduplicated doclens so
+            # the merged layout is always denormalized (merge doubles
+            # as migration, same as compaction).
+            seg_lens = (
+                _live(seg, spark.read.parquet(seg.doclens_path))
+                .groupBy(id_col)
+                .agg(F.max("__dl").alias("__dl"))
+            )
+            p = p.select("term", id_col, "tf").join(seg_lens, id_col)
         posts = p if posts is None else posts.unionByName(p)
     merged_posts = (
         posts.groupBy("term", id_col)
-        .agg(F.max("tf").alias("tf"))
+        .agg(F.max("tf").alias("tf"), F.max("__dl").alias("__dl"))
         .withColumn("bucket", F.crc32(F.col("term").cast("binary")) % out_buckets)
     )
     (

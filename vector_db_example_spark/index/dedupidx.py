@@ -494,7 +494,11 @@ def dedup_index_filter_verified(
     (measured sf1.0→sf5: SCALING.md round 10); with it the layout scan
     stays the same narrow pruned read as the band-only filter and the
     shuffle is O(collisions). The restricted frame is materialized once
-    and feeds both routes (the module's one-kernel rule).
+    and feeds both routes (the module's one-kernel rule) — an A/B at
+    small layouts confirmed the eager checkpoint wins there too (the
+    frame feeds 3–4 consumer subtrees; min-of-4 5.51 s vs 6.79 s
+    unmaterialized on the sf0.1 bench line, round 11), so unlike the
+    band-only filter there is no small-layout special case.
 
     The signature fetch prunes too (bucketed layouts): candidate corpus
     ids are mapped to their ``sig_bucket`` partitions and the side-car

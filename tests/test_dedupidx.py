@@ -727,3 +727,126 @@ def test_bucketed_append_compact_preserve_buckets(spark, tmp_path_factory):
         ),
     )
     assert got == {20: (True, False)}
+
+
+# --- round-12: count-first verified filter + bucket-pruned delete ---------
+
+
+def test_verified_filter_checkpoints_only_batch_bounded_frames(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The verified filter must never materialize a collision-proportional
+    frame (VERDICT r11 gap #1): against a corpus holding a 60-copy
+    boilerplate cluster, every localCheckpoint the filter takes has to be
+    bounded by the BATCH (signatures, per-key counts, under-cap candidate
+    pairs) — the pre-round-12 shape checkpointed the full restricted
+    collision frame first (8 bands x 60 copies = 480 rows here, and
+    near-corpus rows on a real boilerplate-heavy batch) before the
+    mega-key cap routed it away."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an abstract
+    # facade in PySpark 4; method lookup resolves on the classic class)
+    SparkDF = type(spark.range(1))
+
+    d = str(tmp_path_factory.mktemp("dedupidx_cf"))
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(60)]
+    distinct = [(100, "one two three four five six"), (101, "seven eight nine ten")]
+    index = build_dedup_index(
+        spark.createDataFrame(boiler + distinct, "doc_id long, text string"),
+        f"{d}/idx",
+    )
+    counts: list[int] = []
+    orig = SparkDF.localCheckpoint
+
+    def spy(self, eager=True):
+        out = orig(self, eager=eager)
+        counts.append(out.count())
+        return out
+
+    monkeypatch.setattr(SparkDF, "localCheckpoint", spy)
+    batch = spark.createDataFrame(
+        [
+            (200, "lorem ipsum dolor sit amet consectetur"),  # hot-key collider
+            (201, "entirely fresh content nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+        for r in dedup_index_filter_verified(
+            spark, index, batch, threshold=0.5, candidate_cap=2
+        ).collect()
+    }
+    assert got == {200: (True, False), 201: (False, False)}
+    # bsigs (2 rows), key_counts (<= 16 batch keys), bucketed cand pairs
+    # (0 here - the hot key is over-cap). The old shape would have
+    # recorded 480.
+    assert counts, "expected the filter to materialize its bounded frames"
+    assert max(counts) <= 32, counts
+
+
+def test_delete_victim_scan_is_bucket_pruned(spark, tmp_path_factory):
+    """On bucketed layouts, delete's victim resolution must read only the
+    victims' ``sig_bucket`` partitions (driver-side pmod of the ids), not
+    the full side-car id column (VERDICT r11 gap #2)."""
+    from vector_db_example_spark.index.dedupidx import (
+        _delete_victims,
+        dedup_index_delete,
+    )
+
+    d = str(tmp_path_factory.mktemp("dedupidx_delprune"))
+    # per-doc-unique words: no cross-doc shingles, so deleting doc 3
+    # removes the ONLY corpus doc its duplicate can collide with
+    corpus = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(20)],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx", sig_buckets=8)
+    victims = _delete_victims(spark, index, [3, 11])  # both pmod to bucket 3
+    plan = victims._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "sig_bucket" in plan, plan
+    assert "PartitionFilters: []" not in plan, plan
+    # and the real delete still behaves: both ids tombstone, re-delete is
+    # a no-op, and the filter stops flagging their duplicates
+    assert dedup_index_delete(spark, index, [3, 11]) == 2
+    assert dedup_index_delete(spark, index, [3, 11]) == 0
+    got = _verdicts(
+        spark,
+        index,
+        spark.createDataFrame(
+            [(100, "w3a w3b w3c w3d w3e")],
+            "doc_id long, text string",
+        ),
+    )
+    assert got == {100: (False, False)}
+
+
+def test_parse_byte_string_mirrors_spark_units(spark):
+    """The Python threshold parser must agree with Spark's JavaUtils
+    suffix table (the advisor's Spark-Connect-surface fix) and reject
+    garbage the JVM would reject."""
+    import pytest
+
+    from vector_db_example_spark.index.dedupidx import (
+        _fits_auto_broadcast,
+        _parse_byte_string,
+    )
+
+    assert _parse_byte_string("-1") == -1
+    assert _parse_byte_string("10485760b") == 10 * 1024 * 1024
+    assert _parse_byte_string("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_string(" 2g ") == 2 * 1024**3
+    assert _parse_byte_string("1K") == 1024
+    for bad in ("", "10XB", "ten", "10 10"):
+        with pytest.raises(ValueError):
+            _parse_byte_string(bad)
+    # unavailable plan stats (Spark Connect / py4j surface shift) must
+    # report not-fitting - the caller then takes the restriction path,
+    # which keeps the layout unshuffled either way
+    class _NoJdf:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no classic-session JVM handle")
+
+    assert _fits_auto_broadcast(spark, _NoJdf()) is False

@@ -73,6 +73,7 @@ pipeline the stages are separate jobs and the hazard cannot arise.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -364,10 +365,9 @@ def dedup_index_filter(
     crawl-batch benchmark in SCALING.md)."""
     id_col = index.id_col
     bands = band_rows(index, batch).localCheckpoint(eager=True)
-    raw_layout = _read_bands(spark, index)
-    layout = _live(spark, index, raw_layout).select("band", "key")
+    layout = _live(spark, index, _read_bands(spark, index)).select("band", "key")
     if (
-        not _fits_auto_broadcast(spark, raw_layout)
+        not _fits_auto_broadcast(spark, layout)
         and bands.count() <= _BROADCAST_KEYS_MAX
     ):
         # Big layout: (keys that collide) = layout ⋉ broadcast(batch
@@ -428,6 +428,28 @@ def _est_sim(a, b, n_hashes: int):
 _BROADCAST_KEYS_MAX = 1_000_000
 
 
+#: Spark's byte-string suffixes (JavaUtils.byteStringAsBytes), parsed in
+#: Python so the threshold check needs no JVM round-trip.
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3,
+    "t": 1024**4, "tb": 1024**4,
+    "p": 1024**5, "pb": 1024**5,
+}
+
+
+def _parse_byte_string(s: str) -> int:
+    """``"10MB"`` → 10485760, mirroring Spark's JavaUtils suffix table
+    (case-insensitive, optional ``b``). Raises ValueError on anything
+    Spark itself would reject."""
+    m = re.fullmatch(r"\s*(-?\d+)\s*([A-Za-z]*)\s*", s)
+    if not m or m.group(2).lower() not in _BYTE_SUFFIXES:
+        raise ValueError(f"unparseable byte string: {s!r}")
+    return int(m.group(1)) * _BYTE_SUFFIXES[m.group(2).lower()]
+
+
 def _fits_auto_broadcast(spark: SparkSession, df: DataFrame) -> bool:
     """True iff Spark's planner would auto-broadcast ``df`` — its
     optimized-plan size estimate is within
@@ -437,20 +459,26 @@ def _fits_auto_broadcast(spark: SparkSession, df: DataFrame) -> bool:
     shuffle-free (BroadcastHashJoin on the layout side), so the
     two-step restriction would only add barrier stages; above it the
     direct join degrades to a corpus-wide SortMergeJoin shuffle and
-    restriction wins. The stats call is driver-side metadata (the file
-    listing already happened when the DataFrame was created)."""
-    thresh_str = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    try:
-        thresh = int(thresh_str)
-    except ValueError:
-        thresh = spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-            thresh_str
-        )
+    restriction wins. Pass the PROJECTED frame actually joined (the
+    pruned/filtered layout, not the raw full-width scan) so the
+    estimate mirrors the planner's real decision (advisor finding,
+    round 11). The stats call is driver-side metadata (the file
+    listing already happened when the DataFrame was created); it rides
+    py4j internals unavailable under Spark Connect, so an unreachable
+    estimate reports not-fitting — the caller then takes the
+    restriction path, which keeps the layout unshuffled either way
+    (the scale-safe failure mode, never a silent wrong plan)."""
+    thresh = _parse_byte_string(
+        str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    )
     if thresh <= 0:
         return False
-    size = int(
-        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return False
     return size <= thresh
 
 
@@ -493,12 +521,15 @@ def dedup_index_filter_verified(
     restriction the key counts were a corpus-wide shuffle per batch
     (measured sf1.0→sf5: SCALING.md round 10); with it the layout scan
     stays the same narrow pruned read as the band-only filter and the
-    shuffle is O(collisions). The restricted frame is materialized once
-    and feeds both routes (the module's one-kernel rule) — an A/B at
-    small layouts confirmed the eager checkpoint wins there too (the
-    frame feeds 3–4 consumer subtrees; min-of-4 5.51 s vs 6.79 s
-    unmaterialized on the sf0.1 bench line, round 11), so unlike the
-    band-only filter there is no small-layout special case.
+    shuffle is O(collisions). Count-first since round 12: the per-key
+    counts aggregate ON the streamed restricted scan (nothing
+    collision-proportional is materialized — the round-11 shape
+    checkpointed the full restricted frame first, so one boilerplate
+    key colliding with a large corpus could materialize near-corpus
+    rows before the cap routed it away), and a second pruned pass
+    restricted to the UNDER-cap keys feeds the enumeration — its input
+    is ≤ cap · batch_bands rows by construction. The two materialized
+    frames (key counts, candidate pairs) are both batch-bounded.
 
     The signature fetch prunes too (bucketed layouts): candidate corpus
     ids are mapped to their ``sig_bucket`` partitions and the side-car
@@ -518,18 +549,40 @@ def dedup_index_filter_verified(
     # bsigs is materialized, so its count is a cheap upper bound on the
     # distinct key count (≤ bands per doc) — no extra shuffle to decide
     # the join strategy.
-    if bsigs.count() * index.bands <= _BROADCAST_KEYS_MAX:
+    small_batch = bsigs.count() * index.bands <= _BROADCAST_KEYS_MAX
+    if small_batch:
         batch_keys = F.broadcast(batch_keys)
-    hot = layout.join(batch_keys, ["band", "key"], "left_semi").localCheckpoint(
-        eager=True
+    # Count-first, end-to-end (the operators/dedup.py:148 discipline):
+    # the per-key collision counts aggregate directly on the STREAMED
+    # ``layout ⋉ batch_keys`` scan — map-side partial combine, and the
+    # ONLY thing materialized is the aggregated counts themselves,
+    # bounded by the batch's own key count. Nothing
+    # collision-proportional ever touches executor storage: a
+    # boilerplate-heavy batch whose one hot key collides with half a
+    # billion-doc corpus used to checkpoint every one of those rows
+    # before routing; now an over-cap key routes to the no-enumeration
+    # path having only ever existed as one count row (measured: the
+    # hot-key A/B in SCALING.md round 12).
+    key_counts = (
+        layout.join(batch_keys, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
     )
-    key_counts = hot.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
     over = key_counts.filter(F.col("_n") > candidate_cap).select("band", "key")
+    under = key_counts.filter(F.col("_n") <= candidate_cap).select("band", "key")
+    if small_batch:
+        # ≤ the batch's key count by construction (a subset of
+        # key_counts), so the small-batch guard covers it too.
+        under = F.broadcast(under)
     auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col).distinct()
+    # Second pruned layout pass reads ONLY under-cap keys' colliding
+    # rows — ≤ cap · batch_bands rows by construction, so the
+    # enumeration input is bounded BEFORE anything is materialized.
     cand = (
         bands.alias("b")
         .join(
-            hot.join(over, ["band", "key"], "left_anti").alias("c"),
+            layout.join(under, ["band", "key"], "left_semi").alias("c"),
             ["band", "key"],
         )
         .select(F.col(f"b.{id_col}").alias(id_col), F.col(f"c.{id_col}").alias("_cid"))
@@ -653,23 +706,43 @@ def dedup_index_delete(spark: SparkSession, index: DedupIndex, ids) -> int:
     defers until one compaction amortizes it.
 
     Idempotent: victims resolve through the LIVE sig table (one narrow
-    id-column scan), so re-deleting a tombstoned or absent id is a
-    no-op. Returns the number of ids newly tombstoned."""
+    id-column scan — on bucketed layouts pruned to the victims'
+    ``sig_bucket`` partitions, computed driver-side from the ids via
+    the same ``pmod`` the side-car is partitioned by, so victim
+    resolution reads O(touched buckets) not the full corpus id column;
+    the same pruning the verified filter's candidate fetch uses), so
+    re-deleting a tombstoned or absent id is a no-op. Returns the
+    number of ids newly tombstoned."""
     ids = [int(i) for i in ids]
     if not ids:
         return 0
+    victims = _delete_victims(spark, index, ids).localCheckpoint(eager=True)
+    n = victims.count()
+    if n:
+        victims.write.mode("append").parquet(_tombstone_path(index))
+    return n
+
+
+def _delete_victims(spark: SparkSession, index: DedupIndex, ids: list[int]) -> DataFrame:
+    """The (unmaterialized) live-victim frame ``dedup_index_delete``
+    tombstones — split out so its plan shape is pinnable: on bucketed
+    layouts the side-car scan must carry the victims' ``sig_bucket``
+    partition filter (tests/test_dedupidx.py)."""
     id_col = index.id_col
-    live = _live(spark, index, _read_sigs(spark, index).select(id_col))
+    sigs = _read_sigs(spark, index)
+    if index.sig_buckets:
+        # Python % equals Spark's pmod for a positive modulus, so this
+        # driver-side set names exactly the partitions the victims can
+        # live in — static partition pruning, no job.
+        buckets = sorted({i % index.sig_buckets for i in ids})
+        sigs = sigs.filter(F.col("sig_bucket").isin(buckets))
+    live = _live(spark, index, sigs.select(id_col))
     if len(ids) <= _DELETE_ISIN_MAX:
         victims = live.filter(F.col(id_col).isin(ids))
     else:
         ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long").coalesce(1)
         victims = live.join(F.broadcast(ids_df), id_col, "semi")
-    victims = victims.distinct().localCheckpoint(eager=True)
-    n = victims.count()
-    if n:
-        victims.write.mode("append").parquet(_tombstone_path(index))
-    return n
+    return victims.distinct()
 
 
 def dedup_index_compact(

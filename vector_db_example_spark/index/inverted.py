@@ -294,6 +294,24 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
 
     Same single-writer assumption as the IVF append path: concurrent
     appends to one layout need a transactional table format underneath.
+
+    Partial-append visibility (denormalized layouts — advisor note,
+    round 11): with ``__dl`` on the posting rows, a document becomes
+    searchable as soon as its postings land — BEFORE the doclens and
+    stats writes below complete — so in the crash/replay window a
+    reader can score it against the pre-append ``__n``/``__tot``
+    (slightly stale idf/avgdl; the doc's own length is already exact
+    on its rows). Legacy layouts hid such docs via the doclens inner
+    join until the whole append finished. The window is narrow
+    (single-writer, three sequential tiny writes), the scores involved
+    are marginally-stale corpus constants rather than wrong per-doc
+    inputs, and replay + compaction heal it — but it IS a visibility
+    change to be aware of when pointing concurrent readers at a layout
+    mid-append. The write ORDER stays postings-first deliberately: the
+    stats bump is a read-modify-write, so postings-first keeps a crash
+    BEFORE the bump replayable (re-append duplicates heal via
+    compaction's full-row distinct; a pre-bumped stats row would
+    double-count on replay).
     """
     spark = docs.sparkSession
     id_col, text_col = index.id_col, index.text_col

@@ -46,3 +46,41 @@ def test_surface_order_puts_critical_first():
     # never-driver-verified entries rotate to the FRONT; the dict order
     # the driver iterates must begin with DRIVER_CRITICAL verbatim
     assert tuple(driver_queries())[: len(DRIVER_CRITICAL)] == DRIVER_CRITICAL
+
+
+def test_readme_counts_match_registry():
+    """The README's capability-count sentence must be DERIVED, not
+    hand-written (VERDICT r11 task 6 — the hand-kept numbers drifted in
+    two consecutive rounds): this asserts the prose against the live
+    registry so the next drift fails CI instead of shipping."""
+    import re
+    from pathlib import Path
+
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    m = re.search(
+        r"(\d+) registered queries \(`vector_db_example_spark/queries/`\), "
+        r"(\d+) of them checked",
+        readme.read_text(),
+    )
+    assert m, "README capability-count sentence not found"
+    total, oracled = int(m.group(1)), int(m.group(2))
+    assert total == len(QUERIES), (
+        f"README says {total} registered queries; registry holds "
+        f"{len(QUERIES)} — update the README sentence"
+    )
+    real_oracled = sum(1 for q in QUERIES.values() if q.oracle is not None)
+    assert oracled == real_oracled, (
+        f"README says {oracled} oracle-checked; registry holds "
+        f"{real_oracled} — update the README sentence"
+    )
+    # the prose also claims "The N remaining are approximate or
+    # inherently sequential by design" — keep that derived too
+    m2 = re.search(r"The (\d+) remaining are approximate", readme.read_text())
+    assert m2 and int(m2.group(1)) == len(QUERIES) - real_oracled
+
+
+def test_surface_is_fully_oracle_backed():
+    # the README's "ALL of them oracle-backed" claim about the driver
+    # surface, derived (rows-only entries live in DRIVER_EXCLUDED since
+    # the round-7 rotation)
+    assert all(q.oracle is not None for q in driver_queries().values())

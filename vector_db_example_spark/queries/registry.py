@@ -181,14 +181,41 @@ QUERIES: dict[str, Query] = {}
 #:    changed this round), the round-10 crawl cohort (for their second
 #:    greens), and every anchor block unchanged.
 #:
-#: ROUND-12 ROTATION PLAN: rotate any mid-round-11 zero-row
-#: registrations to the front; the round-10 crawl cohort is then
-#: two-plus-green and excludable; if the round-11 pre-freeze pair and
-#: the dedup incremental block hold green on the bucketed layout, the
-#: r9-front pair and the two kept r8-front entries become excludable
-#: too; backfill from the r4/r01/r03 anchor blocks only as slots
-#: demand.
+#: ROUND-12 ROTATION PLAN (recorded round 11): rotate any mid-round-11
+#: zero-row registrations to the front; the round-10 crawl cohort is
+#: then two-plus-green and excludable; if the round-11 pre-freeze pair
+#: and the dedup incremental block hold green on the bucketed layout,
+#: the r9-front pair and the two kept r8-front entries become
+#: excludable too; backfill from the r4/r01/r03 anchor blocks only as
+#: slots demand.
+#:
+#: ROUND-12 ROTATION (executed 2026-08-16, per the plan above):
+#: 1. No mid-round-11 zero-row registrations existed (CORRECTNESS_r11
+#:    is 50/50 over exactly the frozen surface — zero rotation debt).
+#: 2. Registered AND surfaced round-12 PRE-freeze (the round-6/10/11
+#:    precedent): stream_crawl_production_ingest — the FULL production
+#:    intake configuration (verified + decontamination + inverted sink
+#:    + IVF sink in ONE streamed run; VERDICT r11 task 5, closing the
+#:    crawl-gate composition matrix), hash-verified vs DuckDB at
+#:    sf0.001 + sf0.01 + sf1.0 on arrival (SCALING.md round 12).
+#: 3. Rotated OUT one entry to hold the surface at 50:
+#:    stream_crawl_decontaminated_ingest — two greens (r10 + r11), and
+#:    the new production row exercises its decontamination gate in a
+#:    strictly stronger composition; the crawl family keeps SIX
+#:    surfaced anchors. Documented per-entry in DRIVER_EXCLUDED.
+#: 4. Kept: everything else — the round-11 pre-freeze pair (one green
+#:    each, two-green rule), the dedup incremental block (the round-12
+#:    count-first rewrite changed exactly their machinery, so they keep
+#:    driver verdicts on the new plan — the same reasoning that held
+#:    them through the round-11 bucketing), and every anchor block
+#:    unchanged. The wider excludable set the plan named stays
+#:    surfaced: only one slot was demanded, and holding
+#:    already-anchored rows costs nothing while their machinery is
+#:    still moving.
 DRIVER_CRITICAL: tuple[str, ...] = (
+    # --- round-12 pre-freeze registration: the full production crawl
+    # composition (verified + decon + inverted + IVF in one run) ---
+    "stream_crawl_production_ingest",
     # --- round-11 pre-freeze registrations (the round-6/round-10
     # precedent): the verified bench cost line on the bucket-pruned
     # side-car, and the both-gates crawl composition ---
@@ -197,10 +224,10 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     # --- round-10 rotation: zero driver rows until now (registered
     # mid-round-9 after the r9 surface froze). The round-9 headline
     # work lands here: the composed crawl intake loop (both gate
-    # configurations) and layout-level describe/stats. ---
+    # configurations) and layout-level describe/stats.
+    # stream_crawl_decontaminated_ingest rotated out in round 12. ---
     "stream_crawl_dedup_gated_ingest",
     "pipeline_layout_stats",
-    "stream_crawl_decontaminated_ingest",
     # --- registered round-10 PRE-freeze (the round-6 precedent):
     # the verified-admission crawl loop and the crawl loop's inverted
     # sink, each hash-verified vs DuckDB at sf0.001 + sf0.01 + sf1.0 on
@@ -377,6 +404,19 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # rows-checked locally by tests/test_oracle_parity.py.
         "agg_approx_distinct_sketch",
         "events_approx_quantiles",
+        # --- rotated OUT in round 12: two greens (r10 + r11), yielding
+        # its slot to the round-12 pre-freeze production-composition
+        # registration. Remains registered and oracle-checked locally by
+        # tests/test_oracle_parity.py. ---
+        "stream_crawl_decontaminated_ingest",  # its decontamination gate
+                                             # is replayed in a strictly
+                                             # stronger composition by
+                                             # the surfaced
+                                             # stream_crawl_production_ingest
+                                             # AND by the surfaced
+                                             # stream_crawl_verified_decontaminated_ingest;
+                                             # the crawl family keeps six
+                                             # surfaced anchors
         # --- rotated OUT in round 11: the two r8-front IVF lifecycle
         # parities, two greens each (r9 + r10), yielding their slots to
         # the round-11 pre-freeze registrations. Each remains registered

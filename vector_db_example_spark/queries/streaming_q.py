@@ -1611,3 +1611,239 @@ def stream_crawl_verified_decontaminated_ingest(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _crawl_production_oracle() -> str:
+    """The FULL production intake configuration in one SQL mirror —
+    verified admission (dedup_q._verified_ctes at cap=2, threshold 0.5)
+    AND the decontamination fingerprint gate AND BOTH retrieval sinks:
+    the embed-and-L2-search stage (vector leg) plus the full BM25 CTE
+    chain (text_q._bm25_oracle_ctes) over corpus + survivors (keyword
+    leg). Assembled from the per-gate oracles' fragments (VERDICT r11
+    task 5: the composition matrix's last uncovered cell)."""
+    from .dedup_q import _verified_ctes
+    from .pipeline_q import _EMBED64_VEC_SQL, _embed64_pairs_sql
+    from .text_q import _bm25_oracle_ctes
+
+    fp = "md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64))"
+    l2 = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> (a.vector[i]::DOUBLE - q.qvec[i]::DOUBLE)"
+        " * (a.vector[i]::DOUBLE - q.qvec[i]::DOUBLE))))"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+  UNION ALL
+  SELECT 500000 + g.i AS id, d.text
+  FROM (SELECT text FROM documents WHERE doc_id = 0) d
+  CROSS JOIN generate_series(1, 5) AS g(i)
+),
+base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2),
+fresh0 AS (
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+),
+batch AS (
+  SELECT * FROM fresh0
+  UNION ALL
+  SELECT id + 1000000 AS id, text FROM base WHERE id % 7 = 0
+  UNION ALL
+  SELECT new_id AS id, new_text AS text
+  FROM (SELECT id + 2000000 AS new_id, text || ' zzq zzw' AS new_text
+        FROM base WHERE id % 11 = 0)
+  UNION ALL
+  SELECT id + 5000000 AS id, text FROM base WHERE id % 13 = 0
+  UNION ALL
+  SELECT id + 3000000 AS id, text FROM fresh0 WHERE id % 5 = 0
+),
+bench AS (SELECT DISTINCT {fp} AS fp FROM documents WHERE doc_id % 13 = 0),
+cont AS (
+  SELECT DISTINCT id FROM (SELECT id, {fp} AS fp FROM batch)
+  WHERE fp IN (SELECT fp FROM bench)
+),
+{_verified_ctes(2)},
+surv AS (SELECT id, text FROM batch
+         WHERE id NOT IN (SELECT id FROM cdup)
+           AND id NOT IN (SELECT id FROM wdup)
+           AND id NOT IN (SELECT id FROM cont)),
+accepted AS (SELECT * FROM corpus UNION ALL SELECT * FROM surv),
+acc_docs AS (SELECT id AS doc_id, text FROM accepted),
+ap AS (SELECT id, {_embed64_pairs_sql('text')} AS ps FROM accepted),
+av AS (SELECT id, {_EMBED64_VEC_SQL} AS vector FROM ap),
+qt AS (
+  SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[1:8], ' ')
+         AS question
+  FROM documents WHERE doc_id = 0
+),
+qp AS (SELECT {_embed64_pairs_sql('question')} AS ps FROM qt),
+qv AS (SELECT {_EMBED64_VEC_SQL} AS qvec FROM qp),
+dist AS (SELECT a.id, {l2} AS d FROM av a CROSS JOIN qv q),
+top10 AS (SELECT id, round(d, 6) AS metric FROM dist ORDER BY d, id LIMIT 10),
+{_bm25_oracle_ctes(rel='acc_docs')},
+bm25_top10 AS (
+  SELECT doc_id, round(bm25, 6) AS metric
+  FROM bm25_scored
+  ORDER BY round(bm25, 6) DESC, doc_id ASC
+  LIMIT 10
+)
+SELECT 'b0' AS stage, b.id AS doc_id,
+       (b.id IN (SELECT id FROM cdup))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM wdup))::INTEGER AS within_dup,
+       (b.id IN (SELECT id FROM cont))::INTEGER AS contaminated,
+       (-1.0)::DOUBLE AS metric
+FROM batch b
+UNION ALL
+SELECT 'search' AS stage, id AS doc_id,
+       -1 AS corpus_dup, -1 AS within_dup, -1 AS contaminated, metric
+FROM top10
+UNION ALL
+SELECT 'bm25' AS stage, doc_id,
+       -1 AS corpus_dup, -1 AS within_dup, -1 AS contaminated, metric
+FROM bm25_top10
+"""
+
+
+@register(
+    "stream_crawl_production_ingest",
+    # The FULL production intake configuration under one hash verdict
+    # (VERDICT r11 task 5): verified admission + decontamination gate +
+    # IVF sink + inverted-postings sink in ONE streamed run. Each
+    # pairwise composition already has its own green row; this closes
+    # the crawl-gate composition matrix — the recommended production
+    # setup is now oracle-checked end-to-end, with BOTH retrieval legs
+    # (vector top-10, BM25 top-10) answered off the streamed layouts.
+    oracle=_crawl_production_oracle(),
+    tags=("streaming", "dedup", "verified", "decontamination", "ivf",
+          "inverted-index", "bm25", "ingest", "pipeline", "training-data"),
+)
+def stream_crawl_production_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl admission loop in its recommended PRODUCTION shape —
+    ``verified=True`` AND ``benchmark_fps`` AND ``inverted_index`` all
+    armed at once (streaming/crawl.py): one batch flows verified filter
+    → decontamination gate → verdict audit → Arrow embed → IVF append →
+    postings append → dedup-band append, then BOTH retrieval modes are
+    asked off the streamed layouts (exhaustive-probe vector top-10 and
+    the fixed 3-term BM25 top-10). The corpus carries five planted doc-0
+    copies (mega-key auto route at candidate_cap=2); the batch carries
+    fresh docs, exact plants (verified corpus_dup), near plants (the
+    estimator decides), benchmark-member plants (corpus_dup AND
+    contaminated — independent flags), and within-batch plants. One
+    hash verdict covers admission verdicts + both search stages, so a
+    flagged doc reaching EITHER sink breaks parity."""
+    import glob as _glob
+    import os as _os
+
+    from ..functions.embedding import hash_embed_one, hashing_embedder
+    from ..index.dedupidx import build_dedup_index
+    from ..index.inverted import bm25_search_inverted, build_inverted_index
+    from ..index.ivf import build_ivf_index, ivf_search
+    from ..operators.dedup import contamination_fingerprint
+    from ..sources.tables import load_table, widen_cpu_dense
+    from ..streaming.crawl import stream_crawl_ingest
+    from .text_q import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 < 2)
+    boiler = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(1, 6).select((F.col("id") + 500000).alias("new_id")))
+        .select(F.col("new_id").alias("doc_id"), "text")
+    )
+    corpus = base.unionByName(boiler)
+    fresh0 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0))
+    b0 = (
+        fresh0.unionByName(
+            base.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" zzq zzw")).alias("text"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            fresh0.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select(contamination_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    qrow = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ").alias(
+                "q"
+            )
+        )
+        .head()
+    )
+    qv = hash_embed_one(qrow["q"], 64)
+
+    work = tempfile.mkdtemp(prefix="crawl_prod_")
+    try:
+        didx = build_dedup_index(corpus, f"{work}/dedup")
+        embedded = widen_cpu_dense(corpus).withColumn(
+            "embedding", hashing_embedder(64)(F.col("text"))
+        )
+        vidx = build_ivf_index(embedded, f"{work}/ivf", nlist=8, id_col="doc_id")
+        iidx = build_inverted_index(corpus, f"{work}/inv")
+        src_dir = f"{work}/src"
+        _os.makedirs(src_dir)
+        stage_dir = f"{work}/stage_b0"
+        b0.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = _glob.glob(f"{stage_dir}/part-*.parquet")[0]
+        shutil.copyfile(part, f"{src_dir}/b0.parquet")
+        stream_crawl_ingest(
+            spark,
+            src_dir,
+            didx,
+            vidx,
+            f"{work}/ckpt",
+            verdict_path=f"{work}/verdicts",
+            benchmark_fps=bench,
+            inverted_index=iidx,
+            verified=True,
+            sim_threshold=0.5,
+            candidate_cap=2,
+        )
+        admissions = spark.read.parquet(f"{work}/verdicts").select(
+            F.lit("b0").alias("stage"),
+            "doc_id",
+            F.col("corpus_dup").cast("int").alias("corpus_dup"),
+            F.col("within_dup").cast("int").alias("within_dup"),
+            F.col("contaminated").cast("int").alias("contaminated"),
+            F.lit(-1.0).alias("metric"),
+        )
+        search = ivf_search(spark, vidx, qv, k=10, nprobe=8).select(
+            F.lit("search").alias("stage"),
+            "doc_id",
+            F.lit(-1).alias("corpus_dup"),
+            F.lit(-1).alias("within_dup"),
+            F.lit(-1).alias("contaminated"),
+            F.round("distance", 6).alias("metric"),
+        )
+        bm25 = bm25_search_inverted(spark, iidx, list(_BM25_TERMS), k=10).select(
+            F.lit("bm25").alias("stage"),
+            "doc_id",
+            F.lit(-1).alias("corpus_dup"),
+            F.lit(-1).alias("within_dup"),
+            F.lit(-1).alias("contaminated"),
+            F.col("bm25").alias("metric"),
+        )
+        out = admissions.unionByName(search).unionByName(bm25)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -212,6 +212,17 @@ QUERIES: dict[str, Query] = {}
 #:    surfaced: only one slot was demanded, and holding
 #:    already-anchored rows costs nothing while their machinery is
 #:    still moving.
+#: ROUND-13 ROTATION PLAN: rotate any mid-round-12 zero-row
+#: registrations to the front; after CORRECTNESS_r12 the round-10
+#: crawl cohort (stream_crawl_dedup_gated_ingest, pipeline_layout_stats)
+#: and the round-10 pre-freeze pair (stream_crawl_verified_ingest,
+#: stream_crawl_bm25_ingest_parity) are three-green and excludable; the
+#: round-11 pre-freeze pair is two-green and excludable IF the
+#: count-first shape holds green in r12; the dedup incremental block
+#: (r8 pair + r9 pair) is then three-plus-green on stable machinery and
+#: excludable too; stream_crawl_production_ingest stays for its second
+#: green. Backfill from the r4/r01/r03 anchor blocks only as slots
+#: demand — every family must keep a surfaced anchor.
 DRIVER_CRITICAL: tuple[str, ...] = (
     # --- round-12 pre-freeze registration: the full production crawl
     # composition (verified + decon + inverted + IVF in one run) ---

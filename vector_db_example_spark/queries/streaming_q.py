@@ -1730,7 +1730,13 @@ def stream_crawl_production_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     estimator decides), benchmark-member plants (corpus_dup AND
     contaminated — independent flags), and within-batch plants. One
     hash verdict covers admission verdicts + both search stages, so a
-    flagged doc reaching EITHER sink breaks parity."""
+    flagged doc reaching EITHER sink breaks parity.
+
+    Reference analog: the accumulating collection serving BOTH
+    retrieval modes of the hybrid search (vector
+    /root/reference/src/app.py:248 + keyword fan-out src/app.py:313)
+    fed by its insert lifecycle (src/app.py:230,409) — here with the
+    admission control a 100 TB crawl needs in front."""
     import glob as _glob
     import os as _os
 

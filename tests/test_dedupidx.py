@@ -850,3 +850,53 @@ def test_parse_byte_string_mirrors_spark_units(spark):
             raise RuntimeError("no classic-session JVM handle")
 
     assert _fits_auto_broadcast(spark, _NoJdf()) is False
+
+
+def test_over_ceiling_fallback_matches_broadcast_path(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Both filters fall back to plain shuffle joins when the batch's
+    key count exceeds _BROADCAST_KEYS_MAX (the round-10 advisor fix; the
+    round-12 count-first rewrite added an un-broadcast `under` leg to
+    that branch). Forcing the ceiling to 0 must change the PLAN only:
+    verdicts identical to the broadcast path in both modes."""
+    import vector_db_example_spark.index.dedupidx as dd
+
+    d = str(tmp_path_factory.mktemp("dedupidx_ceiling"))
+    corpus = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(12)]
+        + [(100 + i, "shared boilerplate text alpha beta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx")
+    batch = spark.createDataFrame(
+        [
+            (200, "w3a w3b w3c w3d w3e"),          # exact plant
+            (201, "shared boilerplate text alpha beta"),  # mega-key collider
+            (202, "fresh unseen content entirely"),
+            (203, "fresh unseen content entirely"),  # within-batch dup
+        ],
+        "doc_id long, text string",
+    )
+
+    def run_both():
+        band = {
+            r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+            for r in dedup_index_filter(spark, index, batch).collect()
+        }
+        ver = {
+            r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+            for r in dedup_index_filter_verified(
+                spark, index, batch, threshold=0.5, candidate_cap=2
+            ).collect()
+        }
+        return band, ver
+
+    band_bc, ver_bc = run_both()
+    monkeypatch.setattr(dd, "_BROADCAST_KEYS_MAX", 0)
+    band_fb, ver_fb = run_both()
+    assert band_fb == band_bc
+    assert ver_fb == ver_bc
+    assert band_bc[200] == (True, False)
+    assert ver_bc[201] == (True, False)  # mega-key auto route
+    assert ver_bc[203] == (False, True)

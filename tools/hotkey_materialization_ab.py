@@ -54,9 +54,10 @@ def _checkpoint_spy(spark):
 
 def _old_shape(spark, index, batch, threshold, candidate_cap):
     """The round-11 verified filter, verbatim plan shape (checkpoint the
-    full restricted collision frame, THEN count): only the corpus-dup
-    half — the within-batch half is identical in both shapes and its
-    cost does not depend on the corpus."""
+    full restricted collision frame, THEN count) — FULL filter including
+    the within-batch half (identical in both rounds, copied verbatim) so
+    the wall comparison is apples-to-apples with the real
+    dedup_index_filter_verified."""
     from pyspark.sql import functions as F
 
     from vector_db_example_spark.index.dedupidx import (
@@ -114,7 +115,50 @@ def _old_shape(spark, index, batch, threshold, candidate_cap):
         .distinct()
     )
     corpus_hits = auto_hits.unionByName(verified_hits).distinct()
-    return {r[id_col] for r in corpus_hits.collect()}
+    # within-batch half + final verdict join: identical in both rounds,
+    # copied verbatim so the walls compare full filter vs full filter
+    new_bands = bands.join(corpus_hits, id_col, "left_anti")
+    wcounts = new_bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")
+    )
+    wover = wcounts.filter(F.col("_n") > candidate_cap)
+    wauto = (
+        new_bands.join(wover.select("band", "key", "_min_id"), ["band", "key"])
+        .filter(F.col(id_col) > F.col("_min_id"))
+        .select(id_col)
+        .distinct()
+    )
+    wunder = wcounts.filter(F.col("_n") <= candidate_cap).select("band", "key")
+    wpairs = (
+        new_bands.join(wunder, ["band", "key"], "left_semi")
+        .alias("l")
+        .join(
+            new_bands.join(wunder, ["band", "key"], "left_semi").alias("r"),
+            ["band", "key"],
+        )
+        .filter(F.col(f"l.{id_col}") > F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias(id_col), F.col(f"r.{id_col}").alias("_rid"))
+        .distinct()
+    )
+    wverified = (
+        wpairs.join(bsigs.withColumnRenamed("sig", "_ls"), id_col)
+        .join(bsigs.select(F.col(id_col).alias("_rid"), F.col("sig").alias("_rs")), "_rid")
+        .filter(_est_sim(F.col("_ls"), F.col("_rs"), index.n_hashes) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    within_hits = wauto.unionByName(wverified).distinct()
+    verdicts = (
+        batch.select(F.col(id_col).cast("long").alias(id_col))
+        .join(corpus_hits.withColumn("_c", F.lit(True)), id_col, "left")
+        .join(within_hits.withColumn("_w", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_c", F.lit(False)).alias("corpus_dup"),
+            F.coalesce("_w", F.lit(False)).alias("within_dup"),
+        )
+    )
+    return {r[id_col] for r in verdicts.filter(F.col("corpus_dup")).collect()}
 
 
 def main() -> int:

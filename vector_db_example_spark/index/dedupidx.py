@@ -576,18 +576,32 @@ def dedup_index_filter_verified(
         # key_counts), so the small-batch guard covers it too.
         under = F.broadcast(under)
     auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col).distinct()
-    # Second pruned layout pass reads ONLY under-cap keys' colliding
-    # rows — ≤ cap · batch_bands rows by construction, so the
-    # enumeration input is bounded BEFORE anything is materialized.
-    cand = (
-        bands.alias("b")
-        .join(
-            layout.join(under, ["band", "key"], "left_semi").alias("c"),
-            ["band", "key"],
+    if key_counts.filter(F.col("_n") <= candidate_cap).limit(1).count() == 0:
+        # No under-cap colliding key ⇒ the candidate set is provably
+        # empty, so skip the second layout pass entirely. This is the
+        # driver-side count-first dividend on the two batch shapes
+        # where the extra pass would hurt most: a fully FRESH batch (no
+        # collisions at all — the common diverse-crawl case) and a
+        # boilerplate-heavy batch whose every collision is over-cap
+        # (measured in the hot-key A/B, SCALING.md round 12). The check
+        # is a limit(1) on the already-materialized counts — no job
+        # against the layout.
+        cand = bands.select(F.col(id_col), F.col(id_col).alias("_cid")).limit(0)
+    else:
+        # Second pruned layout pass reads ONLY under-cap keys' colliding
+        # rows — ≤ cap · batch_bands rows by construction, so the
+        # enumeration input is bounded BEFORE anything is materialized.
+        cand = (
+            bands.alias("b")
+            .join(
+                layout.join(under, ["band", "key"], "left_semi").alias("c"),
+                ["band", "key"],
+            )
+            .select(
+                F.col(f"b.{id_col}").alias(id_col), F.col(f"c.{id_col}").alias("_cid")
+            )
+            .distinct()
         )
-        .select(F.col(f"b.{id_col}").alias(id_col), F.col(f"c.{id_col}").alias("_cid"))
-        .distinct()
-    )
     csigs = _read_sigs(spark, index)
     if index.sig_buckets:
         # Bucket-pruned fetch: materialize the (small — ≤ cap·batch_bands

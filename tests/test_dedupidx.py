@@ -838,18 +838,30 @@ def test_parse_byte_string_mirrors_spark_units(spark):
     assert _parse_byte_string("10MB") == 10 * 1024 * 1024
     assert _parse_byte_string(" 2g ") == 2 * 1024**3
     assert _parse_byte_string("1K") == 1024
-    for bad in ("", "10XB", "ten", "10 10"):
+    # JavaUtils only matches non-negative digits before a suffix, so
+    # "-1k" must raise like the other garbage (advisor, round 12)
+    for bad in ("", "10XB", "ten", "10 10", "-1k", "-10MB"):
         with pytest.raises(ValueError):
             _parse_byte_string(bad)
-    # unavailable plan stats (Spark Connect / py4j surface shift) must
-    # report not-fitting - the caller then takes the restriction path,
-    # which keeps the layout unshuffled either way
+    # unavailable plan stats (Spark Connect has no _jdf -> an
+    # AttributeError subclass) must report not-fitting - the caller then
+    # takes the restriction path, which keeps the layout unshuffled
+    # either way
     class _NoJdf:
         @property
         def _jdf(self):
-            raise RuntimeError("no classic-session JVM handle")
+            raise AttributeError("no classic-session JVM handle")
 
     assert _fits_auto_broadcast(spark, _NoJdf()) is False
+    # ...but a genuine plan/analysis failure must SURFACE, not silently
+    # flip the join strategy (the narrowed except - advisor, round 12)
+    class _BrokenPlan:
+        @property
+        def _jdf(self):
+            raise RuntimeError("analysis exploded")
+
+    with pytest.raises(RuntimeError):
+        _fits_auto_broadcast(spark, _BrokenPlan())
 
 
 def test_over_ceiling_fallback_matches_broadcast_path(
@@ -900,3 +912,60 @@ def test_over_ceiling_fallback_matches_broadcast_path(
     assert band_bc[200] == (True, False)
     assert ver_bc[201] == (True, False)  # mega-key auto route
     assert ver_bc[203] == (False, True)
+
+
+def test_verified_filter_skips_sig_subtree_when_no_under_cap_key(
+    spark, tmp_path_factory, monkeypatch
+):
+    """When every colliding (band, key) is over-cap — or nothing collides
+    at all — the candidate set is provably empty, so the filter must not
+    touch the signature side-car: no ``_read_sigs`` call, hence no
+    candidate checkpoint, bucket collect, or side-car scan jobs over
+    provably-empty frames (advisor finding, round 12). An under-cap
+    collider must still trigger the read."""
+    import vector_db_example_spark.index.dedupidx as dd
+
+    d = str(tmp_path_factory.mktemp("dedupidx_skip"))
+    corpus = spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet consectetur") for i in range(10)]
+        + [(50, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx", sig_buckets=8)
+    calls: list[int] = []
+    orig = dd._read_sigs
+
+    def spy(sp, idx):
+        calls.append(1)
+        return orig(sp, idx)
+
+    monkeypatch.setattr(dd, "_read_sigs", spy)
+    # every collision hits the over-cap boilerplate key; the fresh doc
+    # collides with nothing — no under-cap key anywhere
+    hot = spark.createDataFrame(
+        [
+            (200, "lorem ipsum dolor sit amet consectetur"),
+            (201, "entirely fresh content nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+        for r in dedup_index_filter_verified(
+            spark, index, hot, threshold=0.5, candidate_cap=2
+        ).collect()
+    }
+    assert got == {200: (True, False), 201: (False, False)}
+    assert calls == [], "side-car read on a provably-empty candidate set"
+    # an under-cap collider (the singleton corpus doc) re-arms the read
+    probe = spark.createDataFrame(
+        [(300, "one two three four five six seven")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+        for r in dedup_index_filter_verified(
+            spark, index, probe, threshold=0.5, candidate_cap=2
+        ).collect()
+    }
+    assert got == {300: (True, False)}
+    assert calls, "under-cap collider must reach the verification join"

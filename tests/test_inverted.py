@@ -457,3 +457,75 @@ def test_legacy_layout_joins_doclens_and_compaction_migrates(spark, tmp_path):
     assert [
         tuple(r) for r in bm25_search_inverted(spark, merged, terms).collect()
     ] == want
+
+
+def test_partial_append_visibility_contract(spark, tmp_path):
+    """Pin the documented mid-append window (append_to_inverted_index
+    docstring, advisor note round 11): on a denormalized (__dl-on-rows)
+    layout a doc whose postings have landed — but whose doclens/stats
+    writes have not — is ALREADY searchable, scored with its own exact
+    dl and query-time df against the PRE-append ``__n``/``__tot``; the
+    postings-first write order means a crash-replayed append never
+    double-counts stats (only postings duplicate), and compaction heals
+    the replay to a clean build."""
+    import math
+
+    from vector_db_example_spark.index.inverted import (
+        _doc_postings,
+        compact_inverted_index,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, "spark shuffles data across executors"),
+            (1, "catalyst optimizes logical plans"),
+            (2, "parquet stores columns not rows"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "spark broadcasts small spark tables")], "doc_id long, text string"
+    )
+    idx = build_inverted_index(base, str(tmp_path / "idx"), n_buckets=16)
+
+    # Freeze the crash window exactly as the append's write order leaves
+    # it: posting rows landed, doclens + stats writes never happened.
+    _doc_postings(new, idx.id_col, idx.text_col, idx.n_buckets).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(idx.postings_path)
+
+    mid = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_search_inverted(spark, idx, ["spark"], k=10).collect()
+    }
+    # visible before the append finishes — and scored against the STALE
+    # corpus constants: __n=3, __tot=14 (the base tokens), while df is
+    # query-time-fresh (docs 0 and 10) and dl is the doc's own exact 5
+    assert set(mid) == {0, 10}
+    n, tot, df = 3.0, 14.0, 2.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def score(tf: float, dl: float) -> float:
+        return round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (tot / n))), 6
+        )
+
+    assert mid[10] == score(2.0, 5.0)
+    assert mid[0] == score(1.0, 5.0)
+
+    # At-least-once replay of the WHOLE append: postings duplicate, but
+    # stats land exactly once (postings-first order — a pre-bumped stats
+    # row would have double-counted here).
+    append_to_inverted_index(idx, new)
+    stats = spark.read.parquet(idx.stats_path).collect()[0]
+    assert (stats["__n"], stats["__tot"]) == (4.0, 19.0)
+
+    # Compaction heals the duplicated postings: scores equal a clean
+    # single-shot build over the full corpus.
+    compacted = compact_inverted_index(spark, idx, str(tmp_path / "compact"))
+    clean = build_inverted_index(
+        base.unionByName(new), str(tmp_path / "clean"), n_buckets=16
+    )
+    got = bm25_search_inverted(spark, compacted, ["spark", "plans"], k=10).collect()
+    want = bm25_search_inverted(spark, clean, ["spark", "plans"], k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -1,23 +1,27 @@
-"""Per-batch intake-loop cost at scale: band-only vs verified.
+"""Per-batch intake-loop cost at scale: band-only vs verified vs production.
 
 The crawl loop's design claim is that per-batch admission cost is
-O(batch) — flat as the accepted corpus grows — in BOTH filter modes.
+O(batch) — flat as the accepted corpus grows — in EVERY configuration.
 Round 9 measured the band-only loop near-flat to an 833k-doc corpus
 (SCALING.md); the verified mode (the documented production
-recommendation) had no large-corpus data point, and until round 11 its
-signature fetch scanned the full side-car per batch. This tool runs the
-REAL streaming loop (streaming/crawl.py, availableNow, one file per
-micro-batch) over a scale tile and reports seconds/batch per mode, so
-the SCALING.md table can show the verified curve next to the band-only
-one.
+recommendation) had no large-corpus data point until round 11, and the
+full PRODUCTION configuration — verified + decontamination gate +
+inverted-postings sink + IVF sink, the stream_crawl_production_ingest
+shape — had none until round 13 (VERDICT r12 task 2: its extra
+per-batch costs are the postings append + the stats read-modify-write
+and the nearest-centroid IVF append, all designed O(batch)). This tool
+runs the REAL streaming loop (streaming/crawl.py, availableNow, one
+file per micro-batch) over a scale tile and reports seconds/batch per
+mode, so the SCALING.md table can show all three curves side by side.
 
-Each mode gets its OWN copy of the freshly built dedup + IVF layouts
-(the loop appends survivors — sharing a layout would make mode B filter
-against mode A's admissions).
+Each mode gets its OWN copy of the freshly built dedup + IVF (+
+inverted, in production mode) layouts — the loop appends survivors, so
+sharing a layout would make mode B filter against mode A's admissions.
 
 Usage:
     python tools/crawl_loop_scale.py --sf-dir /tmp/sf25 \
-        [--batch-docs 5000] [--batches 2] [--modes band verified]
+        [--batch-docs 5000] [--batches 2] \
+        [--modes band verified production]
 """
 
 from __future__ import annotations
@@ -49,7 +53,12 @@ def main() -> int:
         _sigs_path,
         build_dedup_index,
     )
+    from vector_db_example_spark.index.inverted import (
+        InvertedIndex,
+        build_inverted_index,
+    )
     from vector_db_example_spark.index.ivf import IVFIndex, build_ivf_index
+    from vector_db_example_spark.operators.dedup import contamination_fingerprint
     from vector_db_example_spark.session import get_spark
     from vector_db_example_spark.sources.tables import load_table, widen_cpu_dense
     from vector_db_example_spark.streaming.crawl import stream_crawl_ingest
@@ -75,6 +84,21 @@ def main() -> int:
             f"ivf build {t_ivf:.1f}s",
             flush=True,
         )
+        bench_fps = None
+        if "production" in args.modes:
+            # the production configuration's extra sinks/gates: an
+            # inverted-postings layout over the same corpus and a
+            # held-out benchmark fingerprint set (broadcast per batch)
+            t0 = time.perf_counter()
+            build_inverted_index(corpus, f"{work}/inv")
+            t_inv = time.perf_counter() - t0
+            bench_fps = (
+                docs.filter(F.col("doc_id") % 13 == 0)
+                .select(contamination_fingerprint(F.col("text")).alias("fp"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            print(f"inverted build {t_inv:.1f}s", flush=True)
 
         # Crawl batches: fresh (%3==2) texts, disjoint slices per batch,
         # suffixed within-batch variants so both filter paths do real work.
@@ -106,6 +130,10 @@ def main() -> int:
             shutil.copytree(f"{work}/ivf", f"{mdir}/ivf")
             didx = DedupIndex.load(f"{mdir}/dedup")
             vidx = IVFIndex.load(f"{mdir}/ivf")
+            iidx = None
+            if mode == "production":
+                shutil.copytree(f"{work}/inv", f"{mdir}/inv")
+                iidx = InvertedIndex.load(f"{mdir}/inv")
             t0 = time.perf_counter()
             totals = stream_crawl_ingest(
                 spark,
@@ -115,7 +143,9 @@ def main() -> int:
                 f"{mdir}/ckpt",
                 verdict_path=f"{mdir}/verdicts",
                 max_files_per_trigger=1,
-                verified=(mode == "verified"),
+                verified=(mode in ("verified", "production")),
+                benchmark_fps=bench_fps if mode == "production" else None,
+                inverted_index=iidx,
             )
             wall = time.perf_counter() - t0
             per_batch = wall / max(totals["batches"], 1)

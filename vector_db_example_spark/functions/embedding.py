@@ -97,7 +97,16 @@ def sentence_transformer_embedder(
 ) -> Callable:
     """Real-model embedder (reference model, src/app.py:74). Raises
     ImportError at *call construction* if sentence-transformers is not
-    installed; the UDF itself loads the model lazily per executor."""
+    installed; the UDF itself loads the model lazily per executor.
+
+    Environment debt (carried since round 3, install re-attempted and
+    still blocked 2026-08-16 / round 13: the container's index resolves
+    no distribution and outbound DNS fails): the library cannot be
+    installed here, so this backend is contract-tested via an injected
+    fake (tests/test_embedding_contract.py) and the one real-model
+    smoke test stays skipped. The code path is complete — if the
+    environment ever unblocks, that skip flipping to pass is the only
+    remaining step (SURVEY §2 F7)."""
     import importlib
 
     if importlib.util.find_spec("sentence_transformers") is None:

@@ -78,6 +78,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+try:  # classic PySpark ships py4j; Spark Connect clients may not
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - Connect-only environment
+    class _Py4JError(Exception):
+        pass
 from pyspark.sql import types as T
 
 from .. import fsio
@@ -447,6 +453,11 @@ def _parse_byte_string(s: str) -> int:
     m = re.fullmatch(r"\s*(-?\d+)\s*([A-Za-z]*)\s*", s)
     if not m or m.group(2).lower() not in _BYTE_SUFFIXES:
         raise ValueError(f"unparseable byte string: {s!r}")
+    if m.group(1).startswith("-") and m.group(2):
+        # JavaUtils.byteStringAsBytes only matches non-negative digits
+        # before a suffix; bare "-1" is the conventional disable value
+        # and the one negative Spark itself accepts.
+        raise ValueError(f"negative byte string with suffix: {s!r}")
     return int(m.group(1)) * _BYTE_SUFFIXES[m.group(2).lower()]
 
 
@@ -477,7 +488,12 @@ def _fits_auto_broadcast(spark: SparkSession, df: DataFrame) -> bool:
         size = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
-    except Exception:
+    except (AttributeError, _Py4JError):
+        # Only the missing-JVM-surface shapes: Spark Connect frames have
+        # no `_jdf` (PySparkAttributeError ⊂ AttributeError) and py4j
+        # gateway faults. A genuine analysis/plan error must surface,
+        # not silently flip the join strategy (advisor finding,
+        # round 12).
         return False
     return size <= thresh
 
@@ -571,22 +587,29 @@ def dedup_index_filter_verified(
     )
     over = key_counts.filter(F.col("_n") > candidate_cap).select("band", "key")
     under = key_counts.filter(F.col("_n") <= candidate_cap).select("band", "key")
+    # Emptiness probe on the SAME frame the enumeration would join (one
+    # predicate, no drift — advisor finding, round 12), taken before the
+    # broadcast hint: a limit(1) over the already-materialized counts,
+    # never a job against the layout.
+    no_under = under.limit(1).count() == 0
     if small_batch:
         # ≤ the batch's key count by construction (a subset of
         # key_counts), so the small-batch guard covers it too.
         under = F.broadcast(under)
     auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col).distinct()
-    if key_counts.filter(F.col("_n") <= candidate_cap).limit(1).count() == 0:
+    if no_under:
         # No under-cap colliding key ⇒ the candidate set is provably
-        # empty, so skip the second layout pass entirely. This is the
-        # driver-side count-first dividend on the two batch shapes
-        # where the extra pass would hurt most: a fully FRESH batch (no
-        # collisions at all — the common diverse-crawl case) and a
-        # boilerplate-heavy batch whose every collision is over-cap
-        # (measured in the hot-key A/B, SCALING.md round 12). The check
-        # is a limit(1) on the already-materialized counts — no job
-        # against the layout.
-        cand = bands.select(F.col(id_col), F.col(id_col).alias("_cid")).limit(0)
+        # empty, so skip the second layout pass AND the whole
+        # signature-verification subtree — the bucketed layouts'
+        # candidate checkpoint + bucket collect and the side-car read
+        # were still paid as jobs over a provably-empty frame before
+        # round 13 (advisor finding). This is the count-first dividend
+        # on the two batch shapes where the extra pass would hurt most:
+        # a fully FRESH batch (no collisions at all — the common
+        # diverse-crawl case) and a boilerplate-heavy batch whose every
+        # collision is over-cap (measured in the hot-key A/B,
+        # SCALING.md round 12).
+        verified_hits = bsigs.select(id_col).limit(0)
     else:
         # Second pruned layout pass reads ONLY under-cap keys' colliding
         # rows — ≤ cap · batch_bands rows by construction, so the
@@ -602,36 +625,37 @@ def dedup_index_filter_verified(
             )
             .distinct()
         )
-    csigs = _read_sigs(spark, index)
-    if index.sig_buckets:
-        # Bucket-pruned fetch: materialize the (small — ≤ cap·batch_bands
-        # pairs) candidate set once, collect the ≤ sig_buckets distinct
-        # buckets its corpus ids live in, and read ONLY those partitions
-        # of the side-car. The collect is bounded metadata (at most
-        # sig_buckets ints), never layout rows.
-        cand = cand.localCheckpoint(eager=True)
-        buckets = [
-            r["_b"]
-            for r in cand.select(
-                _sig_bucket_expr(index, F.col("_cid")).alias("_b")
+        csigs = _read_sigs(spark, index)
+        if index.sig_buckets:
+            # Bucket-pruned fetch: materialize the (small —
+            # ≤ cap·batch_bands pairs) candidate set once, collect the
+            # ≤ sig_buckets distinct buckets its corpus ids live in, and
+            # read ONLY those partitions of the side-car. The collect is
+            # bounded metadata (at most sig_buckets ints), never layout
+            # rows.
+            cand = cand.localCheckpoint(eager=True)
+            buckets = [
+                r["_b"]
+                for r in cand.select(
+                    _sig_bucket_expr(index, F.col("_cid")).alias("_b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if buckets:
+                csigs = csigs.filter(F.col("sig_bucket").isin(buckets))
+            else:
+                csigs = csigs.filter(F.lit(False))
+        verified_hits = (
+            cand.join(bsigs.withColumnRenamed("sig", "_bs"), id_col)
+            .join(
+                csigs.select(F.col(id_col).alias("_cid"), F.col("sig").alias("_cs")),
+                "_cid",
             )
+            .filter(_est_sim(F.col("_bs"), F.col("_cs"), index.n_hashes) >= threshold)
+            .select(id_col)
             .distinct()
-            .collect()
-        ]
-        if buckets:
-            csigs = csigs.filter(F.col("sig_bucket").isin(buckets))
-        else:
-            csigs = csigs.filter(F.lit(False))
-    verified_hits = (
-        cand.join(bsigs.withColumnRenamed("sig", "_bs"), id_col)
-        .join(
-            csigs.select(F.col(id_col).alias("_cid"), F.col("sig").alias("_cs")),
-            "_cid",
         )
-        .filter(_est_sim(F.col("_bs"), F.col("_cs"), index.n_hashes) >= threshold)
-        .select(id_col)
-        .distinct()
-    )
     corpus_hits = auto_hits.unionByName(verified_hits).distinct()
 
     new_bands = bands.join(corpus_hits, id_col, "left_anti")

@@ -29,233 +29,77 @@ QUERIES: dict[str, Query] = {}
 #: after ~50 entries, in ``queries()`` order). Never-driver-verified
 #: entries come FIRST so they finally get hash verdicts.
 #:
-#: ROUND-5 ROTATION (executed 2026-08-14, per the plan recorded here in
-#: round 4):
-#: 1. Rotated IN, at the front: the ten zero-row entries formerly held
-#:    out in the "registered mid-round-4" block of DRIVER_EXCLUDED.
-#: 2. Rotated OUT: ten entries hash-green in TWO rounds (r01 + r04),
-#:    each with a surfaced family anchor (documented per entry below).
-#:    The two permanent rows-only approximate sketches
-#:    (agg_approx_distinct_sketch, events_approx_quantiles) leave the
-#:    surface now that their exact-checkable twins
-#:    (events_exact_quantiles, agg_count_min_heavy_hitters,
-#:    stream_cms_documents) are surfaced for hash verdicts — same
-#:    anchoring pattern that retired the IVF/LSH rows-only rows in r4.
-#: 3. Kept: the r4-first-green block (one row each — two-green rule),
-#:    the r03-first-green block (now r03+r04 two-green; kept one more
-#:    round so the rotation never drops below ~50 and their families
-#:    stay anchored), and twelve r01+r04 two-green anchors.
+#: ROTATION POLICY (the two invariants every rotation obeys):
+#: 1. an entry is only excludable once it is hash-green in TWO driver
+#:    rounds and its operator family keeps a surfaced anchor;
+#:    never-driver-verified entries rotate IN first;
+#: 2. entries whose machinery changed in the current round keep their
+#:    slot so the fresh driver verdict lands on the new plan.
+#: Everything registered — surfaced or not — is oracle-checked locally
+#: every session by tests/test_oracle_parity.py and
+#: tools/stability_check.py. Closed per-round rotation narrative
+#: (rounds 5–13): docs/ROTATION.md.
 #:
-#: ROUND-6 ROTATION (executed 2026-08-14, per the plan recorded here in
-#: round 5):
-#: 1. Rotated IN, at the front: the nine zero-row entries held in the
-#:    "registered mid-round-5" block of DRIVER_EXCLUDED, plus the two
-#:    queries registered THIS round before the surface froze
-#:    (text_bpe_word_freqs — the hash anchor for the rows-only BPE
-#:    family; vector_ivf_hot_split_parity — the last unanchored index
-#:    lifecycle operator, split_hot_cells).
-#: 2. Rotated OUT: eleven entries hash-green in THREE rounds each
-#:    (r01+r04+r05 or r03+r04+r05), family anchors documented per entry
-#:    in DRIVER_EXCLUDED below.
-#: 3. Kept: the ten r5-rotated-in entries (one green — the two-green
-#:    rule), the nine r4-first-green entries (r4+r5 greens; excludable,
-#:    but slots allow keeping them for a third green), eight r01-backlog
-#:    anchors, eleven r03-block anchors, and pipeline_multi_strategy.
+#: ROUND-13 ROTATION (executed 2026-08-16, per the plan recorded in
+#: round 12 — full narrative in docs/ROTATION.md):
+#: OUT (8): the round-10 crawl cohort (stream_crawl_dedup_gated_ingest,
+#: pipeline_layout_stats), the round-10 pre-freeze pair
+#: (stream_crawl_verified_ingest, stream_crawl_bm25_ingest_parity), the
+#: round-11 both-gates composition
+#: (stream_crawl_verified_decontaminated_ingest), and the band-mode /
+#: lifecycle half of the dedup incremental block
+#: (dedup_incremental_delete_compact, dedup_incremental_batch_filter,
+#: dedup_incremental_index_filter) — all two-plus-green on machinery
+#: unchanged this round, families anchored per-entry in DRIVER_EXCLUDED.
+#: IN (8), at the front: the longest-dormant anchors (VERDICT r12
+#: gap #2) — pipeline_corpus_curation, dedup_minhash_lsh,
+#: vector_knn_batch, text_tokenize_topk, tpch_q1_pricing_summary,
+#: vector_lsh_exact_parity, text_phrase_search,
+#: pipeline_catalog_roundtrip.
+#: KEPT against the recorded plan: both VERIFIED dedup filter rows —
+#: the round-13 advisor fixes changed exactly their machinery (the
+#: under-cap short-circuit now skips the signature subtree), invariant
+#: 2 — and stream_crawl_production_ingest for its second green.
 #:
-#: ROUND-7 ROTATION (executed 2026-08-14, per the plan recorded here in
-#: round 6):
-#: 1. Rotated IN, at the front: the three zero-row entries registered
-#:    mid-round-6 after the r6 surface froze (vector_lsh_compact_parity,
-#:    text_positional_compact_parity — the LSH and positional offline
-#:    compactors' crash-window parities — and
-#:    text_winnow_fingerprint_overlap, the winnowing fingerprint audit),
-#:    each sf0.01 + sf1.0 hash-verified on arrival (SCALING.md).
-#: 2. Rotated OUT, three entries, per-entry anchors documented in
-#:    DRIVER_EXCLUDED: text_bpe_vocab_merges (the last rows-only surface
-#:    row — its exact-checkable twin text_bpe_word_freqs is hash-green
-#:    r6 and stays, the same anchoring pattern that retired the sketch
-#:    and IVF/LSH rows-only rows; the surface is now 100% hash-checked),
-#:    text_inverted_merge_parity and dedup_line_first_occurrence (two
-#:    greens r5+r6 each, families multiply anchored).
-#: 3. Kept: the eleven r6-front entries (one green — two-green rule),
-#:    the remaining eight r5-first-green entries (r5+r6 greens; slots
-#:    allow a third), and every anchor block unchanged.
+#: ROUND-14 ROTATION PLAN: rotate any mid-round-13 zero-row
+#: registrations to the front; after CORRECTNESS_r13 the eight
+#: re-surfaced anchors are freshly green and excludable again (their
+#: point was the verdict refresh, not permanence); the verified filter
+#: pair is excludable IF the round-13 short-circuit shape holds green
+#: and round 14 doesn't touch dedupidx.py;
+#: stream_crawl_production_ingest is two-green and excludable. Backfill
+#: from the longest-dormant excluded anchors next in line
+#: (pipeline_ingest_csv — S1–S4, last green r01–r03 —
+#: dedup_decontaminate, events_conversion_funnel, vector_knn_exact_l2,
+#: window_top_orders_salted), keeping every family anchored.
 #:
-#: ROUND-8 ROTATION (executed 2026-08-15, per the plan recorded here in
-#: round 7):
-#: 1. Rotated IN, at the front: the four entries registered mid-round-7
-#:    after the r7 surface froze (vector_ivf_uri_layout_parity — the
-#:    fsio storage-portability anchor;
-#:    vector_ivf_declared_empty_ingest_parity — the declare-then-ingest
-#:    lifecycle anchor; dedup_incremental_index_filter — the persisted
-#:    incremental-dedup layout's two-stage lifecycle anchor (also
-#:    sf5-verified on arrival); and dedup_incremental_verified_filter —
-#:    the verified-mode estimator + mega-key-routing anchor),
-#:    each sf0.01 + sf1.0 hash-verified on arrival (SCALING.md round 7).
-#: 2. Rotated OUT four entries from the r5-first-green block (three
-#:    greens each, r5+r6+r7) to hold the surface at 50:
-#:    events_exact_quantiles, multimodal_image_feature_knn,
-#:    dedup_dup_span_fraction, text_nb_lang_confusion — per-entry family
-#:    anchors documented in DRIVER_EXCLUDED below. The two sketch
-#:    anchors (agg_count_min_heavy_hitters, stream_cms_documents) stay:
-#:    they are the hash-checked twins that justified retiring the
-#:    rows-only approximate sketches in round 5.
-#: 3. Kept: the three r7-rotated-in entries (one green — two-green
-#:    rule) and every anchor block unchanged.
-#:
-#: ROUND-9 ROTATION (executed 2026-08-15, per the plan recorded here in
-#: round 8):
-#: 1. Rotated IN, at the front: the two entries registered mid-round-8
-#:    after the r8 surface froze (dedup_incremental_delete_compact —
-#:    the dedup index's takedown/compaction maintenance pair, sf5-
-#:    verified on arrival; dedup_incremental_batch_filter — the
-#:    bench=True fixed-batch crawl-ingest cost line), each sf0.01 +
-#:    sf1.0 hash-verified on arrival (SCALING.md round 8).
-#: 2. Rotated OUT two entries from the r4-first-green block (four-plus
-#:    greens each, r4–r8): dedup_semantic_prune and
-#:    dedup_ngram_containment — the dedup family keeps SIX surfaced
-#:    anchors (dedup_line_kept_fraction, both incremental filters, the
-#:    delete/compact and batch-filter rotations, pipeline_multi_strategy's
-#:    U2 prefix dedup); per-entry notes in DRIVER_EXCLUDED.
-#: 3. Kept: the four r8-front entries and the three r7-rotated-in
-#:    entries (awaiting their r8 verdicts — CORRECTNESS_r08 had not
-#:    landed when this rotation was cut, so the conservative choice is
-#:    to keep every entry that may still be one-green), and every
-#:    anchor block unchanged.
-#:
-#: ROUND-10 ROTATION (executed 2026-08-15, per the plan recorded here
-#: in round 9):
-#: 1. Rotated IN, at the front: the three zero-row entries registered
-#:    mid-round-9 after the r9 surface froze
-#:    (stream_crawl_dedup_gated_ingest — the composed dedup-gated
-#:    intake loop, streaming/crawl.py; pipeline_layout_stats — layout
-#:    describe/stats over the four mutable layouts, index/stats.py;
-#:    stream_crawl_decontaminated_ingest — the loop with both admission
-#:    gates), each sf0.01 + sf1.0 + sf5 hash-verified on arrival
-#:    (SCALING.md round 9) and independently re-verified in the round-9
-#:    judge session.
-#: 2. Rotated OUT four entries with four-plus greens each, per-entry
-#:    anchors documented in DRIVER_EXCLUDED: vector_lsh_exact_parity
-#:    (LSH keeps three surfaced anchors), text_phrase_search (phrase
-#:    machinery anchored by text_positional_compact_parity),
-#:    events_sliding_window (events keeps four surfaced anchors),
-#:    pipeline_train_test_split and text_bigram_lm_quality (slots for
-#:    the two pre-freeze registrations).
-#: 2b. Registered AND surfaced round-10 PRE-freeze (the round-6
-#:    precedent for pre-freeze registrations):
-#:    stream_crawl_verified_ingest — the intake loop's verified
-#:    admission mode (VERDICT r9 task 2) — and
-#:    stream_crawl_bm25_ingest_parity — the loop's inverted sink under
-#:    the hash discipline (VERDICT r9 task 3); each hash-verified at
-#:    sf0.001 + sf0.01 + sf1.0 on arrival.
-#: 3. Kept: the r8/r9-front cohort and the r7 trio (CORRECTNESS_r08
-#:    never landed, so their green counts are one lower than scheduled —
-#:    the conservative read keeps them for their second/third verdicts),
-#:    and every anchor block unchanged.
-#:
-#: ROUND-11 ROTATION (executed 2026-08-15, per the plan recorded here
-#: in round 10):
-#: 1. No mid-round-10 zero-row registrations existed (the round-10
-#:    surface froze with every registered query carrying ≥1 driver
-#:    verdict — zero rotation debt).
-#: 2. Registered AND surfaced round-11 PRE-freeze (the round-6/round-10
-#:    precedent): dedup_incremental_verified_batch_filter — the
-#:    bench=True verified twin of the fixed-batch crawl cost line
-#:    (VERDICT r10 task 2), exercising the round-11 bucket-pruned
-#:    signature fetch — and stream_crawl_verified_decontaminated_ingest
-#:    — the intake loop with BOTH gates armed (VERDICT r10 task 4,
-#:    the independent-flags contract under composition); each
-#:    hash-verified vs DuckDB at sf0.001 + sf0.01 + sf1.0 on arrival
-#:    (SCALING.md round 11).
-#: 3. Rotated OUT two entries from the r8-front block, two greens each
-#:    (r9 + r10; CORRECTNESS_r08 never landed):
-#:    vector_ivf_uri_layout_parity and
-#:    vector_ivf_declared_empty_ingest_parity — per-entry anchors
-#:    documented in DRIVER_EXCLUDED. The OTHER two r8-front entries
-#:    (dedup_incremental_index_filter, dedup_incremental_verified_filter)
-#:    are also two-green but stay surfaced: the round-11 side-car
-#:    bucketing changed exactly their machinery, so they keep their
-#:    driver verdicts on the new layout.
-#: 4. Kept: the r9-front pair (two greens, but they are the dedup
-#:    layout's delete/compact and bench-cost anchors and the layout
-#:    changed this round), the round-10 crawl cohort (for their second
-#:    greens), and every anchor block unchanged.
-#:
-#: ROUND-12 ROTATION PLAN (recorded round 11): rotate any mid-round-11
-#: zero-row registrations to the front; the round-10 crawl cohort is
-#: then two-plus-green and excludable; if the round-11 pre-freeze pair
-#: and the dedup incremental block hold green on the bucketed layout,
-#: the r9-front pair and the two kept r8-front entries become
-#: excludable too; backfill from the r4/r01/r03 anchor blocks only as
-#: slots demand.
-#:
-#: ROUND-12 ROTATION (executed 2026-08-16, per the plan above):
-#: 1. No mid-round-11 zero-row registrations existed (CORRECTNESS_r11
-#:    is 50/50 over exactly the frozen surface — zero rotation debt).
-#: 2. Registered AND surfaced round-12 PRE-freeze (the round-6/10/11
-#:    precedent): stream_crawl_production_ingest — the FULL production
-#:    intake configuration (verified + decontamination + inverted sink
-#:    + IVF sink in ONE streamed run; VERDICT r11 task 5, closing the
-#:    crawl-gate composition matrix), hash-verified vs DuckDB at
-#:    sf0.001 + sf0.01 + sf1.0 on arrival (SCALING.md round 12).
-#: 3. Rotated OUT one entry to hold the surface at 50:
-#:    stream_crawl_decontaminated_ingest — two greens (r10 + r11), and
-#:    the new production row exercises its decontamination gate in a
-#:    strictly stronger composition; the crawl family keeps SIX
-#:    surfaced anchors. Documented per-entry in DRIVER_EXCLUDED.
-#: 4. Kept: everything else — the round-11 pre-freeze pair (one green
-#:    each, two-green rule), the dedup incremental block (the round-12
-#:    count-first rewrite changed exactly their machinery, so they keep
-#:    driver verdicts on the new plan — the same reasoning that held
-#:    them through the round-11 bucketing), and every anchor block
-#:    unchanged. The wider excludable set the plan named stays
-#:    surfaced: only one slot was demanded, and holding
-#:    already-anchored rows costs nothing while their machinery is
-#:    still moving.
-#: ROUND-13 ROTATION PLAN: rotate any mid-round-12 zero-row
-#: registrations to the front; after CORRECTNESS_r12 the round-10
-#: crawl cohort (stream_crawl_dedup_gated_ingest, pipeline_layout_stats)
-#: and the round-10 pre-freeze pair (stream_crawl_verified_ingest,
-#: stream_crawl_bm25_ingest_parity) are three-green and excludable; the
-#: round-11 pre-freeze pair is two-green and excludable IF the
-#: count-first shape holds green in r12; the dedup incremental block
-#: (r8 pair + r9 pair) is then three-plus-green on stable machinery and
-#: excludable too; stream_crawl_production_ingest stays for its second
-#: green. Backfill from the r4/r01/r03 anchor blocks only as slots
-#: demand — every family must keep a surfaced anchor.
+#: ROUND-5 THROUGH ROUND-12 ROTATIONS: moved verbatim to
+#: docs/ROTATION.md (VERDICT r12 task 5).
 DRIVER_CRITICAL: tuple[str, ...] = (
+    # --- round-13 rotation: the eight longest-dormant anchors,
+    # re-surfaced for fresh driver verdicts on the current tree
+    # (VERDICT r12 gap #2 — last driver greens r01–r03 for the first
+    # five and pipeline_catalog_roundtrip; round ≤9 for the LSH/phrase
+    # pair while their machinery kept moving) ---
+    "pipeline_corpus_curation",       # bench headline: clean → quality →
+                                      # exact dedup → MinHash in one DAG
+    "dedup_minhash_lsh",
+    "vector_knn_batch",
+    "text_tokenize_topk",
+    "tpch_q1_pricing_summary",
+    "vector_lsh_exact_parity",
+    "text_phrase_search",
+    "pipeline_catalog_roundtrip",     # the only catalog query: S5/S8/S9/A1
     # --- round-12 pre-freeze registration: the full production crawl
-    # composition (verified + decon + inverted + IVF in one run) ---
+    # composition (verified + decon + inverted + IVF in one run); kept
+    # for its second green, and it carries the round-13 verified-filter
+    # short-circuit change in composition ---
     "stream_crawl_production_ingest",
-    # --- round-11 pre-freeze registrations (the round-6/round-10
-    # precedent): the verified bench cost line on the bucket-pruned
-    # side-car, and the both-gates crawl composition ---
+    # --- the VERIFIED dedup filter pair: kept under rotation
+    # invariant 2 — the round-13 advisor fixes changed exactly their
+    # machinery (under-cap short-circuit now skips the signature
+    # subtree), so their r13 verdicts land on the new plan ---
     "dedup_incremental_verified_batch_filter",
-    "stream_crawl_verified_decontaminated_ingest",
-    # --- round-10 rotation: zero driver rows until now (registered
-    # mid-round-9 after the r9 surface froze). The round-9 headline
-    # work lands here: the composed crawl intake loop (both gate
-    # configurations) and layout-level describe/stats.
-    # stream_crawl_decontaminated_ingest rotated out in round 12. ---
-    "stream_crawl_dedup_gated_ingest",
-    "pipeline_layout_stats",
-    # --- registered round-10 PRE-freeze (the round-6 precedent):
-    # the verified-admission crawl loop and the crawl loop's inverted
-    # sink, each hash-verified vs DuckDB at sf0.001 + sf0.01 + sf1.0 on
-    # arrival (SCALING.md round 10) ---
-    "stream_crawl_verified_ingest",
-    "stream_crawl_bm25_ingest_parity",
-    # --- round-9 rotation: zero driver rows until now (registered
-    # mid-round-8 after the r8 surface froze). The round-8 headline
-    # work lands here: the dedup index's delete/compact lifecycle and
-    # the fixed-batch crawl-ingest bench line. ---
-    "dedup_incremental_delete_compact",
-    "dedup_incremental_batch_filter",
-    # --- round-8 rotation, two entries rotated out in round 11 (the
-    # IVF uri-layout and declared-empty parities; documented in
-    # DRIVER_EXCLUDED). The dedup pair stays: the round-11 side-car
-    # bucketing changed exactly this machinery. ---
-    "dedup_incremental_index_filter",
     "dedup_incremental_verified_filter",
     # --- round-7 rotation: first green in r7 (registered mid-round-6
     # after the r6 surface froze); kept for the two-green rule ---
@@ -343,10 +187,7 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "dedup_exact_groups",        # replayed inside pipeline_corpus_curation
         "text_tfidf_top_terms",
         "vector_knn_threshold",      # P2 pinned by knn_exact plan test
-        "vector_knn_batch",          # J2/W2 anchored by the batch BM25/IVF runs
         "text_clean_preprocess",     # F1/P4 pinned by stream_ingest oracle
-        "dedup_minhash_lsh",
-        "text_tokenize_topk",        # F2 pinned by every BM25 oracle
         # --- rotated OUT in round 4: hash-green in r02 AND r03 (the
         # stream/multimodal/quantization/vector families keep anchors in
         # the surface via their r03-first-green siblings) ---
@@ -455,21 +296,6 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         # registrations per the zero-row-first rule. Each remains
         # registered and oracle-checked locally by
         # tests/test_oracle_parity.py. ---
-        "vector_lsh_exact_parity",   # four-plus greens (r4–r9); the LSH
-                                     # family keeps THREE surfaced
-                                     # anchors (vector_lsh_compact_parity,
-                                     # vector_lsh_delete_parity,
-                                     # vector_lsh_batch_topk) exercising
-                                     # the same bucket layout + multiprobe
-                                     # machinery this exact-parity row
-                                     # pinned
-        "text_phrase_search",        # four-plus greens; the positional
-                                     # phrase machinery is anchored by
-                                     # the surfaced
-                                     # text_positional_compact_parity
-                                     # (same positions layout, adds the
-                                     # compactor), and the text family
-                                     # keeps eight surfaced anchors
         "text_bigram_lm_quality",    # four-plus greens; its slot goes to
                                      # the PRE-freeze round-10
                                      # registration
@@ -590,16 +416,52 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                          # chunk embeddings) stays surfaced
         # --- rotated OUT in round 4: hash-green in THREE rounds ---
         "dedup_decontaminate",
-        # 3-green; the only catalog query, so its S5/S8/S9/A1 coverage
-        # citation rests on those three verdicts — yields its slot to the
-        # new zero-row phrase/semantic queries
-        "pipeline_catalog_roundtrip",
         "events_conversion_funnel",
-        "pipeline_corpus_curation",
         "pipeline_ingest_csv",         # S1-S4 pinned by its r01-r03 greens
-        "tpch_q1_pricing_summary",     # q3/q5 rotate in as relational anchors
         "vector_knn_exact_l2",         # J1 still smoke-run every round: entry()
         "window_top_orders_salted",    # per_customer twin rotates in
+        # --- rotated OUT in round 13: two-plus greens each on machinery
+        # untouched this round, yielding their slots to the eight
+        # re-surfaced longest-dormant anchors (docs/ROTATION.md). Each
+        # remains registered and oracle-checked locally by
+        # tests/test_oracle_parity.py. ---
+        "stream_crawl_dedup_gated_ingest",   # three greens (r10–r12); its
+                                             # dedup gate is replayed
+                                             # strictly stronger by the
+                                             # surfaced production row
+        "pipeline_layout_stats",             # three greens; table-level
+                                             # describe/stats re-anchored by
+                                             # the re-surfaced
+                                             # pipeline_catalog_roundtrip;
+                                             # layout stats suite-pinned in
+                                             # tests/test_layout_stats.py
+        "stream_crawl_verified_ingest",      # three greens; verified-mode
+                                             # admission replayed by the
+                                             # surfaced production row
+        "stream_crawl_bm25_ingest_parity",   # three greens; the streamed
+                                             # inverted sink + BM25 leg is
+                                             # replayed by the production
+                                             # row's bm25 stage
+        "stream_crawl_verified_decontaminated_ingest",  # two greens
+                                             # (r11+r12); both-gates
+                                             # composition subsumed by the
+                                             # production row (same gates,
+                                             # more sinks)
+        "dedup_incremental_delete_compact",  # four greens (r9–r12); the
+                                             # tombstone/compact lifecycle
+                                             # is suite-pinned
+                                             # (tests/test_dedupidx.py) and
+                                             # the layout keeps both
+                                             # verified filter rows surfaced
+        "dedup_incremental_batch_filter",    # four greens; band-mode cost
+                                             # line — band machinery
+                                             # unchanged this round; its
+                                             # verified twin stays surfaced
+        "dedup_incremental_index_filter",    # three greens (r10–r12);
+                                             # band-mode two-stage lifecycle
+                                             # anchored by the surfaced
+                                             # verified pair (superset
+                                             # machinery) + suite pins
     }
 )
 

@@ -1846,7 +1846,11 @@ def stream_crawl_production_ingest(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(-1).alias("corpus_dup"),
             F.lit(-1).alias("within_dup"),
             F.lit(-1).alias("contaminated"),
-            F.col("bm25").alias("metric"),
+            # explicit rounding contract with the oracle's round(bm25, 6)
+            # — idempotent over the searcher's internal round, but the
+            # parity must not hinge on that implicit detail (advisor,
+            # round 12)
+            F.round("bm25", 6).alias("metric"),
         )
         out = admissions.unionByName(search).unionByName(bm25)
         rows = out.collect()

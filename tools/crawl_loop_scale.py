@@ -43,6 +43,17 @@ def main() -> int:
     ap.add_argument("--batch-docs", type=int, default=5000)
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--modes", nargs="*", default=["band", "verified"])
+    ap.add_argument(
+        "--fresh",
+        action="store_true",
+        help="synthesize genuinely-unique batch texts (40 md5-derived "
+        "letter words per doc) instead of slicing tile texts. The "
+        "replica-built scale tiles suppress every batch doc (the "
+        "admission-cost profile); this profile makes every doc a "
+        "SURVIVOR so the post-admission sinks — embed, IVF append, "
+        "postings append + stats bump, dedup-band append — do full "
+        "per-batch work (the production-mode sink-cost profile).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -102,7 +113,29 @@ def main() -> int:
 
         # Crawl batches: fresh (%3==2) texts, disjoint slices per batch,
         # suffixed within-batch variants so both filter paths do real work.
+        # Under --fresh, replace each text with 40 unique letter-only
+        # words (md5 of doc_id+position, digits translated to letters so
+        # the [a-zA-Z]{3,} tokenizer keeps them): zero band collisions,
+        # so every doc survives admission and the sinks do full work.
         fresh = docs.filter(F.col("doc_id") % 3 == 2)
+        if args.fresh:
+            fresh = fresh.select(
+                "doc_id",
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(39)),
+                        lambda i: F.translate(
+                            F.md5(
+                                F.concat_ws("|", F.col("doc_id").cast("string"),
+                                            i.cast("string"))
+                            ),
+                            "0123456789",
+                            "ghijklmnop",
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
         src_master = f"{work}/src"
         os.makedirs(src_master)
         for b in range(args.batches):

@@ -537,3 +537,47 @@ def test_dedup_index_tombstone_path_plan_contract(spark, tmp_path):
     assert bcast_anti(after) == bcast_anti(before) + 1, (
         "tombstone anti-join must be the one NEW broadcast anti-join\n" + after
     )
+
+
+def test_knn_batch_arrow_two_phase_narrow_scan_broadcast_joinback(spark):
+    """The Arrow batch kernel's scale shape (operators/knn.py:230-262):
+    (a) only (id, vector) crosses the Python boundary — the corpus scan
+    feeding mapInPandas must not read payload columns; (b) top-k is
+    two-phase — a partition-local row_number over (query, partition id)
+    bounds the per-query sort input to #partitions x k; (c) the payload
+    join-back broadcasts the <= q*k winners instead of shuffling payload
+    columns through the candidate set."""
+    from pyspark.sql import functions as F
+
+    from vector_db_example_spark.operators.knn import knn_batch
+    from vector_db_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "payload", F.concat(F.lit("meta-"), F.col("vec_id").cast("string"))
+    )
+    queries = (
+        emb.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    plan = _plan(knn_batch(emb, queries, k=5), execute=True)
+    # (a) narrow scan under the Python node: the payload column must not
+    # appear in the mapInPandas subtree's ReadSchema (it IS read later,
+    # by the join-back scan)
+    py_node = next(
+        ln for ln in plan.splitlines() if "MapInPandas" in ln or "mapInPandas" in ln
+    )
+    assert "payload" not in py_node, py_node
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    narrow = [ln for ln in scans if "embedding" in ln and "payload" not in ln]
+    assert narrow, f"expected a payload-free (id, vector) scan:\n{plan}"
+    # (b) two-phase top-k: two Window nodes, the first keyed by the
+    # synthetic partition id
+    assert plan.count("Window") >= 2, plan
+    assert "SPARK_PARTITION_ID" in plan.upper(), (
+        "partition-local phase must key on spark_partition_id()"
+    )
+    # (c) winners broadcast into the payload join-back
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, (
+        "no global sort anywhere in the batch kernel"
+    )

@@ -1086,6 +1086,116 @@ def dedup_incremental_verified_filter(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "dedup_incremental_verified_fresh_filter",
+    # The round-13 SHORT-CIRCUIT configuration under the hash discipline:
+    # every batch-corpus collision lands on the over-cap boilerplate
+    # keys (6 corpus copies of doc 0's text > cap=2), and the rest of
+    # the batch is synthesized-unique md5 text that collides with
+    # NOTHING — so no under-cap colliding key exists and the filter's
+    # under-cap emptiness probe skips the second layout pass and the
+    # whole signature-verification subtree. Planted within-batch pairs
+    # (consecutive fresh ids share one synthesized text) keep the
+    # within-batch verification algebra doing real work, so the oracle
+    # — the full _verified_ctes mirror, which computes the same answers
+    # whether or not the engine short-circuits — is not tautological.
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
+  UNION ALL
+  SELECT 500000 + g.i AS id, d.text
+  FROM (SELECT text FROM documents WHERE doc_id = 0) d
+  CROSS JOIN generate_series(1, 5) AS g(i)
+),
+batch AS (
+  SELECT doc_id AS id,
+         array_to_string(list_transform(range(0, 10),
+           i -> md5((doc_id - (doc_id % 6))::VARCHAR || '|' || i::VARCHAR)),
+           ' ') AS text
+  FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 1000000 AS id,
+         (SELECT text FROM documents WHERE doc_id = 0) AS text
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+),
+{_verified_ctes(2)}
+SELECT b.id AS doc_id,
+       (b.id IN (SELECT id FROM cdup))::INTEGER AS corpus_dup,
+       (b.id IN (SELECT id FROM wdup))::INTEGER AS within_dup
+FROM batch b
+""",
+    tags=("dedup", "minhash", "lsh", "index", "verified", "short-circuit",
+          "training-data"),
+)
+def dedup_incremental_verified_fresh_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The verified filter on the FRESH-batch shape the round-13
+    short-circuit optimizes (index/dedupidx.py): boilerplate colliders
+    hit only the over-cap doc-0 keys (auto-route, no enumeration) and
+    every other batch doc is synthesized-unique md5 text colliding with
+    nothing, so no under-cap colliding key exists and the second layout
+    pass plus the whole signature subtree are provably skippable —
+    the common diverse-crawl case. Within-batch pairs (consecutive
+    fresh ids share a synthesized text) still route through the
+    pessimistic one-pass verification, so one hash verdict covers the
+    short-circuited corpus side AND the live within-batch algebra.
+    The skip itself is pinned by a ``_read_sigs`` spy in
+    tests/test_dedupidx.py; this row pins that skipping never changes
+    an answer, at every driver SF."""
+    import shutil
+    import tempfile
+
+    from ..index.dedupidx import build_dedup_index, dedup_index_filter_verified
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 < 2)
+    boiler = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(1, 6).select((F.col("id") + 500000).alias("new_id")))
+        .select(F.col("new_id").alias("doc_id"), "text")
+    )
+    corpus = base.unionByName(boiler)
+    fresh = docs.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(9)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        "|",
+                        (F.col("doc_id") - F.col("doc_id") % 6).cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    colliders = (
+        docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 == 0))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"))
+        .crossJoin(
+            F.broadcast(docs.filter(F.col("doc_id") == 0).select("text"))
+        )
+    )
+    batch = fresh.unionByName(colliders)
+    work = tempfile.mkdtemp(prefix="dedup_incr_sc_")
+    try:
+        index = build_dedup_index(corpus, f"{work}/idx")
+        out = dedup_index_filter_verified(
+            spark, index, batch, threshold=0.5, candidate_cap=2
+        ).select(
+            "doc_id",
+            F.col("corpus_dup").cast("int").alias("corpus_dup"),
+            F.col("within_dup").cast("int").alias("within_dup"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "dedup_incremental_delete_compact",
     # Three stages in one hash verdict: 'pre' filters the batch against
     # the full corpus (exact plants of soon-to-be-deleted docs flag

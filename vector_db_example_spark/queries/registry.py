@@ -60,22 +60,36 @@ QUERIES: dict[str, Query] = {}
 #: the round-13 advisor fixes changed exactly their machinery (the
 #: under-cap short-circuit now skips the signature subtree), invariant
 #: 2 — and stream_crawl_production_ingest for its second green.
+#: Registered AND surfaced round-13 PRE-freeze (the round-6/10/11/12
+#: precedent): dedup_incremental_verified_fresh_filter — the
+#: short-circuit configuration under the hash discipline; its slot
+#: comes from vector_lsh_compact_parity (five greens on a compactor
+#: unchanged since round 6).
 #:
 #: ROUND-14 ROTATION PLAN: rotate any mid-round-13 zero-row
-#: registrations to the front; after CORRECTNESS_r13 the eight
-#: re-surfaced anchors are freshly green and excludable again (their
-#: point was the verdict refresh, not permanence); the verified filter
-#: pair is excludable IF the round-13 short-circuit shape holds green
-#: and round 14 doesn't touch dedupidx.py;
+#: registrations to the front; dedup_incremental_verified_fresh_filter
+#: is one-green after CORRECTNESS_r13 and stays (two-green rule); the
+#: eight re-surfaced anchors are freshly green and excludable again
+#: (their point was the verdict refresh, not permanence); the verified
+#: filter pair is excludable IF the round-13 short-circuit shape holds
+#: green and round 14 doesn't touch dedupidx.py;
 #: stream_crawl_production_ingest is two-green and excludable. Backfill
-#: from the longest-dormant excluded anchors next in line
-#: (pipeline_ingest_csv — S1–S4, last green r01–r03 —
+#: from the longest-dormant excluded anchors next in line — all five
+#: pre-verified hash-exact at sf1.0 on the round-13 tree (SCALING.md):
+#: pipeline_ingest_csv (S1–S4, last green r01–r03),
 #: dedup_decontaminate, events_conversion_funnel, vector_knn_exact_l2,
-#: window_top_orders_salted), keeping every family anchored.
+#: window_top_orders_salted — keeping every family anchored.
 #:
 #: ROUND-5 THROUGH ROUND-12 ROTATIONS: moved verbatim to
 #: docs/ROTATION.md (VERDICT r12 task 5).
 DRIVER_CRITICAL: tuple[str, ...] = (
+    # --- registered round-13 PRE-freeze (the round-6/10/11/12
+    # precedent): the verified filter on the fresh-batch shape whose
+    # corpus side the round-13 short-circuit skips — one hash verdict
+    # that skipping the signature subtree never changes an answer;
+    # hash-verified vs DuckDB at sf0.001 + sf0.01 + sf1.0 on arrival
+    # (SCALING.md round 13) ---
+    "dedup_incremental_verified_fresh_filter",
     # --- round-13 rotation: the eight longest-dormant anchors,
     # re-surfaced for fresh driver verdicts on the current tree
     # (VERDICT r12 gap #2 — last driver greens r01–r03 for the first
@@ -102,8 +116,9 @@ DRIVER_CRITICAL: tuple[str, ...] = (
     "dedup_incremental_verified_batch_filter",
     "dedup_incremental_verified_filter",
     # --- round-7 rotation: first green in r7 (registered mid-round-6
-    # after the r6 surface froze); kept for the two-green rule ---
-    "vector_lsh_compact_parity",
+    # after the r6 surface froze); vector_lsh_compact_parity rotated
+    # out in round 13 (five greens, slot for the pre-freeze
+    # registration above) ---
     "text_positional_compact_parity",
     "text_winnow_fingerprint_overlap",
     # --- round-6 rotation: zero driver rows until now (nine registered
@@ -462,6 +477,14 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                              # anchored by the surfaced
                                              # verified pair (superset
                                              # machinery) + suite pins
+        "vector_lsh_compact_parity",         # five greens (r7–r12) on a
+                                             # compactor unchanged since
+                                             # round 6; yields its slot to
+                                             # the round-13 pre-freeze
+                                             # registration; LSH keeps
+                                             # THREE surfaced anchors
+                                             # (delete parity, batch topk,
+                                             # re-surfaced exact parity)
     }
 )
 

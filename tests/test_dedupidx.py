@@ -838,11 +838,29 @@ def test_parse_byte_string_mirrors_spark_units(spark):
     assert _parse_byte_string("10MB") == 10 * 1024 * 1024
     assert _parse_byte_string(" 2g ") == 2 * 1024**3
     assert _parse_byte_string("1K") == 1024
-    # JavaUtils only matches non-negative digits before a suffix, so
-    # "-1k" must raise like the other garbage (advisor, round 12)
-    for bad in ("", "10XB", "ten", "10 10", "-1k", "-10MB"):
+    # the conf layer (ConfigHelpers.byteFromString) strips ONE leading
+    # '-' and negates, so '-1k' is a valid disable value Spark itself
+    # accepts — it must parse negative, not raise (advisor, round 13)
+    assert _parse_byte_string("-1k") == -1024
+    assert _parse_byte_string("-10MB") == -10 * 1024 * 1024
+    # ConfigHelpers checks charAt(0) BEFORE any trim, so a space-led
+    # negative is garbage to Spark and must stay garbage here
+    for bad in ("", "10XB", "ten", "10 10", "--1k", " -1k"):
         with pytest.raises(ValueError):
             _parse_byte_string(bad)
+    # ...and a negative threshold takes the DISABLED path, not a crash
+    class _NeverAsked:
+        @property
+        def _jdf(self):  # pragma: no cover - must not be reached
+            raise AssertionError("disabled threshold must not touch the plan")
+
+    class _NegConf:
+        class conf:
+            @staticmethod
+            def get(k):
+                return "-1k"
+
+    assert _fits_auto_broadcast(_NegConf, _NeverAsked()) is False
     # unavailable plan stats (Spark Connect has no _jdf -> an
     # AttributeError subclass) must report not-fitting - the caller then
     # takes the restriction path, which keeps the layout unshuffled
@@ -862,6 +880,32 @@ def test_parse_byte_string_mirrors_spark_units(spark):
 
     with pytest.raises(RuntimeError):
         _fits_auto_broadcast(spark, _BrokenPlan())
+    # JVM-side failures arrive as Py4JJavaError (⊂ Py4JError): the JVM
+    # evaluated the plan and threw, so they must surface too — only
+    # bare gateway/protocol faults map to not-fitting (advisor,
+    # round 13: the round-12 blanket Py4JError catch still swallowed
+    # Py4JJavaError)
+    from py4j.protocol import Py4JError, Py4JJavaError
+
+    class _FakeJavaException:  # Py4JJavaError.__init__ reads _target_id
+        _target_id = "o0"
+
+    class _JvmThrew:
+        @property
+        def _jdf(self):
+            raise Py4JJavaError(
+                "analysis exception from the JVM", _FakeJavaException()
+            )
+
+    with pytest.raises(Py4JJavaError):
+        _fits_auto_broadcast(spark, _JvmThrew())
+
+    class _GatewayDown:
+        @property
+        def _jdf(self):
+            raise Py4JError("connection refused while talking to the gateway")
+
+    assert _fits_auto_broadcast(spark, _GatewayDown()) is False
 
 
 def test_over_ceiling_fallback_matches_broadcast_path(
@@ -969,3 +1013,70 @@ def test_verified_filter_skips_sig_subtree_when_no_under_cap_key(
     }
     assert got == {300: (True, False)}
     assert calls, "under-cap collider must reach the verification join"
+
+
+def test_verified_filter_fresh_batch_plan_collapses(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Fresh-path short-circuits (round 14): a batch where nothing
+    collides with the layout AND no (band, key) is shared by two batch
+    docs must return a verdict plan that never scans the layout (the
+    over-cap semi-join is dropped once the materialized key counts are
+    empty) and never builds the similarity estimator into the plan (the
+    within-batch algebra is provably empty when every batch group has
+    size 1). A within-batch duplicate pair must re-arm the estimator."""
+    import vector_db_example_spark.index.dedupidx as dd
+
+    d = str(tmp_path_factory.mktemp("dedupidx_fresh"))
+    corpus = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(10)],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, f"{d}/idx", sig_buckets=8)
+    calls: list[int] = []
+    orig = dd._est_sim
+
+    def spy(a, b, n):
+        calls.append(1)
+        return orig(a, b, n)
+
+    monkeypatch.setattr(dd, "_est_sim", spy)
+    fresh = spark.createDataFrame(
+        [
+            (200, "alpha beta gamma delta epsilon zeta"),
+            (201, "eta theta iota kappa lambda mu nu"),
+        ],
+        "doc_id long, text string",
+    )
+    v = dedup_index_filter_verified(
+        spark, index, fresh, threshold=0.5, candidate_cap=2
+    )
+    plan = v._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert f"{d}/idx" not in plan, plan  # no layout scan in the verdict plan
+    got = {r["doc_id"]: (r["corpus_dup"], r["within_dup"]) for r in v.collect()}
+    assert got == {200: (False, False), 201: (False, False)}
+    assert calls == [], "estimator built into a provably-empty plan"
+    # a within-batch duplicate pair re-arms the within algebra (and the
+    # verdict still assembles correctly alongside the empty corpus side)
+    wb = spark.createDataFrame(
+        [
+            (300, "one two three four five six"),
+            (301, "one two three four five six"),
+            (302, "totally different content goes here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["corpus_dup"], r["within_dup"])
+        for r in dedup_index_filter_verified(
+            spark, index, wb, threshold=0.5, candidate_cap=2
+        ).collect()
+    }
+    assert got == {
+        300: (False, False),
+        301: (False, True),
+        302: (False, False),
+    }
+    assert calls, "within-batch pair must reach the verification estimator"

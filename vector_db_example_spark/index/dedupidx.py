@@ -81,8 +81,12 @@ from pyspark.sql import functions as F
 
 try:  # classic PySpark ships py4j; Spark Connect clients may not
     from py4j.protocol import Py4JError as _Py4JError
+    from py4j.protocol import Py4JJavaError as _Py4JJavaError
 except ImportError:  # pragma: no cover - Connect-only environment
     class _Py4JError(Exception):
+        pass
+
+    class _Py4JJavaError(_Py4JError):
         pass
 from pyspark.sql import types as T
 
@@ -186,6 +190,33 @@ def band_rows(index: DedupIndex, docs: DataFrame) -> DataFrame:
     """``(id, band, key)`` for a document frame (signature pass + slice
     hashing fused in one plan)."""
     return _bands_of_sigs(index, signature_rows(index, docs))
+
+
+def _sig_band_rows(index: DedupIndex, docs: DataFrame) -> DataFrame:
+    """``(id, band, key, sig)`` in ONE kernel pass — the verified
+    filter's single batch-side materialization shape (round 14, closing
+    the fixed-floor gap vs band-only mode measured in SCALING.md
+    round 13). The signature rides ONLY on each doc's band-0 row
+    (``sig`` is null elsewhere), so checkpointing this frame costs the
+    band table band-only mode materializes anyway PLUS one sig array
+    per doc — not bands × sig — while every downstream subtree reads
+    bands DIRECTLY from the checkpoint (the round-13 shape checkpointed
+    sigs alone and re-derived explode + slice-md5 inside each consumer
+    job) and the verification joins recover ``(id, sig)`` with a narrow
+    ``band = 0`` filter: no shuffle, no second kernel run."""
+    sigs = signature_rows(index, docs)
+    return sigs.select(
+        index.id_col,
+        F.explode(
+            lsh_band_keys(F.col("sig"), index.bands, index.rows_per_band)
+        ).alias("bk"),
+        "sig",
+    ).select(
+        index.id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        F.when(F.col("bk.band") == 0, F.col("sig")).alias("sig"),
+    )
 
 
 def _sigs_path(index: DedupIndex) -> str:
@@ -447,18 +478,19 @@ _BYTE_SUFFIXES = {
 
 
 def _parse_byte_string(s: str) -> int:
-    """``"10MB"`` → 10485760, mirroring Spark's JavaUtils suffix table
-    (case-insensitive, optional ``b``). Raises ValueError on anything
-    Spark itself would reject."""
-    m = re.fullmatch(r"\s*(-?\d+)\s*([A-Za-z]*)\s*", s)
+    """``"10MB"`` → 10485760, mirroring the conf layer's
+    ``ConfigHelpers.byteFromString`` (which strips ONE leading ``-`` and
+    negates before handing the rest to JavaUtils' case-insensitive
+    suffix table) — so ``"-1k"`` parses to -1024, a valid disable value
+    for ``spark.sql.autoBroadcastJoinThreshold``, exactly as Spark
+    itself accepts it (advisor finding, round 13; the round-12 shape
+    rejected it and crashed the filter on a conf Spark allows). Raises
+    ValueError on anything Spark's own parser would reject."""
+    sign, body = (-1, s[1:]) if s.startswith("-") else (1, s)
+    m = re.fullmatch(r"\s*(\d+)\s*([A-Za-z]*)\s*", body)
     if not m or m.group(2).lower() not in _BYTE_SUFFIXES:
         raise ValueError(f"unparseable byte string: {s!r}")
-    if m.group(1).startswith("-") and m.group(2):
-        # JavaUtils.byteStringAsBytes only matches non-negative digits
-        # before a suffix; bare "-1" is the conventional disable value
-        # and the one negative Spark itself accepts.
-        raise ValueError(f"negative byte string with suffix: {s!r}")
-    return int(m.group(1)) * _BYTE_SUFFIXES[m.group(2).lower()]
+    return sign * int(m.group(1)) * _BYTE_SUFFIXES[m.group(2).lower()]
 
 
 def _fits_auto_broadcast(spark: SparkSession, df: DataFrame) -> bool:
@@ -488,12 +520,20 @@ def _fits_auto_broadcast(spark: SparkSession, df: DataFrame) -> bool:
         size = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
-    except (AttributeError, _Py4JError):
-        # Only the missing-JVM-surface shapes: Spark Connect frames have
-        # no `_jdf` (PySparkAttributeError ⊂ AttributeError) and py4j
-        # gateway faults. A genuine analysis/plan error must surface,
-        # not silently flip the join strategy (advisor finding,
-        # round 12).
+    except AttributeError:
+        # Missing JVM surface: Spark Connect frames have no `_jdf`
+        # (PySparkAttributeError ⊂ AttributeError).
+        return False
+    except _Py4JError as e:
+        if isinstance(e, _Py4JJavaError):
+            # The JVM evaluated the plan and THREW — a genuine
+            # analysis/optimization error that must surface, not
+            # silently flip the join strategy (advisor findings,
+            # rounds 12 + 13: Py4JJavaError ⊂ Py4JError, so the
+            # round-12 blanket Py4JError catch still swallowed it).
+            raise
+        # Bare Py4JError shapes are gateway/protocol faults (the JVM
+        # never answered) — the stats are unreachable, same as Connect.
         return False
     return size <= thresh
 
@@ -553,19 +593,42 @@ def dedup_index_filter_verified(
     the verified path's one remaining corpus-proportional per-batch
     cost (the full (id, sig) side-car scan, flagged in SCALING.md
     round 10) is gone. Legacy unpartitioned layouts (sig_buckets=0)
-    keep the full-scan read path."""
+    keep the full-scan read path.
+
+    Batch-side floor (round 14): ONE materialization shared by bands
+    and signatures (``_sig_band_rows`` — sig rides the band-0 rows), so
+    verified mode's checkpoint is band-only mode's band table plus one
+    sig array per doc, downstream subtrees never re-derive the
+    explode + slice-md5, and on the fresh path (``no_under``) two
+    further probes over already-materialized frames collapse the final
+    plan: an empty ``key_counts`` drops the over-cap semi-join, and a
+    batch with no repeated (band, key) drops the entire within-batch
+    groupBy/self-join/verification algebra (provably empty — group
+    sizes in ``new_bands`` only shrink vs ``bands``). Neither probe
+    adds a job on the collision-rich profile."""
     id_col = index.id_col
-    bsigs = signature_rows(index, batch).localCheckpoint(eager=True)
-    bands = _bands_of_sigs(index, bsigs)
+    # ONE batch-side materialization: bands AND signatures ride the same
+    # checkpoint (sig on band-0 rows only — _sig_band_rows docstring).
+    # The round-13 shape checkpointed sigs alone, so the key-counts job
+    # and every final-plan subtree re-derived explode + slice-md5 from
+    # the checkpoint, and the checkpoint itself was a DIFFERENT (purely
+    # additional) materialization than band-only mode's — the fixed
+    # batch-side floor the zero-collision A/B measured at 2.47 s vs
+    # band-only's 1.31 s (SCALING.md round 13, VERDICT r13 gap #3).
+    sb = _sig_band_rows(index, batch).localCheckpoint(eager=True)
+    bands = sb.select(id_col, "band", "key")
+    # (id, sig): a narrow filter over the checkpoint — one row per doc,
+    # no shuffle, no second kernel run.
+    bsigs = sb.filter(F.col("band") == 0).select(id_col, "sig")
     # Tombstoned docs drop out of BOTH the candidate enumeration and the
     # mega-key counts — a deleted boilerplate cluster must not keep its
     # band key over the cap and auto-suppress future batches.
     layout = _live(spark, index, _read_bands(spark, index))
     batch_keys = bands.select("band", "key").distinct()
-    # bsigs is materialized, so its count is a cheap upper bound on the
-    # distinct key count (≤ bands per doc) — no extra shuffle to decide
-    # the join strategy.
-    small_batch = bsigs.count() * index.bands <= _BROADCAST_KEYS_MAX
+    # sb is materialized, so its count (= docs · bands) is a cheap upper
+    # bound on the distinct key count — no extra shuffle to decide the
+    # join strategy.
+    small_batch = sb.count() <= _BROADCAST_KEYS_MAX
     if small_batch:
         batch_keys = F.broadcast(batch_keys)
     # Count-first, end-to-end (the operators/dedup.py:148 discipline):
@@ -609,7 +672,14 @@ def dedup_index_filter_verified(
         # diverse-crawl case) and a boilerplate-heavy batch whose every
         # collision is over-cap (measured in the hot-key A/B,
         # SCALING.md round 12).
-        verified_hits = bsigs.select(id_col).limit(0)
+        verified_hits = bands.select(id_col).limit(0)
+        if key_counts.limit(1).count() == 0:
+            # Nothing collided at all (the fresh-batch common case):
+            # the corpus side is provably empty — drop the over-cap
+            # semi-join from the final plan too, not just the
+            # verification subtree. The probe is a limit(1) over the
+            # already-materialized counts, never a layout job.
+            auto_hits = verified_hits
     else:
         # Second pruned layout pass reads ONLY under-cap keys' colliding
         # rows — ≤ cap · batch_bands rows by construction, so the
@@ -658,42 +728,61 @@ def dedup_index_filter_verified(
         )
     corpus_hits = auto_hits.unionByName(verified_hits).distinct()
 
+    # Within-batch short-circuit, fresh path only (when the corpus side
+    # already ran verification, the within joins are marginal — no new
+    # probe job on the collision-rich profile): if NO (band, key) is
+    # shared by two batch docs, every within-batch group has size 1 in
+    # ``bands`` and hence in its subset ``new_bands``, so wauto and
+    # wpairs are provably empty — skip the groupBy, self-join, and
+    # signature-verification exchanges entirely. The probe is one
+    # batch-bounded agg over the materialized checkpoint.
+    no_within = no_under and (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .limit(1)
+        .count()
+        == 0
+    )
     new_bands = bands.join(corpus_hits, id_col, "left_anti")
-    wcounts = new_bands.groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")
-    )
-    wover = wcounts.filter(F.col("_n") > candidate_cap)
-    wauto = (
-        new_bands.join(wover.select("band", "key", "_min_id"), ["band", "key"])
-        .filter(F.col(id_col) > F.col("_min_id"))
-        .select(id_col)
-        .distinct()
-    )
-    wunder = wcounts.filter(F.col("_n") <= candidate_cap).select("band", "key")
-    wpairs = (
-        new_bands.join(wunder, ["band", "key"], "left_semi")
-        .alias("l")
-        .join(
-            new_bands.join(wunder, ["band", "key"], "left_semi").alias("r"),
-            ["band", "key"],
+    if no_within:
+        within_hits = bands.select(id_col).limit(0)
+    else:
+        wcounts = new_bands.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")
         )
-        .filter(F.col(f"l.{id_col}") > F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias(id_col), F.col(f"r.{id_col}").alias("_rid")
+        wover = wcounts.filter(F.col("_n") > candidate_cap)
+        wauto = (
+            new_bands.join(wover.select("band", "key", "_min_id"), ["band", "key"])
+            .filter(F.col(id_col) > F.col("_min_id"))
+            .select(id_col)
+            .distinct()
         )
-        .distinct()
-    )
-    wverified = (
-        wpairs.join(bsigs.withColumnRenamed("sig", "_ls"), id_col)
-        .join(
-            bsigs.select(F.col(id_col).alias("_rid"), F.col("sig").alias("_rs")),
-            "_rid",
+        wunder = wcounts.filter(F.col("_n") <= candidate_cap).select("band", "key")
+        wpairs = (
+            new_bands.join(wunder, ["band", "key"], "left_semi")
+            .alias("l")
+            .join(
+                new_bands.join(wunder, ["band", "key"], "left_semi").alias("r"),
+                ["band", "key"],
+            )
+            .filter(F.col(f"l.{id_col}") > F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias(id_col), F.col(f"r.{id_col}").alias("_rid")
+            )
+            .distinct()
         )
-        .filter(_est_sim(F.col("_ls"), F.col("_rs"), index.n_hashes) >= threshold)
-        .select(id_col)
-        .distinct()
-    )
-    within_hits = wauto.unionByName(wverified).distinct()
+        wverified = (
+            wpairs.join(bsigs.withColumnRenamed("sig", "_ls"), id_col)
+            .join(
+                bsigs.select(F.col(id_col).alias("_rid"), F.col("sig").alias("_rs")),
+                "_rid",
+            )
+            .filter(_est_sim(F.col("_ls"), F.col("_rs"), index.n_hashes) >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        within_hits = wauto.unionByName(wverified).distinct()
     return (
         batch.select(F.col(id_col).cast("long").alias(id_col))
         .join(corpus_hits.withColumn("_c", F.lit(True)), id_col, "left")

@@ -40,79 +40,71 @@ QUERIES: dict[str, Query] = {}
 #: tools/stability_check.py. Closed per-round rotation narrative
 #: (rounds 5–13): docs/ROTATION.md.
 #:
-#: ROUND-13 ROTATION (executed 2026-08-16, per the plan recorded in
-#: round 12 — full narrative in docs/ROTATION.md):
-#: OUT (8): the round-10 crawl cohort (stream_crawl_dedup_gated_ingest,
-#: pipeline_layout_stats), the round-10 pre-freeze pair
-#: (stream_crawl_verified_ingest, stream_crawl_bm25_ingest_parity), the
-#: round-11 both-gates composition
-#: (stream_crawl_verified_decontaminated_ingest), and the band-mode /
-#: lifecycle half of the dedup incremental block
-#: (dedup_incremental_delete_compact, dedup_incremental_batch_filter,
-#: dedup_incremental_index_filter) — all two-plus-green on machinery
-#: unchanged this round, families anchored per-entry in DRIVER_EXCLUDED.
-#: IN (8), at the front: the longest-dormant anchors (VERDICT r12
-#: gap #2) — pipeline_corpus_curation, dedup_minhash_lsh,
+#: ROUND-14 ROTATION (executed 2026-08-16, per the plan recorded in
+#: round 13 — the round-13 narrative moved to docs/ROTATION.md):
+#: OUT (8): the eight anchors the round-13 rotation re-surfaced for
+#: verdict refreshes, all freshly green in CORRECTNESS_r13 on machinery
+#: unchanged this round (pipeline_corpus_curation, dedup_minhash_lsh,
 #: vector_knn_batch, text_tokenize_topk, tpch_q1_pricing_summary,
 #: vector_lsh_exact_parity, text_phrase_search,
-#: pipeline_catalog_roundtrip.
-#: KEPT against the recorded plan: both VERIFIED dedup filter rows —
-#: the round-13 advisor fixes changed exactly their machinery (the
-#: under-cap short-circuit now skips the signature subtree), invariant
-#: 2 — and stream_crawl_production_ingest for its second green.
-#: Registered AND surfaced round-13 PRE-freeze (the round-6/10/11/12
-#: precedent): dedup_incremental_verified_fresh_filter — the
-#: short-circuit configuration under the hash discipline; its slot
-#: comes from vector_lsh_compact_parity (five greens on a compactor
-#: unchanged since round 6).
+#: pipeline_catalog_roundtrip) — families anchored per-entry in
+#: DRIVER_EXCLUDED.
+#: IN (8), at the front: the five recorded wave-2 dormant anchors, all
+#: pre-verified hash-exact at sf1.0 on the round-13 tree (SCALING.md
+#: round 13) — pipeline_ingest_csv (S1–S4), dedup_decontaminate,
+#: events_conversion_funnel, vector_knn_exact_l2,
+#: window_top_orders_salted — plus the three next-longest-dormant
+#: round-3 exclusions (greens r01+r02 only): dedup_simhash,
+#: hybrid_rrf_search, events_asof_click_purchase.
+#: KEPT against the recorded plan, rotation invariant 2: round 14
+#: CHANGED dedupidx.py (the shared batch-side materialization shape +
+#: fresh-path plan collapse, VERDICT r13 task 2), so all three verified
+#: filter rows AND stream_crawl_production_ingest (which composes the
+#: verified filter) keep their slots — their r14 verdicts land on the
+#: new plan. dedup_incremental_verified_fresh_filter is additionally
+#: only one-green (r13).
 #:
-#: ROUND-14 ROTATION PLAN: rotate any mid-round-13 zero-row
-#: registrations to the front; dedup_incremental_verified_fresh_filter
-#: is one-green after CORRECTNESS_r13 and stays (two-green rule); the
-#: eight re-surfaced anchors are freshly green and excludable again
-#: (their point was the verdict refresh, not permanence); the verified
-#: filter pair is excludable IF the round-13 short-circuit shape holds
-#: green and round 14 doesn't touch dedupidx.py;
-#: stream_crawl_production_ingest is two-green and excludable. Backfill
-#: from the longest-dormant excluded anchors next in line — all five
-#: pre-verified hash-exact at sf1.0 on the round-13 tree (SCALING.md):
-#: pipeline_ingest_csv (S1–S4, last green r01–r03),
-#: dedup_decontaminate, events_conversion_funnel, vector_knn_exact_l2,
-#: window_top_orders_salted — keeping every family anchored.
+#: ROUND-15 ROTATION PLAN: the verified trio + production crawl become
+#: excludable IF round 15 leaves dedupidx.py alone (fresh_filter will
+#: be two-green after r14); the eight round-14 backfills are verdict
+#: refreshes and excludable once green. Backfill from the remaining
+#: round-3/4 dormant block next in line: vector_cosine_topk,
+#: text_sentence_split, events_latest_snapshot, dedup_ngram_jaccard,
+#: vector_group_standardize, events_sessionization — keeping every
+#: family anchored (dedup via the trio or line_kept_fraction, catalog
+#: via pipeline_single_insert_validation + the crawl sink rows).
 #:
-#: ROUND-5 THROUGH ROUND-12 ROTATIONS: moved verbatim to
+#: ROUND-5 THROUGH ROUND-13 ROTATIONS: moved verbatim to
 #: docs/ROTATION.md (VERDICT r12 task 5).
 DRIVER_CRITICAL: tuple[str, ...] = (
-    # --- registered round-13 PRE-freeze (the round-6/10/11/12
-    # precedent): the verified filter on the fresh-batch shape whose
-    # corpus side the round-13 short-circuit skips — one hash verdict
-    # that skipping the signature subtree never changes an answer;
-    # hash-verified vs DuckDB at sf0.001 + sf0.01 + sf1.0 on arrival
-    # (SCALING.md round 13) ---
+    # --- round-14 rotation: the five recorded wave-2 dormant anchors
+    # (last driver greens r01–r03), pre-verified at sf1.0 on the r13
+    # tree ---
+    "pipeline_ingest_csv",            # the S1–S4 block's only driver anchor
+    "dedup_decontaminate",
+    "events_conversion_funnel",
+    "vector_knn_exact_l2",            # the entry() flagship's own oracle row
+    "window_top_orders_salted",
+    # --- round-14 rotation: next-longest-dormant (excluded since
+    # round 3, greens r01+r02 only) ---
+    "dedup_simhash",
+    "hybrid_rrf_search",
+    "events_asof_click_purchase",
+    # --- registered round-13 PRE-freeze: the verified filter on the
+    # fresh-batch shape whose corpus side the short-circuit skips;
+    # one-green (r13) and its machinery moved AGAIN this round (the
+    # round-14 shared materialization + fresh-path plan collapse), so
+    # it stays under both the two-green rule and invariant 2 ---
     "dedup_incremental_verified_fresh_filter",
-    # --- round-13 rotation: the eight longest-dormant anchors,
-    # re-surfaced for fresh driver verdicts on the current tree
-    # (VERDICT r12 gap #2 — last driver greens r01–r03 for the first
-    # five and pipeline_catalog_roundtrip; round ≤9 for the LSH/phrase
-    # pair while their machinery kept moving) ---
-    "pipeline_corpus_curation",       # bench headline: clean → quality →
-                                      # exact dedup → MinHash in one DAG
-    "dedup_minhash_lsh",
-    "vector_knn_batch",
-    "text_tokenize_topk",
-    "tpch_q1_pricing_summary",
-    "vector_lsh_exact_parity",
-    "text_phrase_search",
-    "pipeline_catalog_roundtrip",     # the only catalog query: S5/S8/S9/A1
     # --- round-12 pre-freeze registration: the full production crawl
     # composition (verified + decon + inverted + IVF in one run); kept
-    # for its second green, and it carries the round-13 verified-filter
-    # short-circuit change in composition ---
+    # under invariant 2 — it composes the verified filter, whose
+    # batch-side materialization changed this round ---
     "stream_crawl_production_ingest",
     # --- the VERIFIED dedup filter pair: kept under rotation
-    # invariant 2 — the round-13 advisor fixes changed exactly their
-    # machinery (under-cap short-circuit now skips the signature
-    # subtree), so their r13 verdicts land on the new plan ---
+    # invariant 2 — round 14 changed exactly their machinery (shared
+    # sig+band checkpoint, fresh-path probes), so their r14 verdicts
+    # land on the new plan ---
     "dedup_incremental_verified_batch_filter",
     "dedup_incremental_verified_filter",
     # --- round-7 rotation: first green in r7 (registered mid-round-6
@@ -195,9 +187,6 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "vector_group_standardize",  # applyInPandas extra; knn family anchors
         "events_sessionization",     # batch twin of stream_events_sessionization
         "dedup_embedding_cosine",    # bucketed_pairs_exact is the surfaced twin
-        "dedup_simhash",
-        "hybrid_rrf_search",         # hybrid_weighted_search anchors hybrids
-        "events_asof_click_purchase",  # range-join twin rotated in instead
         "pipeline_balanced_lang_sample",
         "dedup_exact_groups",        # replayed inside pipeline_corpus_curation
         "text_tfidf_top_terms",
@@ -429,12 +418,34 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
         "vector_truncated_rerank",    # quantization anchored by bq/ivf_pq
         "vector_late_interaction_topk",  # layout twin (stronger: stored
                                          # chunk embeddings) stays surfaced
-        # --- rotated OUT in round 4: hash-green in THREE rounds ---
-        "dedup_decontaminate",
-        "events_conversion_funnel",
-        "pipeline_ingest_csv",         # S1-S4 pinned by its r01-r03 greens
-        "vector_knn_exact_l2",         # J1 still smoke-run every round: entry()
-        "window_top_orders_salted",    # per_customer twin rotates in
+        # --- rotated OUT in round 14: the eight round-13 verdict
+        # refreshes, all hash-green in CORRECTNESS_r13 on machinery
+        # unchanged in round 14. Each remains registered and
+        # oracle-checked locally by tests/test_oracle_parity.py. ---
+        "pipeline_corpus_curation",   # bench headline (stays benched);
+                                      # pipeline anchored by
+                                      # pipeline_multi_strategy +
+                                      # pipeline_ingest_csv rotating in
+        "dedup_minhash_lsh",          # dedup keeps seven surfaced anchors
+                                      # (verified trio, line_kept_fraction,
+                                      # winnow, + decontaminate/simhash in)
+        "vector_knn_batch",           # batch kernel plan-pinned
+                                      # (tests/test_plans.py:540) and
+                                      # replayed by vector_lsh_batch_topk /
+                                      # text_bm25_batch_topk; exact-l2 twin
+                                      # rotates in
+        "text_tokenize_topk",         # F2 replayed by every BM25 oracle
+        "tpch_q1_pricing_summary",    # bench headline (stays benched);
+                                      # relational anchored by tpch_q3
+        "vector_lsh_exact_parity",    # LSH keeps delete parity + batch topk
+        "text_phrase_search",         # positional index anchored by
+                                      # text_positional_compact_parity
+        "pipeline_catalog_roundtrip", # S8/S9 freshly r13-green; catalog
+                                      # machinery keeps TWO surfaced
+                                      # anchors (S6 via
+                                      # pipeline_single_insert_validation,
+                                      # S5 via the production crawl's
+                                      # batched-insert sink)
         # --- rotated OUT in round 13: two-plus greens each on machinery
         # untouched this round, yielding their slots to the eight
         # re-surfaced longest-dormant anchors (docs/ROTATION.md). Each

@@ -100,8 +100,8 @@ def sentence_transformer_embedder(
     installed; the UDF itself loads the model lazily per executor.
 
     Environment debt (carried since round 3, install re-attempted and
-    still blocked 2026-08-16 / round 13: the container's index resolves
-    no distribution and outbound DNS fails): the library cannot be
+    still blocked 2026-08-16 / round 14: the container's pip index is
+    unreachable — outbound DNS fails on every retry): the library cannot be
     installed here, so this backend is contract-tested via an injected
     fake (tests/test_embedding_contract.py) and the one real-model
     smoke test stays skipped. The code path is complete — if the

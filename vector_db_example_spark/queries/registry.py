@@ -446,6 +446,14 @@ DRIVER_EXCLUDED: frozenset[str] = frozenset(
                                       # pipeline_single_insert_validation,
                                       # S5 via the production crawl's
                                       # batched-insert sink)
+        # --- registered round 14, bench-only by design: the bounded
+        # (doc_id < 1000 slice) bench twin of the production intake
+        # composition. The FULL stream_crawl_production_ingest row is
+        # the surfaced driver anchor for this machinery; the twin
+        # exists so the composed gates+sinks DAG has a BENCH_r{N} line
+        # (VERDICT r13 task 3) and is oracle-checked locally like
+        # every exclusion. ---
+        "stream_crawl_production_bench",
         # --- rotated OUT in round 13: two-plus greens each on machinery
         # untouched this round, yielding their slots to the eight
         # re-surfaced longest-dormant anchors (docs/ROTATION.md). Each

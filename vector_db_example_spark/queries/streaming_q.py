@@ -1613,14 +1613,27 @@ def stream_crawl_verified_decontaminated_ingest(
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _crawl_production_oracle() -> str:
+def _crawl_production_oracle(max_doc_id: int | None = None) -> str:
     """The FULL production intake configuration in one SQL mirror —
     verified admission (dedup_q._verified_ctes at cap=2, threshold 0.5)
     AND the decontamination fingerprint gate AND BOTH retrieval sinks:
     the embed-and-L2-search stage (vector leg) plus the full BM25 CTE
     chain (text_q._bm25_oracle_ctes) over corpus + survivors (keyword
     leg). Assembled from the per-gate oracles' fragments (VERDICT r11
-    task 5: the composition matrix's last uncovered cell)."""
+    task 5: the composition matrix's last uncovered cell).
+
+    ``max_doc_id`` mirrors _production_ingest's slice by SHADOWING the
+    ``documents`` view with a filtered CTE — every downstream fragment
+    (corpus/base/fresh0/bench and the query row) resolves against the
+    slice, so the two engines see byte-identical inputs."""
+    _shadow_slice = (
+        # main.-qualified: DuckDB reads an unqualified same-name
+        # reference inside the CTE as a circular self-reference
+        f"documents AS (SELECT * FROM main.documents"
+        f" WHERE doc_id < {int(max_doc_id)}),\n"
+        if max_doc_id is not None
+        else ""
+    )
     from .dedup_q import _verified_ctes
     from .pipeline_q import _EMBED64_VEC_SQL, _embed64_pairs_sql
     from .text_q import _bm25_oracle_ctes
@@ -1632,7 +1645,7 @@ def _crawl_production_oracle() -> str:
         " * (a.vector[i]::DOUBLE - q.qvec[i]::DOUBLE))))"
     )
     return f"""
-WITH corpus AS (
+WITH {_shadow_slice}corpus AS (
   SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 < 2
   UNION ALL
   SELECT 500000 + g.i AS id, d.text
@@ -1737,6 +1750,36 @@ def stream_crawl_production_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     /root/reference/src/app.py:248 + keyword fan-out src/app.py:313)
     fed by its insert lifecycle (src/app.py:230,409) — here with the
     admission control a 100 TB crawl needs in front."""
+    return _production_ingest(spark, sf_dir)
+
+
+#: Session-lifetime cache of pristine (never-streamed-into) production
+#: builds, keyed by (sf_dir, max_doc_id) — see the reuse_builds note in
+#: _production_ingest. Directories live in the process tempdir for the
+#: session's lifetime, like queries/index_q.py's cached layouts.
+_PRISTINE_PRODUCTION_BUILDS: dict[tuple[str, int | None], str] = {}
+
+
+def _production_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc_id: int | None = None,
+    reuse_builds: bool = False,
+) -> DataFrame:
+    """Shared body of the production intake composition.
+
+    ``max_doc_id`` slices the documents table FIRST (both engines: the
+    oracle shadows ``documents`` with the same predicate), so the bench
+    twin runs the identical composed DAG — verified filter →
+    decontamination gate → audit → Arrow embed → IVF append → postings
+    append → band append → both retrieval legs — over a FIXED-size
+    corpus/batch regardless of the sf-dir's scale. That fixed batch
+    size is the point: the per-batch intake cost is corpus-independent
+    (the flatness curves in SCALING.md rounds 12–13), so a bounded
+    slice is the honest bench unit for the composed path, and a
+    wall-clock regression in the gates+sinks DAG shows up in
+    BENCH_r{N} deltas instead of only in the self-run loop tool
+    (VERDICT r13 task 3)."""
     import glob as _glob
     import os as _os
 
@@ -1750,6 +1793,8 @@ def stream_crawl_production_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     from .text_q import _BM25_TERMS
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
     base = docs.filter(F.col("doc_id") % 3 < 2)
     boiler = (
         docs.filter(F.col("doc_id") == 0)
@@ -1797,20 +1842,51 @@ def stream_crawl_production_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     )
     qv = hash_embed_one(qrow["q"], 64)
 
-    work = tempfile.mkdtemp(prefix="crawl_prod_")
-    try:
-        didx = build_dedup_index(corpus, f"{work}/dedup")
+    from ..index.dedupidx import DedupIndex
+    from ..index.inverted import InvertedIndex
+    from ..index.ivf import IVFIndex
+
+    def _build_into(root: str) -> None:
+        """Pristine layouts + the staged micro-batch file under one root
+        (all paths relative to ``root`` so a copy relocates cleanly)."""
+        build_dedup_index(corpus, f"{root}/dedup")
         embedded = widen_cpu_dense(corpus).withColumn(
             "embedding", hashing_embedder(64)(F.col("text"))
         )
-        vidx = build_ivf_index(embedded, f"{work}/ivf", nlist=8, id_col="doc_id")
-        iidx = build_inverted_index(corpus, f"{work}/inv")
-        src_dir = f"{work}/src"
-        _os.makedirs(src_dir)
-        stage_dir = f"{work}/stage_b0"
+        build_ivf_index(embedded, f"{root}/ivf", nlist=8, id_col="doc_id")
+        build_inverted_index(corpus, f"{root}/inv")
+        _os.makedirs(f"{root}/src")
+        stage_dir = f"{root}/stage_b0"
         b0.coalesce(1).write.mode("overwrite").parquet(stage_dir)
         part = _glob.glob(f"{stage_dir}/part-*.parquet")[0]
-        shutil.copyfile(part, f"{src_dir}/b0.parquet")
+        shutil.copyfile(part, f"{root}/src/b0.parquet")
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    work = tempfile.mkdtemp(prefix="crawl_prod_")
+    try:
+        if reuse_builds:
+            # Bench shape: the one-time index builds are NOT the thing
+            # the bench line measures — the composed per-batch intake
+            # DAG is. Build pristine layouts once per (sf_dir, slice)
+            # for the session, then give every call its own throwaway
+            # COPY (the stream appends survivors, so reusing a mutated
+            # layout would change the next run's verdicts; a fresh copy
+            # keeps every run byte-identical — driver/oracle parity and
+            # idempotent bench reruns).
+            key = (sf_dir, max_doc_id)
+            pristine = _PRISTINE_PRODUCTION_BUILDS.get(key)
+            if pristine is None:
+                pristine = tempfile.mkdtemp(prefix="crawl_prod_pristine_")
+                _build_into(pristine)
+                _PRISTINE_PRODUCTION_BUILDS[key] = pristine
+            for d in ("dedup", "dedup_sigs", "ivf", "inv", "src"):
+                shutil.copytree(f"{pristine}/{d}", f"{work}/{d}")
+        else:
+            _build_into(work)
+        didx = DedupIndex.load(f"{work}/dedup")
+        vidx = IVFIndex.load(f"{work}/ivf")
+        iidx = InvertedIndex.load(f"{work}/inv")
+        src_dir = f"{work}/src"
         stream_crawl_ingest(
             spark,
             src_dir,
@@ -1857,3 +1933,42 @@ def stream_crawl_production_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+#: The bench twin's fixed slice: documents with doc_id < 1000, so the
+#: composed intake DAG is timed over the SAME corpus/batch size at any
+#: sf-dir — the per-batch cost is corpus-independent by design
+#: (SCALING.md flatness curves), so a fixed slice is the honest unit.
+_PRODUCTION_BENCH_SLICE = 1000
+
+
+@register(
+    "stream_crawl_production_bench",
+    # Identical composition to stream_crawl_production_ingest, sliced
+    # (the documents view shadowed with doc_id < slice on BOTH
+    # engines). Registered for the bench headline set (VERDICT r13
+    # task 3): the flagship gates+sinks DAG finally has a
+    # BENCH_r{N} line, so a wall-clock regression in the composed path
+    # shows in per-round deltas instead of only in the self-run
+    # crawl-loop tool. Excluded from the driver surface — the FULL
+    # production row is the driver anchor; this row is oracle-checked
+    # locally by tests/test_oracle_parity.py like every exclusion.
+    oracle=_crawl_production_oracle(max_doc_id=_PRODUCTION_BENCH_SLICE),
+    tags=("streaming", "dedup", "verified", "decontamination", "ivf",
+          "inverted-index", "bm25", "ingest", "pipeline", "training-data",
+          "bench-twin"),
+    bench=True,
+)
+def stream_crawl_production_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded bench configuration of the production intake: one
+    micro-batch through verified filter → decontamination gate → audit
+    → Arrow embed → IVF append → postings append → band append, plus
+    both retrieval legs, over the fixed doc_id < 1000 slice
+    (_production_ingest docstring). ``reuse_builds``: the one-time
+    index builds come from a session-cached pristine copy, so the timed
+    wall is the composed per-batch intake DAG — the thing the bench
+    line exists to regression-watch — not the build step the bench
+    already times separately (ivf_index_build)."""
+    return _production_ingest(
+        spark, sf_dir, max_doc_id=_PRODUCTION_BENCH_SLICE, reuse_builds=True
+    )

@@ -541,3 +541,32 @@ def test_verified_mode_cross_batch_sequencing(spark, tmp_path):
     assert v[FRESH_B0[0]] == (False, False, 0)
     assert v[COPY_OF_B0_SURVIVOR_B1[0]] == (True, False, 1)
     assert v[FRESH_B1[0]] == (False, False, 1)
+
+
+def test_production_bench_twin_reruns_are_byte_identical(spark):
+    """The bench twin reuses session-cached PRISTINE index builds and
+    gives every run a throwaway copy (queries/streaming_q.py
+    ``reuse_builds``). The hazard being pinned: the stream APPENDS
+    survivors to its layouts, so any accidental reuse of a mutated
+    layout would flip the second run's verdicts (every survivor would
+    read as corpus_dup) and change both retrieval legs. Two consecutive
+    runs must return identical rows — and actually exercise the cache
+    (one pristine build, present in the memo after the first run)."""
+    from vector_db_example_spark.queries import QUERIES
+    from vector_db_example_spark.queries.streaming_q import (
+        _PRISTINE_PRODUCTION_BUILDS,
+        _PRODUCTION_BENCH_SLICE,
+    )
+
+    fn = QUERIES["stream_crawl_production_bench"].fn
+    sf_dir = "/root/testdata/sf0.001"
+    r1 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert ("/root/testdata/sf0.001", _PRODUCTION_BENCH_SLICE) in (
+        _PRISTINE_PRODUCTION_BUILDS
+    )
+    r2 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert r1 == r2
+    assert len(r1) > 0
+    # survivors exist in this configuration — the second run re-admitting
+    # them is exactly what the pristine copy guarantees
+    assert any(row[0] == "b0" and row[2] == 0 and row[3] == 0 for row in r1)

@@ -1080,3 +1080,108 @@ def test_verified_filter_fresh_batch_plan_collapses(
         302: (False, False),
     }
     assert calls, "within-batch pair must reach the verification estimator"
+
+
+def test_python_sig_kernel_matches_catalyst_expression(spark):
+    """The round-15 mapInPandas signature kernel must equal the original
+    Catalyst ``minhash_signature(shingles(...))`` expression byte-for-byte
+    on adversarial inputs: Java-vs-Python ``\\s`` class edges (tab,
+    vertical tab, form feed, CR/LF, and the UNICODE spaces Java's ASCII
+    class must NOT split on), space-only trim edges, short/empty texts,
+    multi-byte UTF-8, and NULL (a length-n array of NULLs, not a null
+    array)."""
+    from vector_db_example_spark.index.dedupidx import signature_rows
+    from vector_db_example_spark.operators.dedup import (
+        minhash_signature,
+        shingles,
+    )
+
+    rows = [
+        (0, "plain three word text here"),
+        (1, "two words"),
+        (2, "one"),
+        (3, ""),
+        (4, "   "),
+        (5, " \t leading mixed\twhitespace\n and trailing \t "),
+        (6, "a b c d"),          # NBSP: Java \s does NOT split it
+        (7, "a b c d"),          # EM space: same
+        (8, "tabs\tonly\there"),
+        (9, "cr\rand\nlf\x0band\x0cfeeds split like java"),
+        (10, "unicode 一二三 鿿 tokens mixed in"),
+        (11, "dup dup dup dup dup"),
+        (12, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = DedupIndex(
+        path="/unused", shingle_k=3, n_hashes=16, bands=8,
+        id_col="doc_id", text_col="text", sig_buckets=0,
+    )
+    got = {
+        r["doc_id"]: (list(r["sig"]) if r["sig"] is not None else None)
+        for r in signature_rows(index, docs).collect()
+    }
+    want = {
+        r["doc_id"]: (list(r["sig"]) if r["sig"] is not None else None)
+        for r in docs.select(
+            "doc_id",
+            minhash_signature(
+                shingles(F.col("text"), k=3), n_hashes=16
+            ).alias("sig"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_append_rows_equals_recompute_append(spark, tmp_path_factory):
+    """``dedup_index_append_rows`` (the crawl loop's zero-recompute
+    append, fed from the filter's materialized checkpoint) must leave a
+    layout whose sig AND band contents equal the recompute append's —
+    and a subsequent filter must return identical verdicts either way."""
+    from vector_db_example_spark.index.dedupidx import (
+        _read_bands,
+        _read_sigs,
+        dedup_index_append_rows,
+        dedup_index_filter_with_rows,
+    )
+
+    base = str(tmp_path_factory.mktemp("dedupidx_rows"))
+    corpus = spark.createDataFrame(
+        [(i, f"c{i}x c{i}y c{i}z c{i}w c{i}v") for i in range(8)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"b{i}p b{i}q b{i}r b{i}s {'c0x c0y c0z c0w c0v' if i == 0 else 'fresh'}")
+         for i in range(6)]
+        + [(200, "c1x c1y c1z c1w c1v")],  # exact corpus dup: not appended
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(300, "b1p b1q b1r b1s fresh"), (301, "never seen words only here")],
+        "doc_id long, text string",
+    )
+    layouts = {}
+    for mode in ("docs", "rows"):
+        idx = build_dedup_index(corpus, f"{base}/{mode}", sig_buckets=8)
+        verdicts, rows = dedup_index_filter_with_rows(spark, idx, batch)
+        verdicts = verdicts.localCheckpoint(eager=True)
+        surv = verdicts.filter("NOT corpus_dup AND NOT within_dup").select(
+            "doc_id"
+        )
+        if mode == "docs":
+            dedup_index_append(idx, batch.join(surv, "doc_id"))
+        else:
+            dedup_index_append_rows(idx, rows.join(surv, "doc_id", "left_semi"))
+        layouts[mode] = (
+            sorted(map(tuple, _read_bands(spark, idx).collect())),
+            sorted(
+                (r["doc_id"], tuple(r["sig"]))
+                for r in _read_sigs(spark, idx).select("doc_id", "sig").collect()
+            ),
+            sorted(
+                map(
+                    tuple,
+                    dedup_index_filter_with_rows(spark, idx, probe)[0].collect(),
+                )
+            ),
+        )
+    assert layouts["docs"] == layouts["rows"]

@@ -72,6 +72,7 @@ pipeline the stages are separate jobs and the hazard cannot arise.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 from dataclasses import dataclass
@@ -91,7 +92,7 @@ except ImportError:  # pragma: no cover - Connect-only environment
 from pyspark.sql import types as T
 
 from .. import fsio
-from ..operators.dedup import lsh_band_keys, minhash_signature, shingles
+from ..operators.dedup import lsh_band_keys
 from ..sources.tables import widen_cpu_dense
 
 
@@ -150,28 +151,116 @@ def _band_schema(index: DedupIndex) -> T.StructType:
     )
 
 
+#: Java-regex ``\s`` is the ASCII class ``[ \t\n\x0B\f\r]`` (no Unicode
+#: flag in Spark's `split`), NOT Python's Unicode-aware ``\s`` — the
+#: kernel below must tokenize byte-for-byte like the Catalyst
+#: ``split(trim(text), '\\s+')`` it replaces, or signatures drift.
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _minhash_sig_of_text(
+    text, k: int, n_hashes: int, prefixes: list[bytes]
+) -> list | None:
+    """One text → its n_hashes md5-hex MinHash signature, EXACTLY the
+    value the Catalyst expression tree produces
+    (``minhash_signature(shingles(text, k))``, operators/dedup.py):
+
+    - tokenize: Java-semantics split of ``trim(text)`` (ASCII space
+      trim, ASCII ``\\s+`` separator, trailing empties kept — all three
+      match Spark's ``split``/``trim``);
+    - shingle: distinct space-joined k-gram windows; < k tokens ⇒ the
+      whole token string as one shingle (``shingles`` contract);
+    - minhash: per seed s in 1..n, min over shingles of
+      md5(s || '|' || shingle) — the min is taken on digest BYTES
+      (hex encoding is byte-order-preserving, so it equals Spark's
+      lexicographic ``array_min`` over the hex strings) and hexed once
+      per winner.
+
+    Null text mirrors the expression tree's null algebra: transform
+    over a null shingle array yields null per seed ⇒ a length-n array
+    of NULLs (not a null array)."""
+    if not isinstance(text, str):
+        return [None] * n_hashes
+    md5 = hashlib.md5
+    toks = _JAVA_WS_RE.split(text.strip(" "))
+    nt = len(toks)
+    if nt > k - 1:
+        sh = {" ".join(toks[i : i + k]) for i in range(nt - k + 1)}
+    else:
+        sh = {" ".join(toks)}
+    shb = [x.encode("utf-8") for x in sh]
+    return [min(md5(p + b).digest() for b in shb).hex() for p in prefixes]
+
+
+def _sig_kernel(id_col: str, text_col: str, k: int, n_hashes: int):
+    """mapInPandas body for ``signature_rows``: whole Arrow batches of
+    (id, text) → (id, sig) through the C-backed md5 kernel above."""
+    import pandas as pd
+
+    prefixes = [f"{s}|".encode() for s in range(1, n_hashes + 1)]
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sig": [
+                        _minhash_sig_of_text(t, k, n_hashes, prefixes)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return kernel
+
+
 def signature_rows(
     index: DedupIndex, docs: DataFrame, widen_factor: int = 1
 ) -> DataFrame:
     """``(id, sig)`` — the n_hashes-string MinHash signature per doc.
-    THE one expensive pass (shingle → minhash stays a single JVM
-    expression tree inside whole-stage codegen); everything else in this
-    module derives from signatures.
+    THE one expensive pass; everything else in this module derives from
+    signatures.
+
+    Since round 15 the kernel is an Arrow-batched ``mapInPandas`` over
+    (id, text) only, computing the identical md5 signatures through
+    C-backed ``hashlib`` (``_minhash_sig_of_text`` pins the
+    equivalences). The previous shape — the
+    ``minhash_signature(shingles(...))`` Catalyst expression — is
+    higher-order lambdas, which Spark INTERPRETS per element with boxed
+    values (the SCALING.md round-4 lesson): at 16 seeds × ~50 shingles
+    that interpretation overhead is the whole stage. Measured on the
+    6,000-doc bench batch: 2.1 s → 0.68 s wall for the signature pass
+    (noop sink, min-of-3), bit-identical output at sf0.01 and sf0.1 —
+    the guide-§4.2 move (vectorize opaque per-row work in native code
+    behind an Arrow boundary, projecting only the columns it reads).
 
     The input is widened first (SCALING.md round-6 rule): text
     compresses ~10×, so a batch read from parquet opens as a couple of
-    scan splits and the n_hashes·shingles md5 storm would run on a
-    couple of cores — measured 2.2 s → 0.3 s for a 2.4k-doc batch on
-    local[32]. A no-op on pre-split 100 TB corpora and on frames
-    already at cluster parallelism. ``widen_factor`` over-partitions
-    corpus-sized passes (the full-build path) so one uneven scan split
-    can't set the stage wall — SCALING.md round 8 measured an 18%
-    straggler tail on the sf25 build at 1×."""
-    sig = minhash_signature(
-        shingles(F.col(index.text_col), k=index.shingle_k), n_hashes=index.n_hashes
+    scan splits and the md5 storm would run on a couple of cores —
+    measured 2.2 s → 0.3 s for a 2.4k-doc batch on local[32]. A no-op
+    on pre-split 100 TB corpora and on frames already at cluster
+    parallelism. ``widen_factor`` over-partitions corpus-sized passes
+    (the full-build path) so one uneven scan split can't set the stage
+    wall — SCALING.md round 8 measured an 18% straggler tail on the
+    sf25 build at 1×."""
+    out_schema = T.StructType(
+        [
+            T.StructField(index.id_col, T.LongType(), True),
+            T.StructField("sig", T.ArrayType(T.StringType()), True),
+        ]
     )
-    return widen_cpu_dense(docs, factor=widen_factor).select(
-        F.col(index.id_col).cast("long").alias(index.id_col), sig.alias("sig")
+    return (
+        widen_cpu_dense(docs, factor=widen_factor)
+        .select(
+            F.col(index.id_col).cast("long").alias(index.id_col),
+            F.col(index.text_col),
+        )
+        .mapInPandas(
+            _sig_kernel(
+                index.id_col, index.text_col, index.shingle_k, index.n_hashes
+            ),
+            out_schema,
+        )
     )
 
 
@@ -371,9 +460,27 @@ def build_dedup_index(
 def dedup_index_filter(
     spark: SparkSession, index: DedupIndex, batch: DataFrame
 ) -> DataFrame:
+    """Per-document verdicts for a new batch — see
+    ``dedup_index_filter_with_rows`` (this is its verdict-only view)."""
+    return dedup_index_filter_with_rows(spark, index, batch)[0]
+
+
+def dedup_index_filter_with_rows(
+    spark: SparkSession, index: DedupIndex, batch: DataFrame
+) -> tuple[DataFrame, DataFrame]:
     """Per-document verdicts for a new batch against the accepted
     corpus: ``(id, corpus_dup, within_dup)`` (module docstring pins the
     exact semantics). Survivors are the rows with neither flag.
+
+    Returns ``(verdicts, sig_band_rows)`` — the second element is the
+    batch's MATERIALIZED ``(id, band, key, sig)`` checkpoint
+    (``_sig_band_rows`` shape), so an ingest loop that appends the
+    survivors afterwards can feed ``dedup_index_append_rows`` instead
+    of re-running the shingle+minhash kernel over text it just
+    fingerprinted (round 15; the crawl intake was paying the kernel
+    twice per batch). Carrying the sig column costs the checkpoint one
+    ~512 B array per doc on top of the band rows it materialized
+    anyway — the round-14 ``_sig_band_rows`` accounting.
 
     Plan shape: the layout side is read as ``(band, key)`` only — the
     corpus text is never re-touched (ReadSchema pinned in
@@ -401,17 +508,22 @@ def dedup_index_filter(
     fingerprint_overlap_stats lesson; measured 1.7× on the sf1.0
     crawl-batch benchmark in SCALING.md)."""
     id_col = index.id_col
-    bands = band_rows(index, batch).localCheckpoint(eager=True)
+    sb = _sig_band_rows(index, batch).localCheckpoint(eager=True)
+    bands = sb.select(id_col, "band", "key")
     layout = _live(spark, index, _read_bands(spark, index)).select("band", "key")
     if (
         not _fits_auto_broadcast(spark, layout)
-        and bands.count() <= _BROADCAST_KEYS_MAX
+        and sb.count() <= _BROADCAST_KEYS_MAX
     ):
         # Big layout: (keys that collide) = layout ⋉ broadcast(batch
         # keys) — the layout scan streams through a map-side broadcast
         # hash join, no corpus-side exchange — and the result is
         # bounded by the batch's own key count, so it broadcasts back.
-        batch_keys = bands.select("band", "key").distinct()
+        # No distinct on the probe side: a semi-join's output is
+        # unchanged by duplicate probe keys, and the dedup exchange
+        # cost more than the ≤ docs·bands extra broadcast rows
+        # (round 15 — one shuffle job per filter call removed).
+        batch_keys = bands.select("band", "key")
         hot_keys = layout.join(
             F.broadcast(batch_keys), ["band", "key"], "left_semi"
         ).distinct()
@@ -435,7 +547,7 @@ def dedup_index_filter(
         .select(id_col)
         .distinct()
     )
-    return (
+    verdicts = (
         batch.select(F.col(id_col).cast("long").alias(id_col))
         .join(corpus_hits.withColumn("_c", F.lit(True)), id_col, "left")
         .join(within_hits.withColumn("_w", F.lit(True)), id_col, "left")
@@ -445,6 +557,7 @@ def dedup_index_filter(
             F.coalesce("_w", F.lit(False)).alias("within_dup"),
         )
     )
+    return verdicts, sb
 
 
 def _est_sim(a, b, n_hashes: int):
@@ -545,6 +658,21 @@ def dedup_index_filter_verified(
     threshold: float = 0.5,
     candidate_cap: int = 64,
 ) -> DataFrame:
+    """Verified per-document verdicts — see
+    ``dedup_index_filter_verified_with_rows`` (this is its verdict-only
+    view)."""
+    return dedup_index_filter_verified_with_rows(
+        spark, index, batch, threshold=threshold, candidate_cap=candidate_cap
+    )[0]
+
+
+def dedup_index_filter_verified_with_rows(
+    spark: SparkSession,
+    index: DedupIndex,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    candidate_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
     """Band-collision candidates VERIFIED by the MinHash similarity
     estimate (fraction of equal signature positions ≥ ``threshold``) —
     8×2 banding alone false-positives on a single lucky band; real
@@ -605,7 +733,13 @@ def dedup_index_filter_verified(
     batch with no repeated (band, key) drops the entire within-batch
     groupBy/self-join/verification algebra (provably empty — group
     sizes in ``new_bands`` only shrink vs ``bands``). Neither probe
-    adds a job on the collision-rich profile."""
+    adds a job on the collision-rich profile.
+
+    Returns ``(verdicts, sig_band_rows)`` like
+    ``dedup_index_filter_with_rows`` — the second element is the
+    batch's materialized ``(id, band, key, sig)`` checkpoint, reusable
+    by ``dedup_index_append_rows`` so an ingest loop never runs the
+    kernel twice over one batch (round 15)."""
     id_col = index.id_col
     # ONE batch-side materialization: bands AND signatures ride the same
     # checkpoint (sig on band-0 rows only — _sig_band_rows docstring).
@@ -624,7 +758,11 @@ def dedup_index_filter_verified(
     # mega-key counts — a deleted boilerplate cluster must not keep its
     # band key over the cap and auto-suppress future batches.
     layout = _live(spark, index, _read_bands(spark, index))
-    batch_keys = bands.select("band", "key").distinct()
+    # No distinct on the probe side (round 15): the key-counts semi-join
+    # and the under/over semi-joins are unchanged by duplicate probe
+    # keys, and the dedup exchange cost more than the ≤ docs·bands
+    # extra broadcast rows.
+    batch_keys = bands.select("band", "key")
     # sb is materialized, so its count (= docs · bands) is a cheap upper
     # bound on the distinct key count — no extra shuffle to decide the
     # join strategy.
@@ -783,7 +921,7 @@ def dedup_index_filter_verified(
             .distinct()
         )
         within_hits = wauto.unionByName(wverified).distinct()
-    return (
+    verdicts = (
         batch.select(F.col(id_col).cast("long").alias(id_col))
         .join(corpus_hits.withColumn("_c", F.lit(True)), id_col, "left")
         .join(within_hits.withColumn("_w", F.lit(True)), id_col, "left")
@@ -793,6 +931,41 @@ def dedup_index_filter_verified(
             F.coalesce("_w", F.lit(False)).alias("within_dup"),
         )
     )
+    return verdicts, sb
+
+
+def dedup_index_append_rows(index: DedupIndex, sig_band_rows: DataFrame) -> None:
+    """Persist band rows AND signatures from an ALREADY-COMPUTED
+    ``(id, band, key, sig)`` frame (the ``_sig_band_rows`` shape: one
+    row per (doc, band), the sig array riding each doc's band-0 row) —
+    the zero-recompute twin of ``dedup_index_append`` for ingest loops
+    that just filtered the same batch: the filter's materialized
+    checkpoint, restricted to the surviving ids, IS this frame, so the
+    append runs no shingle+minhash kernel and no extra materialization
+    job at all (round 15; the crawl loop previously re-fingerprinted
+    every survivor's text on append). The caller must pass
+    MATERIALIZED rows (the ``_with_rows`` filters return a
+    localCheckpoint) — the writes below are two separate actions and an
+    unmaterialized frame would recompute between them.
+
+    Writes are byte-identical to ``dedup_index_append``'s: the same
+    bucketed sig side-car shuffle-then-partitioned write, the same
+    band-partitioned append (``_persist`` docstring)."""
+    id_col = index.id_col
+    sigs = sig_band_rows.filter(F.col("band") == 0).select(id_col, "sig")
+    if index.sig_buckets:
+        (
+            sigs.withColumn("sig_bucket", _sig_bucket_expr(index, F.col(id_col)))
+            .repartition(F.col("sig_bucket"))
+            .write.partitionBy("sig_bucket")
+            .mode("append")
+            .parquet(_sigs_path(index))
+        )
+    else:
+        sigs.write.mode("append").parquet(_sigs_path(index))
+    sig_band_rows.select(id_col, "band", "key").write.partitionBy("band").mode(
+        "append"
+    ).parquet(index.path)
 
 
 def dedup_index_append(index: DedupIndex, docs: DataFrame) -> None:

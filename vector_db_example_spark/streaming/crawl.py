@@ -70,9 +70,9 @@ from .. import fsio
 from ..functions.embedding import hashing_embedder
 from ..index.dedupidx import (
     DedupIndex,
-    dedup_index_append,
-    dedup_index_filter,
-    dedup_index_filter_verified,
+    dedup_index_append_rows,
+    dedup_index_filter_verified_with_rows,
+    dedup_index_filter_with_rows,
 )
 from ..index.ivf import IVFIndex, assign_cells
 
@@ -184,11 +184,15 @@ def stream_crawl_ingest(
         if fsio.exists(marker, spark):
             return
         # One evaluation of the filter's shingle+minhash kernel feeding
-        # the verdict write, the survivor join, and the counts — and a
-        # pre-append materialization, so no later read of the layout can
-        # be substituted for this one (index/dedupidx.py hazard note).
+        # the verdict write, the survivor join, the counts, AND the
+        # closing dedup append (the filter's materialized (id, band,
+        # key, sig) checkpoint comes back via the _with_rows variants —
+        # round 15: the append used to re-fingerprint every survivor's
+        # text) — and a pre-append materialization, so no later read of
+        # the layout can be substituted for this one
+        # (index/dedupidx.py hazard note).
         if verified:
-            verdicts = dedup_index_filter_verified(
+            verdicts, sig_rows = dedup_index_filter_verified_with_rows(
                 spark,
                 dedup_index,
                 batch,
@@ -196,7 +200,9 @@ def stream_crawl_ingest(
                 candidate_cap=candidate_cap,
             )
         else:
-            verdicts = dedup_index_filter(spark, dedup_index, batch)
+            verdicts, sig_rows = dedup_index_filter_with_rows(
+                spark, dedup_index, batch
+            )
         if benchmark_fps is not None:
             from ..operators.dedup import contamination_fingerprint
 
@@ -251,8 +257,15 @@ def stream_crawl_ingest(
                 inverted_index, assigned.drop(vec_col, "cell_id")
             )
         # Dedup append LAST (module docstring: the crash-replay outcomes
-        # depend on this ordering). Feeds from the materialized rows.
-        dedup_index_append(dedup_index, assigned.drop(vec_col, "cell_id"))
+        # depend on this ordering). Feeds the filter's own materialized
+        # sig/band checkpoint restricted to the survivors — zero
+        # recompute, byte-identical rows (dedup_index_append_rows).
+        dedup_index_append_rows(
+            dedup_index,
+            sig_rows.join(
+                F.broadcast(assigned.select(id_col)), id_col, "left_semi"
+            ),
+        )
         fsio.write_text(marker, f'{{"seen": {n_seen}, "accepted": {n_acc}}}', spark)
         totals["batches"] += 1
         totals["seen"] += n_seen

@@ -18,6 +18,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: The constant-work drift canary's line name (bench.py main + deltas).
+_CANARY = "cpu_canary_md5_16m"
+
 
 def main() -> None:
     from vector_db_example_spark.queries import QUERIES
@@ -42,6 +45,23 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
+
+    # Constant-work CPU canary (no IO, no Python, fixed 16M-row md5
+    # kernel over spark.range): host drift dominated raw BENCH_r{N}
+    # deltas by round 14 (legacy lines ×1.1–1.7 on untouched code), so
+    # every run records one line whose work NEVER changes — divide any
+    # query's delta by the canary's to read code vs box in one step
+    # (see _report_deltas' normalized column).
+    canary_samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 16_000_000, 1, 32).select(
+            F.md5(F.concat(F.lit("canary|"), F.col("id").cast("string"))).alias(
+                "h"
+            )
+        ).agg(F.max("h"), F.min("h")).collect()
+        canary_samples.append(time.perf_counter() - t0)
+    timings[_CANARY] = round(min(canary_samples), 3)
 
     # Index build is an ingest-time cost (the reference builds IVF at
     # collection creation, not per search) — time it as its own line so
@@ -109,9 +129,17 @@ def _report_deltas(result: dict) -> None:
     # Driver-recorded BENCH files wrap the bench JSON line under "parsed".
     prev = prev.get("parsed", prev)
     prev_q = prev.get("queries", {})
+    # Drift normalization: when both records carry the constant-work
+    # canary, divide each query's ratio by the canary's — the result
+    # reads as the CODE's delta with the box's drift factored out.
+    canary_ratio = None
+    if prev_q.get(_CANARY) and result["queries"].get(_CANARY):
+        canary_ratio = result["queries"][_CANARY] / prev_q[_CANARY]
     lines = [
         f"-- bench deltas vs {prev_path.name} "
-        f"(total {prev.get('value')}s -> {result['value']}s) --"
+        f"(total {prev.get('value')}s -> {result['value']}s"
+        + (f"; canary x{canary_ratio:.2f}" if canary_ratio else "")
+        + ") --"
     ]
     regressions = []
     for name, now in sorted(result["queries"].items()):
@@ -121,8 +149,10 @@ def _report_deltas(result: dict) -> None:
             continue
         ratio = now / was if was else float("inf")
         mark = ""
+        if canary_ratio and name != _CANARY:
+            mark = f"  norm x{ratio / canary_ratio:.2f}"
         if ratio > 2.0:
-            mark = "  REGRESSION >2x"
+            mark += "  REGRESSION >2x"
             regressions.append(name)
         lines.append(f"   {name:<40} {now:>7.3f}s  vs {was:.3f}s  x{ratio:.2f}{mark}")
     for name in sorted(set(prev_q) - set(result["queries"])):

@@ -33,6 +33,12 @@ def spark():
 def duck():
     import duckdb
 
+    # CREATE VIEW (main schema) on purpose, not con.register() (temp
+    # schema): the crawl-production oracles shadow `documents` with a
+    # `main.documents`-qualified CTE, which only resolves when the base
+    # tables live in main — the qualifier dodges DuckDB's circular
+    # same-name CTE reference (queries/streaming_q.py, advisor note
+    # round 14). The external driver registers tables the same way.
     con = duckdb.connect()
     for name in (
         "region nation customer supplier part orders lineitem events "

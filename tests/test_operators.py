@@ -661,3 +661,40 @@ def test_winnow_arrow_kernel_equals_expression_path(spark):
     a = sorted(map(tuple, fingerprint_overlap_stats(docs, impl="arrow").collect()))
     b = sorted(map(tuple, fingerprint_overlap_stats(docs, impl="expr").collect()))
     assert a == b and len(a) > 0
+
+
+def test_py_shingles_matches_expression(spark):
+    """_py_shingles (the round-15 kernel's tokenizer/shingler) must equal
+    the ``shingles`` expression ELEMENT-FOR-ELEMENT, including the
+    first-occurrence order of array_distinct, on whitespace/short-text
+    edges (Java ASCII \\s split of a space-trimmed string, trailing
+    empties kept, < k tokens collapse to one shingle)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_example_spark.operators.dedup import _py_shingles, shingles
+
+    texts = [
+        "plain three word text here",
+        "two words",
+        "one",
+        "",
+        "   ",
+        " \t leading mixed\twhitespace\n and trailing \t ",
+        "a b c d",          # NBSP is NOT a Java \s separator
+        "tabs\tonly\there",
+        "cr\rand\nlf\x0band\x0cfeeds split like java",
+        "dup dup dup dup dup dup",
+        "unicode 一二三 鿿 tokens mixed in",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    for k in (1, 2, 3):
+        want = {
+            r["i"]: list(r["sh"])
+            for r in df.select(
+                "i", shingles(F.col("text"), k).alias("sh")
+            ).collect()
+        }
+        got = {i: _py_shingles(t, k) for i, t in enumerate(texts)}
+        assert got == want, f"k={k}"

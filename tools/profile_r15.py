@@ -135,12 +135,38 @@ def main() -> None:
         setattr(mod, name, timed)
         return orig
 
+    import shutil as _sh
+
+    import vector_db_example_spark.index.inverted as inv_mod
+    import vector_db_example_spark.index.ivf as ivf_mod
+
     origs = [
-        (crawl_mod, "dedup_index_filter_verified",
-         wrap(crawl_mod, "dedup_index_filter_verified", "verified_filter")),
-        (crawl_mod, "dedup_index_append",
-         wrap(crawl_mod, "dedup_index_append", "dedup_append")),
+        (crawl_mod, "dedup_index_filter_verified_with_rows",
+         wrap(crawl_mod, "dedup_index_filter_verified_with_rows",
+              "verified_filter")),
+        (crawl_mod, "dedup_index_append_rows",
+         wrap(crawl_mod, "dedup_index_append_rows", "dedup_append")),
+        (inv_mod, "append_to_inverted_index",
+         wrap(inv_mod, "append_to_inverted_index", "inverted_append")),
+        (inv_mod, "bm25_search_inverted",
+         wrap(inv_mod, "bm25_search_inverted", "bm25_leg")),
+        (ivf_mod, "ivf_search", wrap(ivf_mod, "ivf_search", "ivf_leg")),
+        (streaming_q, "shutil",
+         None),  # placeholder; copytree timed below
+        (crawl_mod, "stream_crawl_ingest",
+         wrap(crawl_mod, "stream_crawl_ingest", "stream_total")),
     ]
+    origs = [o for o in origs if o[2] is not None]
+    orig_copytree = _sh.copytree
+
+    def timed_copytree(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_copytree(*a, **kw)
+        stage_walls["copytree"] = stage_walls.get("copytree", 0.0) + (
+            time.perf_counter() - t0)
+        return out
+
+    _sh.copytree = timed_copytree
     # first (uncached-pristine) run builds the layouts; run twice like bench
     for run in range(2):
         stage_walls.clear()
@@ -152,6 +178,7 @@ def main() -> None:
               + ", ".join(f"{k}={v:.3f}s" for k, v in stage_walls.items()))
     for mod, name, orig in origs:
         setattr(mod, name, orig)
+    _sh.copytree = orig_copytree
 
     spark.stop()
 

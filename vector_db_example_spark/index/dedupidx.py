@@ -72,7 +72,6 @@ pipeline the stages are separate jobs and the hazard cannot arise.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import re
 from dataclasses import dataclass
@@ -92,7 +91,7 @@ except ImportError:  # pragma: no cover - Connect-only environment
 from pyspark.sql import types as T
 
 from .. import fsio
-from ..operators.dedup import lsh_band_keys
+from ..operators.dedup import _py_minhash, _py_shingles, lsh_band_keys
 from ..sources.tables import widen_cpu_dense
 
 
@@ -151,45 +150,19 @@ def _band_schema(index: DedupIndex) -> T.StructType:
     )
 
 
-#: Java-regex ``\s`` is the ASCII class ``[ \t\n\x0B\f\r]`` (no Unicode
-#: flag in Spark's `split`), NOT Python's Unicode-aware ``\s`` — the
-#: kernel below must tokenize byte-for-byte like the Catalyst
-#: ``split(trim(text), '\\s+')`` it replaces, or signatures drift.
-_JAVA_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
-
-
 def _minhash_sig_of_text(
     text, k: int, n_hashes: int, prefixes: list[bytes]
 ) -> list | None:
     """One text → its n_hashes md5-hex MinHash signature, EXACTLY the
     value the Catalyst expression tree produces
-    (``minhash_signature(shingles(text, k))``, operators/dedup.py):
-
-    - tokenize: Java-semantics split of ``trim(text)`` (ASCII space
-      trim, ASCII ``\\s+`` separator, trailing empties kept — all three
-      match Spark's ``split``/``trim``);
-    - shingle: distinct space-joined k-gram windows; < k tokens ⇒ the
-      whole token string as one shingle (``shingles`` contract);
-    - minhash: per seed s in 1..n, min over shingles of
-      md5(s || '|' || shingle) — the min is taken on digest BYTES
-      (hex encoding is byte-order-preserving, so it equals Spark's
-      lexicographic ``array_min`` over the hex strings) and hexed once
-      per winner.
-
-    Null text mirrors the expression tree's null algebra: transform
-    over a null shingle array yields null per seed ⇒ a length-n array
-    of NULLs (not a null array)."""
+    (``minhash_signature(shingles(text, k))``) — built from the shared
+    pure-Python twins in operators/dedup.py (``_py_shingles`` /
+    ``_py_minhash``, which pin the Java-tokenization and byte-order
+    equivalences). Null text mirrors the expression tree's null
+    algebra: a length-n array of NULLs (not a null array)."""
     if not isinstance(text, str):
         return [None] * n_hashes
-    md5 = hashlib.md5
-    toks = _JAVA_WS_RE.split(text.strip(" "))
-    nt = len(toks)
-    if nt > k - 1:
-        sh = {" ".join(toks[i : i + k]) for i in range(nt - k + 1)}
-    else:
-        sh = {" ".join(toks)}
-    shb = [x.encode("utf-8") for x in sh]
-    return [min(md5(p + b).digest() for b in shb).hex() for p in prefixes]
+    return _py_minhash(_py_shingles(text, k), prefixes)
 
 
 def _sig_kernel(id_col: str, text_col: str, k: int, n_hashes: int):
@@ -413,12 +386,22 @@ def _persist(index: DedupIndex, docs: DataFrame, mode: str) -> None:
         # 18% off the sf25 sigs pass, SCALING.md round 8).
         _write_sigs(signature_rows(index, docs, widen_factor=4), mode)
         sigs = _read_sigs(spark, index)
+        bands = _bands_of_sigs(index, sigs)
     else:
         sigs = signature_rows(index, docs).localCheckpoint(eager=True)
         _write_sigs(sigs, mode)
-    _bands_of_sigs(index, sigs).write.partitionBy("band").mode(mode).parquet(
-        index.path
-    )
+        # Append-path band rows shuffle onto the band column first —
+        # the same one-file-per-touched-partition discipline the sig
+        # write above has always had: without it every batch append
+        # lands (tasks × bands) shards (measured 256 files / 1.63 s for
+        # a 190-doc append; repartitioned: 8 files / 0.50 s — round
+        # 15). An O(batch·bands) shuffle of 25 B rows, and AQE
+        # coalesces it to a handful of tasks on small batches. The
+        # BUILD path deliberately keeps its full write parallelism: a
+        # corpus-sized shuffle onto 8 band values would serialize the
+        # build into 8 tasks; compaction owns build-file hygiene.
+        bands = _bands_of_sigs(index, sigs).repartition(F.col("band"))
+    bands.write.partitionBy("band").mode(mode).parquet(index.path)
 
 
 def build_dedup_index(
@@ -963,9 +946,11 @@ def dedup_index_append_rows(index: DedupIndex, sig_band_rows: DataFrame) -> None
         )
     else:
         sigs.write.mode("append").parquet(_sigs_path(index))
-    sig_band_rows.select(id_col, "band", "key").write.partitionBy("band").mode(
-        "append"
-    ).parquet(index.path)
+    # Same band-column shuffle as _persist's append path: one file per
+    # touched band partition instead of (tasks × bands) shards.
+    sig_band_rows.select(id_col, "band", "key").repartition(
+        F.col("band")
+    ).write.partitionBy("band").mode("append").parquet(index.path)
 
 
 def dedup_index_append(index: DedupIndex, docs: DataFrame) -> None:

@@ -323,7 +323,11 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
         # compaction migrates the whole layout instead.
         new_posts = new_posts.drop("__dl")
     (
-        new_posts.write.mode("append")
+        # One file per touched bucket per append (repartition on the
+        # partition column — the package-wide append discipline), not
+        # (tasks × buckets) shards.
+        new_posts.repartition(F.col("bucket"))
+        .write.mode("append")
         .partitionBy("bucket")
         .parquet(index.postings_path)
     )
@@ -332,17 +336,25 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
     ).write.mode("append").parquet(index.doclens_path)
 
     old = spark.read.parquet(index.stats_path).collect()[0]
-    inc = docs.select(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.coalesce(F.sum(F.size(extract_tokens(F.col(text_col)))), F.lit(0))
-        .cast("double")
-        .alias("__tot"),
-    ).collect()[0]
-    spark.createDataFrame(
-        [(float(old["__n"]) + float(inc["__n"]),
-          float(old["__tot"]) + float(inc["__tot"]))],
-        "__n double, __tot double",
-    ).write.mode("overwrite").parquet(index.stats_path)
+    # One action folds the increment aggregation INTO the stats write
+    # (round 15): the old shape collected the increment to the driver
+    # and wrote a literal row back — two jobs and a third tokenize pass
+    # materialized on the driver for no reason. The sums stay
+    # double-exact either way (same addends, same order: old + inc).
+    (
+        docs.select(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.coalesce(F.sum(F.size(extract_tokens(F.col(text_col)))), F.lit(0))
+            .cast("double")
+            .alias("__tot"),
+        )
+        .select(
+            (F.col("__n") + F.lit(float(old["__n"]))).alias("__n"),
+            (F.col("__tot") + F.lit(float(old["__tot"]))).alias("__tot"),
+        )
+        .write.mode("overwrite")
+        .parquet(index.stats_path)
+    )
 
 
 def sparse_dot_topk(

@@ -413,7 +413,13 @@ def ivf_append(index: IVFIndex, rows: DataFrame) -> None:
     assigned = rows.withColumn(
         "cell_id", assign_cells(index, F.col(index.vector_col))
     )
-    assigned.write.partitionBy("cell_id").mode("append").parquet(index.path)
+    # Shuffle onto the partition column first: one file per touched cell
+    # per append instead of (tasks × cells) shards (round 15 — the same
+    # discipline as the dedup layout's bucketed sig write; AQE coalesces
+    # the tiny shuffle on batch-sized appends).
+    assigned.repartition(F.col("cell_id")).write.partitionBy("cell_id").mode(
+        "append"
+    ).parquet(index.path)
 
 
 def compact_ivf_index(

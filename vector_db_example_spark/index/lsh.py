@@ -231,7 +231,12 @@ def lsh_append(index: LSHIndex, rows: DataFrame) -> None:
     assigned = rows.withColumn(
         "bucket", bucket_assigner(index.planes)(F.col(index.vector_col))
     )
-    assigned.write.partitionBy("bucket").mode("append").parquet(index.path)
+    # One file per touched bucket per append (repartition on the
+    # partition column — the package-wide append discipline), not
+    # (tasks × buckets) shards.
+    assigned.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(index.path)
 
 
 def lsh_layout_search(

@@ -23,8 +23,12 @@ same signatures, so even the LSH path is hash-checkable.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import token_windows
 
@@ -110,6 +114,66 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+#: Java-regex ``\s`` is the ASCII class ``[ \t\n\x0B\f\r]`` (Spark's
+#: ``split`` compiles plain Java regex, no UNICODE flag) — the Python
+#: kernels below must tokenize byte-for-byte like
+#: ``split(trim(text), '\\s+')`` or signatures drift.
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _py_shingles(text: str, k: int) -> list:
+    """Pure-Python twin of ``shingles``: first-occurrence-distinct
+    space-joined k-gram windows over Java-semantics tokens (ASCII space
+    trim, ASCII ``\\s+`` split, trailing empties kept); < k tokens ⇒ the
+    whole token string as one shingle. Byte-identical to the expression
+    (pinned with the minhash twin in tests/test_dedupidx.py and
+    tests/test_operators.py)."""
+    toks = _JAVA_WS_RE.split(text.strip(" "))
+    nt = len(toks)
+    if nt > k - 1:
+        return list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(nt - k + 1)))
+    return [" ".join(toks)]
+
+
+def _py_minhash(sh: list, prefixes: list) -> list:
+    """Pure-Python twin of ``minhash_signature`` over a shingle list:
+    per seed prefix, min over shingles of md5(seed || '|' || shingle).
+    The min is taken on digest BYTES (hex is byte-order-preserving, so
+    it equals the expression's lexicographic ``array_min`` over hex
+    strings) and hexed once per winner — C-backed hashlib instead of
+    per-element interpreted Catalyst lambdas (guide §4.2; measured 3×
+    on the dedup-index kernel, SCALING.md round 15)."""
+    md5 = hashlib.md5
+    shb = [x.encode("utf-8") for x in sh]
+    return [min(md5(p + b).digest() for b in shb).hex() for p in prefixes]
+
+
+def _sh_sig_kernel(id_col: str, text_col: str, k: int, n_hashes: int):
+    """mapInPandas body emitting ``(id, sh, sig)`` in ONE pass — the
+    batch kernel behind ``minhash_near_duplicates``. Null text mirrors
+    the expression tree's null algebra: ``sh = [NULL]`` (the
+    ``shingles`` expression yields a one-null array) and a length-n
+    all-NULL sig."""
+    import pandas as pd
+
+    prefixes = [f"{s}|".encode() for s in range(1, n_hashes + 1)]
+
+    def kernel(batches):
+        for pdf in batches:
+            shs, sigs = [], []
+            for t in pdf[text_col]:
+                if not isinstance(t, str):
+                    shs.append([None])
+                    sigs.append([None] * n_hashes)
+                    continue
+                sh = _py_shingles(t, k)
+                shs.append(sh)
+                sigs.append(_py_minhash(sh, prefixes))
+            yield pd.DataFrame({"id": pdf[id_col], "sh": shs, "sig": sigs})
+
+    return kernel
+
+
 def contamination_fingerprint(text: Column) -> Column:
     """Benchmark-decontamination fingerprint: md5 of the normalized
     64-char prefix (lowercase, whitespace-collapsed) — the standard
@@ -180,38 +244,58 @@ def minhash_near_duplicates(
     pure narrow row traffic: (rep, member) pairs straight off the
     size-routed join, no aggregation at all.
 
-    ``materialize`` snapshots the shingle table before fan-out: it feeds
-    three consumers (the signature pass and both sides of the Jaccard
-    verify join), and Spark does not share subplans across a join, so an
-    unmaterialized plan re-shingles the corpus three times. The narrow
-    banded (id, band, key) table is snapshotted too — the count-first
-    routing reads it three times (size aggregate, under route, star
-    route). This is the staged-materialization practice of production
-    dedup pipelines — at cluster scale the same role is played by
-    writing the shingle/signature table to storage once (localCheckpoint
-    is the in-session form; it costs a recompute on executor loss, which
-    a real pipeline avoids by checkpointing to reliable storage).
+    ``materialize`` snapshots the one (id, shingles, signature) kernel
+    table before fan-out: it feeds five consumer subtrees (both sides
+    of the Jaccard verify join, and the banding that the size
+    aggregate + two routed passes each re-derive as a narrow map), and
+    Spark does not share subplans across a join, so an unmaterialized
+    plan re-runs the kernel once per consumer. This is the
+    staged-materialization practice of production dedup pipelines — at
+    cluster scale the same role is played by writing the
+    shingle/signature table to storage once (localCheckpoint is the
+    in-session form; it costs a recompute on executor loss, which a
+    real pipeline avoids by checkpointing to reliable storage).
     ``materialize=False`` keeps the plan pure-lazy (no jobs at call
-    time) at the price of re-evaluating the shingle AND signature
-    subtrees once per consumer — use it only for plan inspection or
-    trivially small inputs.
+    time) at the price of re-evaluating the kernel once per consumer —
+    use it only for plan inspection or trivially small inputs.
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    # ONE Arrow-batched Python kernel pass computes shingles AND the
+    # minhash signature per doc (round 15 — _sh_sig_kernel: C-backed
+    # md5 instead of the interpreted shingles/minhash_signature Catalyst
+    # lambdas, so the one expensive pass runs at native speed; the
+    # previous shape checkpointed shingles alone and still re-ran the
+    # signature lambdas on top). The input's partitioning is the
+    # CALLER's contract, exactly as before: this operator does not
+    # widen (a round-15 A/B measured widen-to-defaultParallelism
+    # TRIPLING the small fixed-size planted corpora the query inventory
+    # feeds it — every downstream job inherits the inflated partition
+    # count; a corpus-scale caller should widen its own input, as
+    # index/dedupidx.signature_rows does internally).
+    id_type = df.schema[id_col].dataType
+    kernel_schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("sh", T.ArrayType(T.StringType()), True),
+            T.StructField("sig", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    base = df.select(id_col, text_col).mapInPandas(
+        _sh_sig_kernel(id_col, text_col, shingle_k, n_hashes), kernel_schema
     )
     if materialize:
         base = base.localCheckpoint(eager=True)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    banded = sig.select(
+    # Bucket-grouped pair expansion, NOT a self-join: a self-join would
+    # evaluate the kernel subtree twice (Spark doesn't share subplans
+    # across join sides) and shuffle `banded` twice. The narrow banded
+    # (id, band, key) table is snapshotted too — the count-first
+    # routing reads it three times (size aggregate, under route, star
+    # route), and re-deriving it from the base snapshot would re-read
+    # the wide shingle arrays each time (A/B: +0.25 s on the 300-doc
+    # bench corpus).
+    banded = base.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Bucket-grouped pair expansion, NOT a self-join: a self-join would
-    # evaluate the minhash-signature subtree twice (Spark doesn't share
-    # subplans across join sides) and shuffle `banded` twice. The
-    # banded table is narrow (id, band, key) — snapshot it once so the
-    # size pass and the two routed passes below all read the snapshot
-    # instead of re-evaluating the signature expression.
     if materialize:
         banded = banded.localCheckpoint(eager=True)
     # Count-first routing: bucket sizes/representatives via count+min

@@ -16,6 +16,7 @@ stays bounded by the watermark.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -1628,7 +1629,11 @@ def _crawl_production_oracle(max_doc_id: int | None = None) -> str:
     slice, so the two engines see byte-identical inputs."""
     _shadow_slice = (
         # main.-qualified: DuckDB reads an unqualified same-name
-        # reference inside the CTE as a circular self-reference
+        # reference inside the CTE as a circular self-reference. This
+        # assumes the harness registers tables in DuckDB's main schema
+        # — CREATE VIEW, as tests/conftest.py and the driver both do; a
+        # harness using con.register() (temp schema) would break ONLY
+        # this oracle's resolution (advisor note, round 14).
         f"documents AS (SELECT * FROM main.documents"
         f" WHERE doc_id < {int(max_doc_id)}),\n"
         if max_doc_id is not None
@@ -1756,8 +1761,18 @@ def stream_crawl_production_ingest(spark: SparkSession, sf_dir: str) -> DataFram
 #: Session-lifetime cache of pristine (never-streamed-into) production
 #: builds, keyed by (sf_dir, max_doc_id) — see the reuse_builds note in
 #: _production_ingest. Directories live in the process tempdir for the
-#: session's lifetime, like queries/index_q.py's cached layouts.
+#: session's lifetime, like queries/index_q.py's cached layouts, and an
+#: atexit hook removes them on interpreter exit so repeated sessions
+#: don't accumulate abandoned builds in the OS tempdir (advisor
+#: finding, round 14).
 _PRISTINE_PRODUCTION_BUILDS: dict[tuple[str, int | None], str] = {}
+
+
+@atexit.register
+def _cleanup_pristine_builds() -> None:
+    for d in _PRISTINE_PRODUCTION_BUILDS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _PRISTINE_PRODUCTION_BUILDS.clear()
 
 
 def _production_ingest(

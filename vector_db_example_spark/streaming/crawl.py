@@ -249,7 +249,12 @@ def stream_crawl_ingest(
             .localCheckpoint(eager=True)
         )
         n_seen, n_acc = verdicts.count(), assigned.count()
-        assigned.write.partitionBy("cell_id").mode("append").parquet(ivf_index.path)
+        # One file per touched cell per batch (repartition on the
+        # partition column — the package-wide append discipline), not
+        # (tasks × cells) shards.
+        assigned.repartition(F.col("cell_id")).write.partitionBy(
+            "cell_id"
+        ).mode("append").parquet(ivf_index.path)
         if inverted_index is not None and n_acc:
             from ..index.inverted import append_to_inverted_index
 

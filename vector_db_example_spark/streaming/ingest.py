@@ -143,7 +143,11 @@ def stream_ingest_embeddings_into_ivf(
         assigned = batch.withColumn(
             "cell_id", assign_cells(index, F.col(index.vector_col))
         ).localCheckpoint(eager=True)  # one evaluation for write AND count
-        assigned.write.partitionBy("cell_id").mode("append").parquet(index.path)
+        # One file per touched cell per batch (repartition on the
+        # partition column — the package-wide append discipline).
+        assigned.repartition(F.col("cell_id")).write.partitionBy(
+            "cell_id"
+        ).mode("append").parquet(index.path)
         n = assigned.count()
         fsio.write_text(marker, str(n))
         appended["n"] += n

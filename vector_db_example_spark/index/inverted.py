@@ -340,7 +340,8 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
     # (round 15): the old shape collected the increment to the driver
     # and wrote a literal row back — two jobs and a third tokenize pass
     # materialized on the driver for no reason. The sums stay
-    # double-exact either way (same addends, same order: old + inc).
+    # double-exact either way (same two addends; IEEE-754 addition is
+    # commutative, so inc + old ≡ old + inc bit-for-bit).
     (
         docs.select(
             F.count(F.lit(1)).cast("double").alias("__n"),

@@ -102,9 +102,18 @@ def main() -> None:
         sf_val = sf
     result = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        # The canary is drift INSTRUMENTATION, not a headline query: its
+        # ~1 s of synthetic work stays out of the total so the metric
+        # keeps meaning what its name says and stays comparable with
+        # pre-r15 BENCH records (advisor finding, round 15). It remains
+        # a `queries` entry (never removed/renamed) and is additionally
+        # surfaced as its own top-level field.
+        "value": round(
+            sum(v for k, v in timings.items() if k != _CANARY), 3
+        ),
         "unit": "sec",
         "queries": timings,
+        "canary_sec": timings[_CANARY],
         "sf": sf_val,
     }
     print(json.dumps(result))
@@ -149,9 +158,16 @@ def _report_deltas(result: dict) -> None:
             continue
         ratio = now / was if was else float("inf")
         mark = ""
+        # Flag on the drift-NORMALIZED ratio when both records carry the
+        # canary (advisor finding, round 15): on a host drifted >2× —
+        # the exact situation the canary diagnoses — the raw ratio would
+        # flag every untouched line while the normalized column reads
+        # ~1. The raw ratio stays printed as information.
+        flag_ratio = ratio
         if canary_ratio and name != _CANARY:
             mark = f"  norm x{ratio / canary_ratio:.2f}"
-        if ratio > 2.0:
+            flag_ratio = ratio / canary_ratio
+        if flag_ratio > 2.0:
             mark += "  REGRESSION >2x"
             regressions.append(name)
         lines.append(f"   {name:<40} {now:>7.3f}s  vs {was:.3f}s  x{ratio:.2f}{mark}")

@@ -1185,3 +1185,64 @@ def test_append_rows_equals_recompute_append(spark, tmp_path_factory):
             ),
         )
     assert layouts["docs"] == layouts["rows"]
+
+
+def test_append_repartition_size_gate(spark, tmp_path):
+    """Round-16 size gate on the partitioned-append collapse
+    (sources/tables.py::append_repartition): a micro-batch append still
+    lands ONE file per touched band partition (the round-15 small-files
+    discipline), while a frame whose size estimate exceeds the collapse
+    ceiling keeps the caller's write parallelism — it must NOT
+    serialize onto ≤ distinct-partition-value tasks."""
+    import glob
+
+    from vector_db_example_spark.sources import tables
+    from vector_db_example_spark.index.dedupidx import build_dedup_index, dedup_index_append
+
+    def band_files(root: str) -> dict[int, int]:
+        return {
+            b: len(glob.glob(f"{root}/band={b}/*.parquet"))
+            for b in range(8)
+        }
+
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta text "), F.col("id").cast("string")).alias("text"),
+    )
+    batch = spark.range(64, 128).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("epsilon zeta eta theta text "), F.col("id").cast("string")).alias("text"),
+    ).repartition(8).localCheckpoint(eager=True)
+
+    # micro-batch append: the default ceiling collapses the write
+    idx = build_dedup_index(docs, str(tmp_path / "idx_micro"))
+    before = band_files(idx.path)
+    dedup_index_append(idx, batch)
+    delta_micro = {
+        b: n - before[b] for b, n in band_files(idx.path).items()
+    }
+    assert all(n <= 1 for n in delta_micro.values()), delta_micro
+
+    # "corpus-sized" append (ceiling patched to 1 byte): the collapse is
+    # bypassed and the band write keeps the 8-partition input
+    # parallelism — more than one file may land per band partition
+    old = tables.APPEND_COLLAPSE_MAX_BYTES
+    tables.APPEND_COLLAPSE_MAX_BYTES = 1
+    try:
+        idx2 = build_dedup_index(docs, str(tmp_path / "idx_big"))
+        before2 = band_files(idx2.path)
+        dedup_index_append(idx2, batch)
+        delta_big = {
+            b: n - before2[b] for b, n in band_files(idx2.path).items()
+        }
+    finally:
+        tables.APPEND_COLLAPSE_MAX_BYTES = old
+    # at 8 input partitions and 8 bands, at least one band partition
+    # receives rows from >1 task — parallelism was preserved
+    assert max(delta_big.values()) > 1, delta_big
+    # and the two layouts hold identical rows either way
+    from vector_db_example_spark.index.dedupidx import _read_bands
+
+    rows_micro = sorted(map(tuple, _read_bands(spark, idx).collect()))
+    rows_big = sorted(map(tuple, _read_bands(spark, idx2).collect()))
+    assert rows_micro == rows_big

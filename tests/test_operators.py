@@ -698,3 +698,104 @@ def test_py_shingles_matches_expression(spark):
         }
         got = {i: _py_shingles(t, k) for i, t in enumerate(texts)}
         assert got == want, f"k={k}"
+
+
+def test_py_simhash_matches_expression(spark):
+    """_py_simhash (the round-16 Arrow kernel's fingerprint) must equal
+    the ``simhash64`` expression VALUE-FOR-VALUE — same Java ASCII \\s
+    tokenization, same md5-prefix 60-bit token hash, same
+    occurrence-weighted bit votes, same null algebra — on the
+    adversarial whitespace/unicode edge set."""
+    from pyspark.sql import functions as F
+
+    from vector_db_example_spark.operators.dedup import _py_simhash, simhash64
+
+    texts = [
+        "plain three word text here",
+        "two words",
+        "one",
+        "",
+        "   ",
+        " \t leading mixed\twhitespace\n and trailing \t ",
+        "a b c d",  # NBSP is NOT a Java \s separator
+        "tabs\tonly\there",
+        "cr\rand\nlf\x0band\x0cfeeds split like java",
+        "dup dup dup dup dup dup",
+        "unicode 一二三 鿿 tokens mixed in",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    want = {
+        r["i"]: r["sim"]
+        for r in df.select("i", simhash64("text").alias("sim")).collect()
+    }
+    memo: dict = {}
+    got = {i: _py_simhash(t, memo) for i, t in enumerate(texts)}
+    assert got == want
+    # and the memo path is pure: a fresh memo gives identical values
+    assert got == {i: _py_simhash(t, {}) for i, t in enumerate(texts)}
+
+
+def test_simhash_near_duplicates_kernel_matches_expression_pairs(spark):
+    """The kernelized simhash_near_duplicates must produce exactly the
+    pair set of the pure-expression pipeline (blocking + Hamming check
+    run over expression fingerprints)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_example_spark.operators.dedup import (
+        simhash64,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "completely different text about spark and parquet files"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    )
+    # expression-path reference: same blocking algebra over simhash64
+    base = docs.select(F.col("doc_id").alias("id"), simhash64("text").alias("sim"))
+    blocks = base.select(
+        "id",
+        "sim",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(cast(b as int) as block, "
+                "shiftright(sim, b * 15) & 32767 as bkey))"
+            )
+        ).alias("blk"),
+    ).select("id", "sim", F.col("blk.block").alias("block"), F.col("blk.bkey").alias("bkey"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    want = sorted(
+        (x["a_id"], x["b_id"], x["hamming"])
+        for x in (
+            l.join(
+                r,
+                (F.col("l.block") == F.col("r.block"))
+                & (F.col("l.bkey") == F.col("r.bkey"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("a_id"),
+                F.col("r.id").alias("b_id"),
+                F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias(
+                    "hamming"
+                ),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= 3)
+        ).collect()
+    )
+    assert got == want
+    assert (0, 1, 0) in got  # identical plant at Hamming 0

@@ -92,7 +92,14 @@ from pyspark.sql import types as T
 
 from .. import fsio
 from ..operators.dedup import _py_minhash, _py_shingles, lsh_band_keys
-from ..sources.tables import widen_cpu_dense
+from ..sources.tables import append_repartition, widen_cpu_dense
+
+# Round-16 post-materialization narrow (sources/tables.py holds the
+# shared implementation + rationale; ``signature_rows`` widens the
+# kernel input, this un-widens the CHECKPOINT for the ~dozen downstream
+# probe/join jobs). Imported under a module-local name so the A/B
+# harness can seam it per-module.
+from ..sources.tables import narrow_materialized as _narrow_ckpt
 
 
 @dataclass
@@ -368,12 +375,22 @@ def _persist(index: DedupIndex, docs: DataFrame, mode: str) -> None:
 
     def _write_sigs(sigs_df: DataFrame, m: str) -> None:
         if index.sig_buckets:
+            bucketed = sigs_df.withColumn(
+                "sig_bucket", _sig_bucket_expr(index, F.col(index.id_col))
+            )
+            if m == "append":
+                # Size-gated collapse (round 16 — sources/tables.py::
+                # append_repartition): micro-batch appends land one
+                # file per touched bucket; an over-the-ceiling frame
+                # keeps full write parallelism instead of serializing
+                # onto ≤ sig_buckets tasks.
+                bucketed = append_repartition(bucketed, "sig_bucket")
+            else:
+                # Build keeps the unconditional bucket shuffle: one
+                # file set per bucket partition, full-size tasks.
+                bucketed = bucketed.repartition(F.col("sig_bucket"))
             (
-                sigs_df.withColumn(
-                    "sig_bucket", _sig_bucket_expr(index, F.col(index.id_col))
-                )
-                .repartition(F.col("sig_bucket"))
-                .write.partitionBy("sig_bucket")
+                bucketed.write.partitionBy("sig_bucket")
                 .mode(m)
                 .parquet(_sigs_path(index))
             )
@@ -396,11 +413,13 @@ def _persist(index: DedupIndex, docs: DataFrame, mode: str) -> None:
         # lands (tasks × bands) shards (measured 256 files / 1.63 s for
         # a 190-doc append; repartitioned: 8 files / 0.50 s — round
         # 15). An O(batch·bands) shuffle of 25 B rows, and AQE
-        # coalesces it to a handful of tasks on small batches. The
-        # BUILD path deliberately keeps its full write parallelism: a
+        # coalesces it to a handful of tasks on small batches.
+        # Size-gated since round 16 (append_repartition): a frame over
+        # the collapse ceiling keeps full write parallelism — a
         # corpus-sized shuffle onto 8 band values would serialize the
-        # build into 8 tasks; compaction owns build-file hygiene.
-        bands = _bands_of_sigs(index, sigs).repartition(F.col("band"))
+        # write into 8 tasks; compaction owns big-append file hygiene,
+        # same as the BUILD path below.
+        bands = append_repartition(_bands_of_sigs(index, sigs), "band")
     bands.write.partitionBy("band").mode(mode).parquet(index.path)
 
 
@@ -492,11 +511,17 @@ def dedup_index_filter_with_rows(
     crawl-batch benchmark in SCALING.md)."""
     id_col = index.id_col
     sb = _sig_band_rows(index, batch).localCheckpoint(eager=True)
+    # One count over the materialized checkpoint serves the join-strategy
+    # decision AND the width decision (round 16 — _narrow_ckpt: the
+    # kernel runs wide, the dozen downstream jobs over a micro-batch
+    # checkpoint shouldn't).
+    n_rows = sb.count()
+    sb = _narrow_ckpt(sb, n_rows)
     bands = sb.select(id_col, "band", "key")
     layout = _live(spark, index, _read_bands(spark, index)).select("band", "key")
     if (
         not _fits_auto_broadcast(spark, layout)
-        and sb.count() <= _BROADCAST_KEYS_MAX
+        and n_rows <= _BROADCAST_KEYS_MAX
     ):
         # Big layout: (keys that collide) = layout ⋉ broadcast(batch
         # keys) — the layout scan streams through a map-side broadcast
@@ -559,6 +584,7 @@ def _est_sim(a, b, n_hashes: int):
 #: otherwise broadcast an arbitrarily large key set (advisor finding,
 #: round 10). 1M 16-byte keys ≈ tens of MB broadcast — the safe ceiling.
 _BROADCAST_KEYS_MAX = 1_000_000
+
 
 
 #: Spark's byte-string suffixes (JavaUtils.byteStringAsBytes), parsed in
@@ -733,6 +759,11 @@ def dedup_index_filter_verified_with_rows(
     # batch-side floor the zero-collision A/B measured at 2.47 s vs
     # band-only's 1.31 s (SCALING.md round 13, VERDICT r13 gap #3).
     sb = _sig_band_rows(index, batch).localCheckpoint(eager=True)
+    # One count over the materialized checkpoint serves the broadcast
+    # decision below AND the checkpoint-width decision (round 16 —
+    # _narrow_ckpt docstring: wide kernel, narrow downstream).
+    n_rows = sb.count()
+    sb = _narrow_ckpt(sb, n_rows)
     bands = sb.select(id_col, "band", "key")
     # (id, sig): a narrow filter over the checkpoint — one row per doc,
     # no shuffle, no second kernel run.
@@ -749,7 +780,7 @@ def dedup_index_filter_verified_with_rows(
     # sb is materialized, so its count (= docs · bands) is a cheap upper
     # bound on the distinct key count — no extra shuffle to decide the
     # join strategy.
-    small_batch = sb.count() <= _BROADCAST_KEYS_MAX
+    small_batch = n_rows <= _BROADCAST_KEYS_MAX
     if small_batch:
         batch_keys = F.broadcast(batch_keys)
     # Count-first, end-to-end (the operators/dedup.py:148 discipline):
@@ -771,11 +802,19 @@ def dedup_index_filter_verified_with_rows(
     )
     over = key_counts.filter(F.col("_n") > candidate_cap).select("band", "key")
     under = key_counts.filter(F.col("_n") <= candidate_cap).select("band", "key")
-    # Emptiness probe on the SAME frame the enumeration would join (one
+    # Emptiness probes on the SAME frame the enumeration would join (one
     # predicate, no drift — advisor finding, round 12), taken before the
-    # broadcast hint: a limit(1) over the already-materialized counts,
-    # never a job against the layout.
-    no_under = under.limit(1).count() == 0
+    # broadcast hint: ONE aggregate over the already-materialized counts
+    # answers both "any under-cap key?" and "any collision at all?"
+    # (round 16 — the previous shape was two separate limit(1).count()
+    # jobs; the counts table is batch-bounded, so the full agg costs the
+    # same one tiny job and halves the probe round-trips), never a job
+    # against the layout.
+    kc_probe = key_counts.agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.count(F.when(F.col("_n") <= candidate_cap, True)).alias("_nu"),
+    ).head()
+    no_under = kc_probe["_nu"] == 0
     if small_batch:
         # ≤ the batch's key count by construction (a subset of
         # key_counts), so the small-batch guard covers it too.
@@ -794,12 +833,12 @@ def dedup_index_filter_verified_with_rows(
         # collision is over-cap (measured in the hot-key A/B,
         # SCALING.md round 12).
         verified_hits = bands.select(id_col).limit(0)
-        if key_counts.limit(1).count() == 0:
+        if kc_probe["_nk"] == 0:
             # Nothing collided at all (the fresh-batch common case):
             # the corpus side is provably empty — drop the over-cap
             # semi-join from the final plan too, not just the
-            # verification subtree. The probe is a limit(1) over the
-            # already-materialized counts, never a layout job.
+            # verification subtree. The answer rode the one probe
+            # aggregate above — no second job.
             auto_hits = verified_hits
     else:
         # Second pruned layout pass reads ONLY under-cap keys' colliding
@@ -938,18 +977,23 @@ def dedup_index_append_rows(index: DedupIndex, sig_band_rows: DataFrame) -> None
     sigs = sig_band_rows.filter(F.col("band") == 0).select(id_col, "sig")
     if index.sig_buckets:
         (
-            sigs.withColumn("sig_bucket", _sig_bucket_expr(index, F.col(id_col)))
-            .repartition(F.col("sig_bucket"))
+            append_repartition(
+                sigs.withColumn(
+                    "sig_bucket", _sig_bucket_expr(index, F.col(id_col))
+                ),
+                "sig_bucket",
+            )
             .write.partitionBy("sig_bucket")
             .mode("append")
             .parquet(_sigs_path(index))
         )
     else:
         sigs.write.mode("append").parquet(_sigs_path(index))
-    # Same band-column shuffle as _persist's append path: one file per
-    # touched band partition instead of (tasks × bands) shards.
-    sig_band_rows.select(id_col, "band", "key").repartition(
-        F.col("band")
+    # Same size-gated band-column shuffle as _persist's append path: one
+    # file per touched band partition instead of (tasks × bands) shards
+    # on micro-batches; full parallelism above the collapse ceiling.
+    append_repartition(
+        sig_band_rows.select(id_col, "band", "key"), "band"
     ).write.partitionBy("band").mode("append").parquet(index.path)
 
 

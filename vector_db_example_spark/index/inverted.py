@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .. import fsio
 from ..functions.text import extract_tokens
 from ..operators.bm25 import bm25_score_expr, bm25_score_expr_for
+from ..sources.tables import append_repartition
 
 
 @dataclass(frozen=True)
@@ -303,15 +304,17 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
     (slightly stale idf/avgdl; the doc's own length is already exact
     on its rows). Legacy layouts hid such docs via the doclens inner
     join until the whole append finished. The window is narrow
-    (single-writer, three sequential tiny writes), the scores involved
-    are marginally-stale corpus constants rather than wrong per-doc
+    (single-writer, three tiny writes — postings and doclens
+    overlapped, stats after both), the scores involved are
+    marginally-stale corpus constants rather than wrong per-doc
     inputs, and replay + compaction heal it — but it IS a visibility
     change to be aware of when pointing concurrent readers at a layout
-    mid-append. The write ORDER stays postings-first deliberately: the
-    stats bump is a read-modify-write, so postings-first keeps a crash
-    BEFORE the bump replayable (re-append duplicates heal via
-    compaction's full-row distinct; a pre-bumped stats row would
-    double-count on replay).
+    mid-append. The stats bump stays strictly LAST deliberately: it is
+    a read-modify-write, so data-writes-first keeps a crash BEFORE the
+    bump replayable (re-append duplicates heal via compaction's
+    full-row distinct; a pre-bumped stats row would double-count on
+    replay). Postings vs doclens relative order never mattered for
+    replay — both re-append byte-identically — so they overlap.
     """
     spark = docs.sparkSession
     id_col, text_col = index.id_col, index.text_col
@@ -322,40 +325,59 @@ def append_to_inverted_index(index: InvertedIndex, docs: DataFrame) -> None:
         # __dl column null on the old rows when schema-merged. One
         # compaction migrates the whole layout instead.
         new_posts = new_posts.drop("__dl")
-    (
-        # One file per touched bucket per append (repartition on the
-        # partition column — the package-wide append discipline), not
-        # (tasks × buckets) shards.
-        new_posts.repartition(F.col("bucket"))
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(index.postings_path)
-    )
-    docs.select(
-        F.col(id_col), F.size(extract_tokens(F.col(text_col))).alias("__dl")
-    ).write.mode("append").parquet(index.doclens_path)
 
-    old = spark.read.parquet(index.stats_path).collect()[0]
-    # One action folds the increment aggregation INTO the stats write
-    # (round 15): the old shape collected the increment to the driver
-    # and wrote a literal row back — two jobs and a third tokenize pass
-    # materialized on the driver for no reason. The sums stay
-    # double-exact either way (same two addends; IEEE-754 addition is
-    # commutative, so inc + old ≡ old + inc bit-for-bit).
-    (
+    def _append_postings() -> None:
+        (
+            # One file per touched bucket per micro-batch append, full
+            # write parallelism above the collapse ceiling (the
+            # package-wide size-gated append discipline —
+            # sources/tables.py::append_repartition).
+            append_repartition(new_posts, "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(index.postings_path)
+        )
+
+    # Postings ∥ doclens (round 16, guide §2.6): the two appends target
+    # independent sinks and both strictly precede the stats bump, so
+    # overlapping them from a 2-thread driver pool changes no replay
+    # outcome — a crash leaving either (or both) behind re-appends
+    # byte-identical rows on replay, healed by compaction's
+    # max(tf)/max(__dl) rule exactly as before. Only the stats
+    # read-modify-write must stay LAST (docstring above).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_append_postings)
         docs.select(
-            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.col(id_col), F.size(extract_tokens(F.col(text_col))).alias("__dl")
+        ).write.mode("append").parquet(index.doclens_path)
+        fut.result()
+
+    # The summed stats row is aggregated AND materialized (one job:
+    # the increment aggregate cross-joined with the old 1-row table —
+    # no driver collect of either) BEFORE the overwrite is issued, so a
+    # failure in the tokenize/aggregate job can no longer destroy
+    # stats_path without a replacement (advisor finding, round 15: the
+    # round-15 fused shape deleted the old row first and recomputed
+    # over ``docs`` inside the overwrite). The sums stay double-exact:
+    # same two addends in the same increment-plus-old order as every
+    # earlier shape.
+    new_stats = (
+        docs.select(
+            F.count(F.lit(1)).cast("double").alias("_inc_n"),
             F.coalesce(F.sum(F.size(extract_tokens(F.col(text_col)))), F.lit(0))
             .cast("double")
-            .alias("__tot"),
+            .alias("_inc_tot"),
         )
+        .crossJoin(spark.read.parquet(index.stats_path))
         .select(
-            (F.col("__n") + F.lit(float(old["__n"]))).alias("__n"),
-            (F.col("__tot") + F.lit(float(old["__tot"]))).alias("__tot"),
+            (F.col("_inc_n") + F.col("__n")).alias("__n"),
+            (F.col("_inc_tot") + F.col("__tot")).alias("__tot"),
         )
-        .write.mode("overwrite")
-        .parquet(index.stats_path)
+        .localCheckpoint(eager=True)
     )
+    new_stats.write.mode("overwrite").parquet(index.stats_path)
 
 
 def sparse_dot_topk(

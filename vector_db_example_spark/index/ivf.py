@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from .. import fsio
 from ..operators.knn import knn_exact
+from ..sources.tables import append_repartition
 
 
 @dataclass
@@ -413,11 +414,12 @@ def ivf_append(index: IVFIndex, rows: DataFrame) -> None:
     assigned = rows.withColumn(
         "cell_id", assign_cells(index, F.col(index.vector_col))
     )
-    # Shuffle onto the partition column first: one file per touched cell
-    # per append instead of (tasks × cells) shards (round 15 — the same
-    # discipline as the dedup layout's bucketed sig write; AQE coalesces
-    # the tiny shuffle on batch-sized appends).
-    assigned.repartition(F.col("cell_id")).write.partitionBy("cell_id").mode(
+    # Size-gated shuffle onto the partition column first: one file per
+    # touched cell per micro-batch append instead of (tasks × cells)
+    # shards (round 15); a frame over the collapse ceiling keeps full
+    # write parallelism instead of serializing onto ≤ nlist tasks
+    # (round 16 — sources/tables.py::append_repartition).
+    append_repartition(assigned, "cell_id").write.partitionBy("cell_id").mode(
         "append"
     ).parquet(index.path)
 

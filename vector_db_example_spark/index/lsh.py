@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from .. import fsio
 from ..operators.knn import knn_exact
+from ..sources.tables import append_repartition
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
@@ -231,10 +232,10 @@ def lsh_append(index: LSHIndex, rows: DataFrame) -> None:
     assigned = rows.withColumn(
         "bucket", bucket_assigner(index.planes)(F.col(index.vector_col))
     )
-    # One file per touched bucket per append (repartition on the
-    # partition column — the package-wide append discipline), not
-    # (tasks × buckets) shards.
-    assigned.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+    # One file per touched bucket per micro-batch append, full write
+    # parallelism above the collapse ceiling (the package-wide
+    # size-gated append discipline — sources/tables.py).
+    append_repartition(assigned, "bucket").write.partitionBy("bucket").mode(
         "append"
     ).parquet(index.path)
 

@@ -265,13 +265,17 @@ def minhash_near_duplicates(
     # md5 instead of the interpreted shingles/minhash_signature Catalyst
     # lambdas, so the one expensive pass runs at native speed; the
     # previous shape checkpointed shingles alone and still re-ran the
-    # signature lambdas on top). The input's partitioning is the
-    # CALLER's contract, exactly as before: this operator does not
-    # widen (a round-15 A/B measured widen-to-defaultParallelism
-    # TRIPLING the small fixed-size planted corpora the query inventory
-    # feeds it — every downstream job inherits the inflated partition
-    # count; a corpus-scale caller should widen its own input, as
-    # index/dedupidx.signature_rows does internally).
+    # signature lambdas on top).
+    # The input's partitioning is the CALLER's contract: this operator
+    # does not widen. Round 15 measured a bare widen TRIPLING the small
+    # fixed-size planted corpora; round 16 re-tested widen WITH a
+    # row-count-adaptive post-checkpoint narrow (the fix for the
+    # inherited-partition poison) and it STILL lost interleaved —
+    # minhash_lsh ×1.3, simhash ×1.36, curation flat (tools/ab_r16.py
+    # --what widen): the widen shuffle + extra count job cost more than
+    # the kernel parallelism buys at these batch sizes. Corpus-scale
+    # callers widen their own input, as index/dedupidx.signature_rows
+    # does internally.
     id_type = df.schema[id_col].dataType
     kernel_schema = T.StructType(
         [
@@ -409,9 +413,68 @@ _SIMHASH_FROM_HASHES_SQL = (
 def simhash64(text_expr: str) -> Column:
     """60-bit SimHash over whitespace tokens of the column named by
     ``text_expr``. Token hashes are computed once per row; the 60-way bit
-    vote runs over that array."""
+    vote runs over that array. This is the pure-expression form — kept
+    as the equivalence reference; the hot path is ``_py_simhash`` (the
+    round-16 Arrow kernel twin, pinned byte-identical in
+    tests/test_operators.py)."""
     hashes = _TOK_HASHES_SQL.format(text=text_expr)
     return F.expr(_SIMHASH_FROM_HASHES_SQL.format(hashes=hashes))
+
+
+def _py_simhash(text, memo: dict) -> int | None:
+    """Pure-Python twin of ``simhash64``: 60-bit fingerprint from the
+    per-token md5-prefix hashes, with the bit votes weighted by token
+    occurrence count (the expression votes once per occurrence; grouping
+    by distinct token and multiplying by its count is the same sum).
+    Tokenization is the Java ``\\s`` ASCII class over a space-only trim,
+    trailing empties kept — the ``_py_shingles`` pinning. Null/non-str
+    text mirrors the expression's null algebra: the NULL token-hash
+    array makes every per-bit vote NULL, ``IF(NULL > 0, …, 0)`` takes
+    the zero branch, and the bit sum folds to **0** (pinned in
+    tests/test_operators.py::test_py_simhash_matches_expression)."""
+    import numpy as np
+
+    if not isinstance(text, str):
+        return 0
+    votes = np.zeros(60, dtype=np.int64)
+    shifts = np.arange(60, dtype=np.int64)
+    from collections import Counter
+
+    for tok, cnt in Counter(_JAVA_WS_RE.split(text.strip(" "))).items():
+        h = memo.get(tok)
+        if h is None:
+            # first 15 hex chars of md5 == the expression's
+            # conv(substring(md5(t), 1, 15), 16, 10) — a 60-bit value
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+            memo[tok] = h
+        votes += cnt * (2 * ((h >> shifts) & 1) - 1)
+    return int(((votes > 0).astype(np.int64) << shifts).sum())
+
+
+def _simhash_kernel(id_col: str, text_col: str):
+    """mapInPandas body for the SimHash fingerprint pass: whole Arrow
+    batches of (id, text) → (id, sim) through C-backed ``hashlib`` —
+    the guide-§4.2 move the minhash kernel proved in round 15 (the
+    ``_SIMHASH_FROM_HASHES_SQL`` expression is 60 interpreted
+    ``aggregate`` lambdas per document). A per-task token memo turns
+    ~1 md5/occurrence into ~1 md5/distinct-token (natural-language
+    batches repeat tokens heavily), identical output — md5 is pure."""
+    import pandas as pd
+
+    def kernel(batches):
+        memo: dict = {}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sim": pd.array(
+                        [_py_simhash(t, memo) for t in pdf[text_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return kernel
 
 
 def simhash_near_duplicates(
@@ -419,14 +482,36 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash pairs within a Hamming radius. Candidate generation blocks
     on 4 × 15-bit sub-fingerprints (pigeonhole: any pair within Hamming 3
     shares at least one of 4 blocks exactly) — the scalable shape; the
-    final Hamming check is exact via bit_count(xor)."""
-    base = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("sim")
+    final Hamming check is exact via bit_count(xor).
+
+    The fingerprint pass runs as ONE Arrow-batched Python kernel over
+    (id, text) (round 16 — the same §4.2 recipe as the round-15 minhash
+    kernel; ``_py_simhash`` pins byte-equivalence to the ``simhash64``
+    expression on adversarial inputs in tests/test_operators.py).
+    ``materialize`` snapshots the (id, sim) table before the self-join —
+    the l/r sides are separate subtrees, so an unmaterialized plan runs
+    the fingerprint pass twice (the ``minhash_near_duplicates``
+    staged-materialization practice); the snapshot is 16 bytes/doc."""
+    id_type = df.schema[id_col].dataType
+    base = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _simhash_kernel(id_col, text_col),
+        T.StructType(
+            [
+                T.StructField("id", id_type, True),
+                T.StructField("sim", T.LongType(), True),
+            ]
+        ),
     )
+    if materialize:
+        # caller-partitioning contract, same as minhash_near_duplicates
+        # (the round-16 widen+narrow A/B lost here too — see the note
+        # there)
+        base = base.localCheckpoint(eager=True)
     blocks = base.select(
         "id",
         "sim",

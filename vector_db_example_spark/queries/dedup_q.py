@@ -320,7 +320,14 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=3, n_hashes=16, bands=8, threshold=0.6,
     )
     losers = pairs.select(F.col("b_id").alias("id")).distinct()
-    curated = exact_d.join(losers, "id", "left_anti")
+    # Broadcast hint (guide §3.1, round 16): the loser set is an
+    # aggregated dup-id list — small by construction (bounded by the
+    # near-dup pair count) — but its size ESTIMATE flows through the
+    # whole LSH verify DAG, so the planner used to pick a SortMergeJoin
+    # LeftAnti that exchanged AND sorted the checkpointed corpus per
+    # run. The hint turns it into a broadcast anti-join: zero corpus
+    # movement (plan diff in plans/r16/pipeline_corpus_curation_*).
+    curated = exact_d.join(F.broadcast(losers), "id", "left_anti")
     return curated.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("total_tokens"),

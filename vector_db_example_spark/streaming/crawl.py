@@ -37,21 +37,25 @@ Delivery: foreachBatch is at-least-once, guarded by per-checkpoint
 commit markers (fsio.canonical_token namespacing — the convention shared
 with streaming/ingest.py and rollup.py). A replayed COMMITTED batch is a
 no-op. A crash inside the multi-write window replays with these
-outcomes, in write order:
+outcomes. The verdict sink, IVF append, and postings append run as
+OVERLAPPED jobs (driver thread pool, guide §2.6 — round 16): their
+relative order never mattered for replay because each is independently
+idempotent, and a crash can interrupt any subset:
 
 - verdict sink: per-batch dynamic partition overwrite — the replay
   rewrites its own ``__batch_id=`` partition, never duplicates.
 - IVF append: the replay re-appends byte-identical rows;
   ``compact_ivf_index`` heals exactly that (full-row distinct over
   replayed rows — the package-wide at-least-once contract).
-- dedup append (LAST data write, deliberately): if the crash hit after
-  it, the replayed filter sees the batch's own survivor bands and flags
-  them corpus_dup — the dedup re-append and IVF re-append are skipped
-  (nothing duplicates; the IVF rows landed before the crash), and the
-  replayed VERDICT partition over-reports corpus_dup for that one
-  batch. Over-suppression in an audit row for a crash-replayed batch is
-  the safe direction; ``dedup_index_compact`` / ``compact_ivf_index``
-  owe nothing here.
+- dedup append (LAST data write, deliberately — it strictly follows
+  the joined completion of the overlapped writes): if the crash hit
+  after it, the replayed filter sees the batch's own survivor bands and
+  flags them corpus_dup — the dedup re-append and IVF re-append are
+  skipped (nothing duplicates; the IVF rows landed before the crash),
+  and the replayed VERDICT partition over-reports corpus_dup for that
+  one batch. Over-suppression in an audit row for a crash-replayed
+  batch is the safe direction; ``dedup_index_compact`` /
+  ``compact_ivf_index`` owe nothing here.
 
 Batch sequencing: each foreachBatch invocation is a separate job, so a
 filter planned in batch N+1 lists the dedup layout's files AFTER batch
@@ -75,6 +79,7 @@ from ..index.dedupidx import (
     dedup_index_filter_with_rows,
 )
 from ..index.ivf import IVFIndex, assign_cells
+from ..sources.tables import append_repartition
 
 
 def stream_crawl_ingest(
@@ -111,11 +116,12 @@ def stream_crawl_ingest(
     term-bucket layout (index/inverted.py::append_to_inverted_index —
     BM25-correct stats bumps, bucket-pruned reads), so the intake loop
     feeds BOTH retrieval modes the reference's hybrid search uses
-    (vector src/app.py:248 + keyword fan-out src/app.py:313). Write
-    order inserts it between the IVF append and the dedup-band append:
-    a crash-window replay either re-appends byte-identical postings
-    (healed by ``compact_inverted_index``, the package contract) or —
-    past the dedup append — skips everything, same as the IVF story.
+    (vector src/app.py:248 + keyword fan-out src/app.py:313). It runs
+    overlapped with the IVF append, strictly before the dedup-band
+    append: a crash-window replay either re-appends byte-identical
+    postings (healed by ``compact_inverted_index``, the package
+    contract) or — past the dedup append — skips everything, same as
+    the IVF story.
 
     ``benchmark_fps`` is the optional DECONTAMINATION gate: a 1-column
     ``(fp)`` frame of held-out benchmark fingerprints
@@ -177,6 +183,16 @@ def stream_crawl_ingest(
         f"{dedup_index.path}/_crawl_committed/{fsio.canonical_token(checkpoint_path)}"
     )
     fsio.mkdirs(marker_dir, spark)
+    if benchmark_fps is not None:
+        # Materialize the decontamination fingerprint set ONCE per run
+        # (round 16, guide §1.2): the caller hands a lazy frame —
+        # typically a full benchmark-corpus scan + md5 + distinct — and
+        # the per-batch broadcast semi-join used to re-evaluate that
+        # whole subtree every micro-batch. The values are deterministic
+        # (md5 of fixed text), so the checkpoint changes nothing but
+        # where the work happens: one job per run instead of one
+        # benchmark-corpus pass per batch.
+        benchmark_fps = benchmark_fps.localCheckpoint(eager=True)
     totals = {"batches": 0, "seen": 0, "accepted": 0}
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
@@ -225,7 +241,8 @@ def stream_crawl_ingest(
         else:
             verdicts = verdicts.withColumn("contaminated", F.lit(False))
         verdicts = verdicts.localCheckpoint(eager=True)
-        if verdict_path is not None:
+
+        def _write_verdicts() -> None:
             (
                 verdicts.withColumn("__batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
@@ -233,6 +250,7 @@ def stream_crawl_ingest(
                 .partitionBy("__batch_id")
                 .parquet(verdict_path)
             )
+
         survivors = batch.join(
             verdicts.filter(
                 ~F.col("corpus_dup")
@@ -241,26 +259,54 @@ def stream_crawl_ingest(
             ).select(id_col),
             id_col,
         )
-        # Embed + assign once (localCheckpoint), feeding the IVF append
-        # and the accepted count.
-        assigned = (
-            survivors.withColumn(vec_col, embed(F.col(dedup_index.text_col)))
-            .withColumn("cell_id", assign_cells(ivf_index, F.col(vec_col)))
-            .localCheckpoint(eager=True)
-        )
-        n_seen, n_acc = verdicts.count(), assigned.count()
-        # One file per touched cell per batch (repartition on the
-        # partition column — the package-wide append discipline), not
-        # (tasks × cells) shards.
-        assigned.repartition(F.col("cell_id")).write.partitionBy(
-            "cell_id"
-        ).mode("append").parquet(ivf_index.path)
-        if inverted_index is not None and n_acc:
-            from ..index.inverted import append_to_inverted_index
+        # The verdict write, the embed+IVF leg, and the postings append
+        # are mutually independent given the materialized verdicts, so
+        # they run as OVERLAPPED jobs from a small driver pool (guide
+        # §2.6 — actions are only sequential because the driver calls
+        # them sequentially): the next job's tasks back-fill executors
+        # freed by the previous job's tail, and the driver-side commit
+        # phases overlap instead of queueing. At-least-once replay is
+        # unchanged: ALL of these precede the dedup-band append (still
+        # strictly LAST, below) and each one replays idempotently on its
+        # own — verdicts via the dynamic-partition overwrite, IVF and
+        # postings via compaction's full-row distinct — whatever subset
+        # a crash interrupts (module docstring).
+        from concurrent.futures import ThreadPoolExecutor
 
-            append_to_inverted_index(
-                inverted_index, assigned.drop(vec_col, "cell_id")
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_verdicts = (
+                pool.submit(_write_verdicts) if verdict_path is not None else None
             )
+            # Embed + assign once (localCheckpoint), feeding the IVF
+            # append and the accepted count.
+            assigned = (
+                survivors.withColumn(
+                    vec_col, embed(F.col(dedup_index.text_col))
+                )
+                .withColumn("cell_id", assign_cells(ivf_index, F.col(vec_col)))
+                .localCheckpoint(eager=True)
+            )
+            n_seen, n_acc = verdicts.count(), assigned.count()
+
+            def _append_ivf() -> None:
+                # One file per touched cell per micro-batch, full
+                # parallelism above the collapse ceiling (the
+                # package-wide size-gated append discipline —
+                # sources/tables.py::append_repartition).
+                append_repartition(assigned, "cell_id").write.partitionBy(
+                    "cell_id"
+                ).mode("append").parquet(ivf_index.path)
+
+            fut_ivf = pool.submit(_append_ivf)
+            if inverted_index is not None and n_acc:
+                from ..index.inverted import append_to_inverted_index
+
+                append_to_inverted_index(
+                    inverted_index, assigned.drop(vec_col, "cell_id")
+                )
+            fut_ivf.result()
+            if fut_verdicts is not None:
+                fut_verdicts.result()
         # Dedup append LAST (module docstring: the crash-replay outcomes
         # depend on this ordering). Feeds the filter's own materialized
         # sig/band checkpoint restricted to the survivors — zero

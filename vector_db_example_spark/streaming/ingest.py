@@ -22,6 +22,7 @@ from pyspark.sql.utils import AnalysisException
 
 from ..functions.embedding import hashing_embedder
 from ..functions.text import clean_content
+from ..sources.tables import append_repartition
 
 DOCUMENTS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -143,9 +144,10 @@ def stream_ingest_embeddings_into_ivf(
         assigned = batch.withColumn(
             "cell_id", assign_cells(index, F.col(index.vector_col))
         ).localCheckpoint(eager=True)  # one evaluation for write AND count
-        # One file per touched cell per batch (repartition on the
-        # partition column — the package-wide append discipline).
-        assigned.repartition(F.col("cell_id")).write.partitionBy(
+        # One file per touched cell per micro-batch, full parallelism
+        # above the collapse ceiling (the package-wide size-gated
+        # append discipline — sources/tables.py).
+        append_repartition(assigned, "cell_id").write.partitionBy(
             "cell_id"
         ).mode("append").parquet(index.path)
         n = assigned.count()

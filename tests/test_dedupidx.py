@@ -1246,3 +1246,30 @@ def test_append_repartition_size_gate(spark, tmp_path):
     rows_micro = sorted(map(tuple, _read_bands(spark, idx).collect()))
     rows_big = sorted(map(tuple, _read_bands(spark, idx2).collect()))
     assert rows_micro == rows_big
+
+
+def test_narrow_materialized_rows_and_width(spark):
+    """Round-16 post-checkpoint narrow (sources/tables.py): rows are
+    untouched, micro-batch checkpoints coalesce to a row-count-derived
+    width, and corpus-sized frames keep every partition (the
+    scale-adaptive contract — never a local[32] constant)."""
+    from vector_db_example_spark.sources.tables import (
+        NARROW_ROWS_PER_PART,
+        narrow_materialized,
+    )
+
+    ckpt = spark.range(0, 1000, 1, 32).localCheckpoint(eager=True)
+    narrowed = narrow_materialized(ckpt, 1000)
+    assert narrowed.rdd.getNumPartitions() == 1
+    assert sorted(r["id"] for r in narrowed.collect()) == list(range(1000))
+
+    # two target partitions' worth of rows -> width 2
+    n2 = 2 * NARROW_ROWS_PER_PART
+    ckpt2 = spark.range(0, n2, 1, 32).localCheckpoint(eager=True)
+    assert narrow_materialized(ckpt2, n2).rdd.getNumPartitions() == 2
+
+    # "corpus-sized" count: never widen, never shrink below current
+    ckpt3 = spark.range(0, 64, 1, 4).localCheckpoint(eager=True)
+    assert (
+        narrow_materialized(ckpt3, 10_000_000).rdd.getNumPartitions() == 4
+    )

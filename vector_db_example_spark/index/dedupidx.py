@@ -819,7 +819,11 @@ def dedup_index_filter_verified_with_rows(
         # ≤ the batch's key count by construction (a subset of
         # key_counts), so the small-batch guard covers it too.
         under = F.broadcast(under)
-    auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col).distinct()
+    # No inner distinct: corpus_hits' outer union-distinct below is the
+    # one load-bearing dedup — an inner one was a pure extra exchange
+    # over a batch-bounded frame (round 16; same for verified_hits and
+    # the within-batch hit legs).
+    auto_hits = bands.join(over, ["band", "key"], "left_semi").select(id_col)
     if no_under:
         # No under-cap colliding key ⇒ the candidate set is provably
         # empty, so skip the second layout pass AND the whole
@@ -884,7 +888,6 @@ def dedup_index_filter_verified_with_rows(
             )
             .filter(_est_sim(F.col("_bs"), F.col("_cs"), index.n_hashes) >= threshold)
             .select(id_col)
-            .distinct()
         )
     corpus_hits = auto_hits.unionByName(verified_hits).distinct()
 
@@ -916,7 +919,6 @@ def dedup_index_filter_verified_with_rows(
             new_bands.join(wover.select("band", "key", "_min_id"), ["band", "key"])
             .filter(F.col(id_col) > F.col("_min_id"))
             .select(id_col)
-            .distinct()
         )
         wunder = wcounts.filter(F.col("_n") <= candidate_cap).select("band", "key")
         wpairs = (
@@ -940,7 +942,6 @@ def dedup_index_filter_verified_with_rows(
             )
             .filter(_est_sim(F.col("_ls"), F.col("_rs"), index.n_hashes) >= threshold)
             .select(id_col)
-            .distinct()
         )
         within_hits = wauto.unionByName(wverified).distinct()
     verdicts = (

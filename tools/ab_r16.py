@@ -50,6 +50,8 @@ def main() -> None:
     import vector_db_example_spark.index.dedupidx as dx
     from vector_db_example_spark.queries import dedup_q
 
+    if args.what == "chits":
+        chits_variants(spark, sf_dir, args.n)
     if args.what == "widen":
         widen_narrow_variants(spark, sf_dir, args.n)
     if args.what == "curation":
@@ -206,6 +208,46 @@ def widen_narrow_variants(spark, sf_dir: str, n: int) -> None:
     on_full()
     for (vname, lname), ss in sorted(results.items()):
         print(f"  {vname:<14} {lname:<12} min {min(ss):.3f}s  "
+              + ", ".join(f"{s:.3f}" for s in ss))
+
+
+
+
+def chits_variants(spark, sf_dir: str, n: int) -> None:
+    """Interleaved A/B: localCheckpoint of corpus_hits in the verified
+    filter (re-test of the r15 negative, post-narrow landscape)."""
+    import time
+
+    import vector_db_example_spark.index.dedupidx as dx
+    from vector_db_example_spark.queries import dedup_q
+
+    # NOTE: the _CKPT_CORPUS_HITS seam was REMOVED from dedupidx after
+    # this A/B measured a dead heat (5.373 vs 5.401 min-of-5 — AQE
+    # runtime exchange reuse already dedups the subtree, same as the
+    # r15 negative); re-add the flag to re-run.
+    lines = {
+        "verified": lambda: dedup_q.dedup_incremental_verified_batch_filter(
+            spark, sf_dir).collect(),
+    }
+    variants = {"ckpt_on": True, "ckpt_off": False}
+    for v in variants.values():
+        dx._CKPT_CORPUS_HITS = v
+        for fn in lines.values():
+            fn()
+    results = {}
+    print(f"canary: {canary(spark):.3f}s")
+    for _ in range(n):
+        for vname, v in variants.items():
+            dx._CKPT_CORPUS_HITS = v
+            for lname, fn in lines.items():
+                t0 = time.perf_counter()
+                fn()
+                results.setdefault((vname, lname), []).append(
+                    time.perf_counter() - t0)
+    print(f"canary: {canary(spark):.3f}s")
+    dx._CKPT_CORPUS_HITS = False
+    for (vname, lname), ss in sorted(results.items()):
+        print(f"  {vname:<10} {lname:<10} min {min(ss):.3f}s  "
               + ", ".join(f"{s:.3f}" for s in ss))
 
 
